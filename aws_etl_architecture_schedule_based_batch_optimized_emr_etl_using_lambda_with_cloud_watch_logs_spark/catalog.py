@@ -1,0 +1,282 @@
+"""Catalog sync, schema drift, partition registration.
+
+Spark-native rebuild of the reference's Glue/Athena protocol
+(``emr_json_parquet_schema_drift_etl.py``):
+
+* H1 ``get_schema_for_data_catalog`` (:100-109) — schema → list of
+  ``{"Name", "Type"}`` with ``LongType→bigint``, ``IntegerType→int``,
+  else lowercased type name. Spark's ``DataType.simpleString()``
+  produces exactly that mapping for every primitive the reference can
+  see (bigint, int, string, double, boolean, timestamp, date).
+* H3 ``get_schema_match`` (:121-124) — **names-only** set equality;
+  types are deliberately ignored. This type-blind contract is
+  load-bearing (a long→string change is *not* drift).
+* H5/H7 partition-spec strings + diff (:186-197, :217-229) — the
+  reference computes current partitions from the *re-read sink*, not
+  the incoming batch (:219 uses the global ``merged_df``); callers
+  here pass the merged sink DataFrame to preserve that semantic.
+* H8 ``create_update_data_catalog`` (:237-274) — decision tree:
+  table absent → create (the crawler's job); schema drift → recreate
+  the table definition; no drift → register only new partitions.
+
+Glue crawler + Athena polling (H9/H10, :131-137, :143-169) collapse to
+synchronous ``spark.sql`` calls — no wait loops needed.
+
+Scale note: everything that reaches the driver here is *metadata*
+(column names, distinct partition tuples) — cardinality is bounded by
+the catalog, not the data. The distinct partition computation is a
+map-side-combined hash aggregate over only the partition columns,
+which parquet column pruning reduces to a few-KB scan per file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+SchemaEntry = dict[str, str]
+
+
+def schema_for_catalog(schema_or_df: DataFrame | StructType) -> list[SchemaEntry]:
+    """H1: DataFrame schema → ``[{"Name": lower_name, "Type": type}]``.
+
+    ``simpleString()`` reproduces the reference's type map (:102-104):
+    ``LongType``→``bigint``, ``IntegerType``→``int``, others →
+    lowercased bare name.
+    """
+    schema = (
+        schema_or_df if isinstance(schema_or_df, StructType) else schema_or_df.schema
+    )
+    return [
+        {"Name": field.name.lower(), "Type": field.dataType.simpleString()}
+        for field in schema.fields
+    ]
+
+
+def partition_schema_for_catalog(
+    schema_or_df: DataFrame | StructType, partition_cols: list[str]
+) -> list[SchemaEntry]:
+    """H2 (:114-116): subset of H1 restricted to partition columns."""
+    return [
+        entry
+        for entry in schema_for_catalog(schema_or_df)
+        if entry["Name"] in partition_cols
+    ]
+
+
+def schema_match(curr_schema: list[SchemaEntry], prev_schema: list[SchemaEntry]) -> bool:
+    """H3 (:121-124): same length + name containment. Types ignored —
+    the reference's drift contract is the *set of lowercase column
+    names*, nothing else."""
+    curr_names = [entry["Name"] for entry in curr_schema]
+    prev_names = [entry["Name"] for entry in prev_schema]
+    return len(curr_names) == len(prev_names) and all(
+        name in prev_names for name in curr_names
+    )
+
+
+def partition_specs_from_data(df: DataFrame, partition_cols: list[str]) -> list[str]:
+    """H5 (:186-197): distinct partition tuples → ``k1=v1/k2=v2`` spec
+    strings. The distinct runs distributed (hash aggregate with
+    map-side combine); only the distinct *specs* are collected —
+    bounded by partition count, not row count."""
+    spec_col = F.concat_ws(
+        "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string")) for c in partition_cols]
+    )
+    rows = df.select(spec_col.alias("spec")).distinct().collect()
+    return [row["spec"] for row in rows]
+
+
+def new_partition_specs(curr: list[str], prev: list[str]) -> list[str]:
+    """H7 diff (:220): specs in data but not yet registered (anti-join
+    semantics, driver-side on metadata cardinalities)."""
+    prev_set = set(prev)
+    return [spec for spec in curr if spec not in prev_set]
+
+
+def _spec_to_sql(spec: str) -> str:
+    parts = []
+    for kv in spec.split("/"):
+        key, _, value = kv.partition("=")
+        parts.append(f"{key} = '{value}'")
+    return ", ".join(parts)
+
+
+def partitions_ddl(db: str, table: str, specs: list[str]) -> str:
+    """H6 (:202-212): one ``ALTER TABLE … ADD`` DDL for all new
+    partitions (``IF NOT EXISTS`` added — idempotent re-runs)."""
+    clauses = "\n".join(f"PARTITION ({_spec_to_sql(spec)})" for spec in specs)
+    return f"ALTER TABLE `{db}`.`{table}` ADD IF NOT EXISTS\n{clauses}"
+
+
+def show_partitions(spark: SparkSession, db: str, table: str) -> list[str]:
+    """H4 (:174-181): ``SHOW PARTITIONS`` — synchronous, no polling."""
+    rows = spark.sql(f"SHOW PARTITIONS `{db}`.`{table}`").collect()
+    return [row[0] for row in rows]
+
+
+def add_new_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    db: str,
+    table: str,
+    partition_cols: list[str],
+) -> list[str]:
+    """H7 (:217-229): diff data partitions against the catalog and
+    register the new ones. ``df`` should be the merged sink read — the
+    reference derives partitions from the sink, not the batch (:219)."""
+    prev = show_partitions(spark, db, table)
+    curr = partition_specs_from_data(df, partition_cols)
+    new = new_partition_specs(curr, prev)
+    if new:
+        spark.sql(partitions_ddl(db, table, new))
+    return new
+
+
+def _ddl_columns(schema: StructType, exclude: set[str]) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name.lower() not in exclude
+    )
+
+
+def create_table_over_path(
+    spark: SparkSession,
+    schema: StructType,
+    path: str,
+    db: str,
+    table: str,
+    partition_cols: list[str],
+) -> None:
+    """The crawler's job (:244-262), natively: an external parquet
+    table over the sink path, partitions recovered from directory
+    names."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    part_set = {c.lower() for c in partition_cols}
+    data_cols = _ddl_columns(schema, exclude=part_set)
+    part_cols_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in schema.fields
+        if f.name.lower() in part_set
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({data_cols}"
+        + (f", {part_cols_ddl}" if part_cols_ddl else "")
+        + ") USING parquet "
+        + (f"PARTITIONED BY ({', '.join(partition_cols)}) " if partition_cols else "")
+        + f"LOCATION '{path}'"
+    )
+    if partition_cols:
+        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{table}`")
+
+
+def _state_path(sink_path: str) -> str:
+    from urllib.parse import urlparse
+
+    parsed = urlparse(sink_path)
+    base = parsed.path if parsed.scheme in ("file", "") else sink_path
+    return os.path.join(base, "_catalog_state.json")
+
+
+def load_catalog_state(sink_path: str) -> dict | None:
+    """The durable external catalog (the reference's Glue). Spark's
+    in-memory session catalog forgets between processes, so drift
+    detection across scheduled runs needs persistent state — a small
+    JSON ledger beside the sink: ``{"schema": [...], "partitions":
+    [...]}``."""
+    path = _state_path(sink_path)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def save_catalog_state(
+    sink_path: str, schema_entries: list[SchemaEntry], partitions: list[str]
+) -> None:
+    with open(_state_path(sink_path), "w") as fh:
+        json.dump({"schema": schema_entries, "partitions": sorted(partitions)}, fh)
+
+
+def sync_catalog(
+    spark: SparkSession,
+    merged_df: DataFrame,
+    sink_path: str,
+    db: str,
+    table: str,
+    partition_cols: list[str],
+) -> str:
+    """H8 ``create_update_data_catalog`` (:237-274), Spark-native.
+
+    Returns the action taken: ``"created"``, ``"drift-recreated"``, or
+    ``"partitions-only"`` — mirroring the reference's three branches
+    (table absent → crawl/create; drift → re-crawl; else → add
+    partitions). Durable state (the Glue stand-in) lives in a JSON
+    ledger beside the sink so the decision survives process restarts;
+    the Spark session catalog is (re)materialized from it each run.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    state = load_catalog_state(sink_path)
+    curr_schema = schema_for_catalog(merged_df)
+    table_exists = spark.catalog.tableExists(f"`{db}`.`{table}`")
+
+    if state is None or not table_exists:
+        # First contact (or fresh session): the crawler's job.
+        if table_exists and not schema_match(
+            curr_schema, schema_for_catalog(spark.table(f"`{db}`.`{table}`"))
+        ):
+            spark.sql(f"DROP TABLE `{db}`.`{table}`")
+        create_table_over_path(
+            spark, merged_df.schema, sink_path, db, table, partition_cols
+        )
+        parts = show_partitions(spark, db, table) if partition_cols else []
+        action = "created" if state is None else None
+        if action is None:
+            action = (
+                "partitions-only"
+                if schema_match(curr_schema, state["schema"])
+                else "drift-recreated"
+            )
+        save_catalog_state(sink_path, curr_schema, parts)
+        return action
+
+    if not schema_match(curr_schema, state["schema"]):
+        spark.sql(f"DROP TABLE `{db}`.`{table}`")
+        create_table_over_path(
+            spark, merged_df.schema, sink_path, db, table, partition_cols
+        )
+        parts = show_partitions(spark, db, table) if partition_cols else []
+        save_catalog_state(sink_path, curr_schema, parts)
+        return "drift-recreated"
+
+    new = add_new_partitions_from_state(
+        spark, merged_df, db, table, partition_cols, state
+    )
+    save_catalog_state(
+        sink_path, curr_schema, list(set(state.get("partitions", [])) | set(new))
+    )
+    return "partitions-only"
+
+
+def add_new_partitions_from_state(
+    spark: SparkSession,
+    df: DataFrame,
+    db: str,
+    table: str,
+    partition_cols: list[str],
+    state: dict,
+) -> list[str]:
+    """H7 against the durable ledger: register only partitions the
+    catalog hasn't seen (O(new), not O(all directories) like MSCK)."""
+    if not partition_cols:
+        return []
+    curr = partition_specs_from_data(df, partition_cols)
+    new = new_partition_specs(curr, state.get("partitions", []))
+    if new:
+        spark.sql(partitions_ddl(db, table, new))
+    return new

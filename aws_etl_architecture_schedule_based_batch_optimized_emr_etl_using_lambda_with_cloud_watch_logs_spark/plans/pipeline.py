@@ -1,0 +1,108 @@
+"""End-to-end scheduled-batch ETL (reference §3.1,
+``emr_json_parquet_schema_drift_etl.py:279-361``), Spark-native.
+
+Stages (each maps 1:1 to a reference line range):
+
+1. read source JSON + provenance column        (:318-321)
+2. flatten (explode arrays, expand structs,
+   camelCase)                                  (:326, :57-95)
+3. derive row_insert_tsp/date, year/month/day  (:327-331)
+4. partitioned append write                    (:336-343)
+5. re-read sink with mergeSchema (drift view)  (:348-350)
+6. catalog sync: create / drift-recreate /
+   add-partitions                              (:355-356, :237-274)
+7. archive source files (incremental ledger)   (:361, :24-51)
+
+The cluster-provisioning Lambda (J2) collapses to this function being
+``spark-submit``-able (see ``main`` below).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+from pyspark.sql.utils import AnalysisException
+
+from ..catalog import sync_catalog
+from ..config import EtlConfig
+from ..operators.derive import PARTITION_COLS, with_ingest_columns
+from ..operators.flatten import flatten
+from ..sources.archive import archive_files
+from ..sources.readers import distinct_input_files, read_json, read_parquet_merged
+from ..sources.writers import write_partitioned
+
+
+@dataclass
+class EtlResult:
+    rows_written: int
+    catalog_action: str
+    files_archived: list[str]
+    merged_df: DataFrame | None
+
+
+def run_batch(
+    spark: SparkSession,
+    config: EtlConfig,
+    schema: StructType | None = None,
+    partition_cols: list[str] | None = None,
+    archive: bool = True,
+) -> EtlResult:
+    """One scheduled-batch run, start to finish."""
+    partition_cols = partition_cols or PARTITION_COLS
+
+    try:
+        raw = read_json(spark, config.source_path, schema=schema)
+    except AnalysisException as exc:
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc) and "PATH_NOT_FOUND" not in str(exc):
+            raise
+        # Routine schedule tick with no new source files: graceful no-op.
+        return EtlResult(
+            rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
+        )
+    denorm = with_ingest_columns(flatten(raw), legacy_day=config.legacy_day)
+    files = distinct_input_files(denorm, "input_file")
+    denorm = denorm.drop("input_file")
+
+    write_partitioned(denorm, config.sink_path, partition_cols, mode="append")
+
+    merged = read_parquet_merged(spark, config.sink_path)
+    table = f"{config.catalog_table_prefix}_sink"
+    action = sync_catalog(
+        spark, merged, config.sink_path, config.catalog_db_name, table, partition_cols
+    )
+
+    archived: list[str] = []
+    if archive:
+        archived = archive_files(
+            spark,
+            config.source_path,
+            f"{config.source_path.rstrip('/')}_{config.archival_folder}",
+            files=files,
+        )
+
+    return EtlResult(
+        rows_written=merged.count(),
+        catalog_action=action,
+        files_archived=archived,
+        merged_df=merged,
+    )
+
+
+def main() -> None:
+    """CLI entry point: ``spark-submit -m … pipeline /path/to/config.json``."""
+    import sys
+
+    from ..session import get_spark
+
+    config = EtlConfig.from_file(sys.argv[1])
+    result = run_batch(get_spark(), config)
+    print(
+        f"rows={result.rows_written} catalog={result.catalog_action} "
+        f"archived={len(result.files_archived)}"
+    )
+
+
+if __name__ == "__main__":
+    main()

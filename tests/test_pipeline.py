@@ -1,0 +1,145 @@
+import json
+import os
+
+import pytest
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+    EtlConfig,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.derive import (
+    PARTITION_COLS,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+    run_batch,
+)
+
+BATCH_1 = [
+    {
+        "customerid": "c1",
+        "vehicle": "v1",
+        "category": "cat1",
+        "tts": 1704103200,  # 2024-01-01 10:00:00 UTC
+        "location": {"lat": 1.0, "lon": 2.0},
+        "readings": [{"sensor": "t", "val": 20.5, "meta": {"unit": "C"}}],
+        "tags": ["a", "b"],
+    },
+    {
+        "customerid": "c2",
+        "vehicle": "v2",
+        "category": "cat1",
+        "tts": 1704189600,  # 2024-01-02 10:00:00 UTC
+        "location": {"lat": 3.0, "lon": 4.0},
+        "readings": [],
+        "tags": None,
+    },
+]
+
+# Drift: adds "firmware", keeps everything else.
+BATCH_2 = [
+    {
+        "customerid": "c1",
+        "vehicle": "v1",
+        "category": "cat2",
+        "tts": 1706868000,  # 2024-02-02 10:00:00 UTC
+        "location": {"lat": 5.0, "lon": 6.0},
+        "readings": [{"sensor": "p", "val": 1.2, "meta": {"unit": "Pa"}}],
+        "tags": ["c"],
+        "firmware": "fw-9",
+    }
+]
+
+
+def _write_batch(src_dir, name, records):
+    os.makedirs(src_dir, exist_ok=True)
+    with open(os.path.join(src_dir, name), "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def etl_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("etl")
+    return {
+        "source": str(base / "source"),
+        "sink": str(base / "sink"),
+    }
+
+
+def test_end_to_end_batch_then_drift(spark, etl_dirs):
+    cfg = EtlConfig(
+        source_path=etl_dirs["source"],
+        sink_path=etl_dirs["sink"],
+        catalog_db_name="etl_test",
+        catalog_table_prefix="t1",
+    )
+
+    _write_batch(etl_dirs["source"], "batch1.json", BATCH_1)
+    res1 = run_batch(spark, cfg)
+
+    # batch1: row multiplicity = explode cross-products:
+    #   rec1: 1 reading × 2 tags = 2 rows; rec2: null reading × null tag = 1 row
+    assert res1.rows_written == 3
+    assert res1.catalog_action == "created"
+    assert len(res1.files_archived) == 1
+
+    # golden directory layout: 6-level hive partitioning, legacy
+    # non-padded string day (ETL:331 date_format "d")
+    expect = os.path.join(
+        etl_dirs["sink"],
+        "customerid=c1", "vehicle=v1", "category=cat1",
+        "year=2024", "month=1", "day=1",
+    )
+    assert os.path.isdir(expect)
+
+    cols = set(res1.merged_df.columns)
+    assert {
+        "locationLat", "locationLon", "readingsSensor", "readingsVal",
+        "readingsMetaUnit", "tags", "row_insert_tsp", "row_insert_date",
+    } <= cols
+
+    # source file archived → source dir empty of top-level files
+    assert not [f for f in os.listdir(etl_dirs["source"]) if f.endswith(".json")]
+
+    # catalog registered with partitions
+    parts = spark.sql("SHOW PARTITIONS etl_test.t1_sink").collect()
+    assert len(parts) == 2
+
+    # ---- batch 2: schema drift (new column firmware) ----
+    _write_batch(etl_dirs["source"], "batch2.json", BATCH_2)
+    res2 = run_batch(spark, cfg)
+    assert res2.catalog_action == "drift-recreated"
+    assert res2.rows_written == 4
+    assert "firmware" in res2.merged_df.columns
+    # old rows get null firmware via mergeSchema
+    assert res2.merged_df.filter("firmware IS NULL").count() == 3
+
+    # ---- batch 3: same schema as batch 2, new partition only ----
+    _write_batch(etl_dirs["source"], "batch3.json", [dict(BATCH_2[0], category="cat3")])
+    res3 = run_batch(spark, cfg)
+    assert res3.catalog_action == "partitions-only"
+    parts = spark.sql("SHOW PARTITIONS etl_test.t1_sink").collect()
+    assert len(parts) == 4
+
+    # queryable via catalog with partition pruning
+    n = spark.sql(
+        "SELECT count(*) AS n FROM etl_test.t1_sink WHERE category = 'cat1'"
+    ).collect()[0]["n"]
+    assert n == 3
+
+
+def test_rehydrate_roundtrip(spark, etl_dirs, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.archive import (
+        archive_files,
+    )
+
+    src = str(tmp_path / "src")
+    arc = str(tmp_path / "arc")
+    reh = str(tmp_path / "reh")
+    _write_batch(src, "f1.json", BATCH_1)
+
+    moved = archive_files(spark, src, arc)
+    assert len(moved) == 1 and os.path.exists(os.path.join(arc, "f1.json"))
+
+    back = archive_files(spark, src, arc, rehydration_path=reh, rehydrate=True)
+    assert len(back) == 1 and os.path.exists(os.path.join(reh, "f1.json"))
+    assert not os.listdir(arc)

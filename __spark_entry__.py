@@ -1,38 +1,911 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke, queries() inventory, oracle_sql().
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each query has a Spark implementation (DataFrame/SQL, Catalyst-
+optimized) and a matching ANSI-SQL oracle runnable by DuckDB over the
+same parquet tables. Conventions that make the value-hash comparison
+robust:
+
+* Money sums aggregate ``CAST(x AS DECIMAL(18,4))`` then cast the
+  result to double — exact, order-independent, identical in both
+  engines. Per-row double arithmetic (multiplication etc.) is IEEE-
+  identical everywhere.
+* Every computed column is aliased identically on both sides.
+* Ranking ties always break on a unique key column.
+
+Queries whose results are algorithm-specific hashes (simhash, LSH
+probing) have no oracle entry → the driver records a rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    dedup as D,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    similarity as S,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    text as X,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
+    flatten,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ns timestamps, which Spark's parquet
+    reader rejects; read them as longs and convert to µs timestamps
+    (truncation — matching DuckDB's CAST(ts_ns AS TIMESTAMP))."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = _t(spark, sf_dir, "events")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def _dec(col):
+    return (col if not isinstance(col, str) else F.col(col)).cast("decimal(18,4)")
+
+
+def _dsum(col, alias: str):
+    return F.sum(_dec(col)).cast("double").alias(alias)
+
+
+# SQL-side helper strings
+def _sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+# ----------------------------------------------------------------- core
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter → hash aggregate (map-side
+    partials), 4 decimal sums + derived averages."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    out = l.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"),
+        _dsum("l_extendedprice", "sum_base_price"),
+        _dsum(disc_price, "sum_disc_price"),
+        _dsum(charge, "sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+Q1_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         {_sql_dsum('l_quantity', 'sum_qty')},
+         {_sql_dsum('l_extendedprice', 'sum_base_price')},
+         {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+         {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       sum_charge,
+       ROUND(sum_qty / count_order, 6) AS avg_qty,
+       ROUND(sum_base_price / count_order, 6) AS avg_price,
+       count_order
+FROM agg
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """3-way join (broadcast customer filter) → agg → top-10."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark, sf_dir):
+    """5-way star join: dims broadcast, fact shuffles once."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT r_name, n_name,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """Pure scan-filter-agg: every predicate pushes to parquet."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q6_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+"""
+
+
+# ------------------------------------------------------- join family
+
+
+def join_anti_customers(spark, sf_dir):
+    """left_anti = NOT EXISTS."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_semi_suppliers(spark, sf_dir):
+    """left_semi = EXISTS, with a pushed filter on the probe side."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+"""
+
+
+def join_outer_order_counts(spark, sf_dir):
+    """Left outer join preserving customers with zero orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+JOIN_OUTER_SQL = f"""
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+       {_sql_dsum('o_totalprice', 'total_spend')}
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+# -------------------------------------------------------- aggregation
+
+
+def agg_distinct_per_flag(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .rollup("order_year", "o_orderstatus")
+        .agg(_dsum("o_totalprice", "total_price"), F.count("*").alias("n_orders"))
+    )
+
+
+ROLLUP_SQL = f"""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderstatus,
+       {_sql_dsum('o_totalprice', 'total_price')}, COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INT), o_orderstatus)
+"""
+
+
+def cube_lineitem(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity', 'sum_qty')}, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def conditional_agg_priorities(spark, sf_dir):
+    """Manual pivot: conditional aggregation per status."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    high = F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(urgent).alias("n_urgent"),
+        F.sum(high).alias("n_high"),
+        F.count("*").alias("n_total"),
+    )
+
+
+COND_AGG_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       COUNT(*) AS n_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# ------------------------------------------------------------ windows
+
+
+def window_rank_customers(spark, sf_dir):
+    """Top-3 customers per nation by balance (rank window)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rnk AS INT) AS rnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def window_running_spend(spark, sf_dir):
+    """Running total + lag per customer over order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders
+"""
+
+
+# -------------------------------------------------- sort / limit / set
+
+
+def topk_orders(spark, sf_dir):
+    """Global top-k → TakeOrderedAndProject (no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def setops_customers(spark, sf_dir):
+    """UNION / EXCEPT composition on key sets."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    negative = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return building.union(rich).subtract(negative)
+
+
+SETOPS_SQL = """
+SELECT DISTINCT c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+) EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+"""
+
+
+# ----------------------------------------------------- scalar families
+
+
+def string_funcs_parts(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_type").like("%STANDARD%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowel"),
+        F.instr("p_type", "STANDARD").alias("std_pos"),
+    )
+
+
+STRING_SQL = """
+SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 8) AS name8,
+       CAST(LENGTH(p_name) AS INT) AS name_len,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS name_novowel,
+       CAST(POSITION('STANDARD' IN p_type) AS INT) AS std_pos
+FROM part WHERE p_type LIKE '%STANDARD%'
+"""
+
+
+def date_funcs_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")
+        ).alias("days_before_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(DAY(o_orderdate) AS INT) AS order_day,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+            AS INT) AS days_before_2002,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def json_extract_events(spark, sf_dir):
+    """JSON prop extraction (M5) + aggregate."""
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------- time series
+
+
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch form of the
+    streaming operator)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+       COUNT(*) AS n_events, {_sql_dsum('value', 'sum_value')}
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap, gaps-and-islands via
+    lag + cumulative flag. Exact µs arithmetic on both sides."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = (
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    )
+    return (
+        e.withColumn("new_s", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_s").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+# ------------------------------------------- reference ETL parity ops
+
+
+def flatten_restructure(spark, sf_dir):
+    """Reference flatten (B1-B4) exercised through the t2 gate: nest
+    customer into structs+arrays, flatten back to camelCase columns."""
+    c = _t(spark, sf_dir, "customer")
+    nested = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(F.col("c_acctbal").alias("bal")).alias("account"),
+        ).alias("info"),
+        F.array(F.col("c_mktsegment")).alias("segments"),
+    )
+    return flatten(nested)
+
+
+FLATTEN_SQL = """
+SELECT c_custkey, c_name AS infoName, c_acctbal AS infoAccountBal,
+       c_mktsegment AS segments
+FROM customer
+"""
+
+
+def partition_specs_orders(spark, sf_dir):
+    """Reference H5 (:186-197): distinct hive partition-spec strings,
+    computed distributed."""
+    o = _t(spark, sf_dir, "orders")
+    spec = F.concat_ws(
+        "/",
+        F.concat_ws("=", F.lit("year"), F.year("o_orderdate").cast("string")),
+        F.concat_ws("=", F.lit("month"), F.month("o_orderdate").cast("string")),
+    )
+    return o.select(spec.alias("spec")).distinct()
+
+
+PARTITION_SPECS_SQL = """
+SELECT DISTINCT 'year=' || CAST(YEAR(o_orderdate) AS VARCHAR)
+       || '/month=' || CAST(MONTH(o_orderdate) AS VARCHAR) AS spec
+FROM orders
+"""
+
+
+# ------------------------------------------------------- dedup family
+
+_SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_SHINGLES = f"""
+CASE WHEN len({_SQL_TOKENS}) >= 3 THEN
+  list_distinct([array_to_string(({_SQL_TOKENS})[i:i+2], ' ')
+                 for i in range(1, len({_SQL_TOKENS}) - 1)])
+ELSE [array_to_string({_SQL_TOKENS}, ' ')] END
+"""
+
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_copies")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_ngram_pairs(spark, sf_dir):
+    """Exact all-pairs 3-gram Jaccard ≥ 0.5 (the oracle path)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(d, n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+"""
+
+
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH candidates, exact-verified at the same threshold —
+    with 32 bands × 2 rows recall at j≥0.5 is 1-(1-0.25)^32 ≈ 0.9999,
+    so output matches the exact oracle."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.minhash_lsh_dedup(d, n=3, num_hashes=64, bands=32, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hash-algorithm-specific → rows-only
+    check, no SQL oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_dedup(d, max_hamming=3)
+
+
+# ------------------------------------------------------- text family
+
+
+def text_quality_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.quality_features(d)
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars,
+       CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens,
+       ROUND(CAST(LENGTH(text) AS DOUBLE) / len({_SQL_TOKENS}), 6)
+         AS avg_token_len,
+       ROUND(CAST(len(list_distinct({_SQL_TOKENS})) AS DOUBLE)
+             / len({_SQL_TOKENS}), 6) AS distinct_token_ratio,
+       ROUND(CAST(LENGTH(text)
+             - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 6) AS punct_ratio,
+       ROUND(CAST(LENGTH(text)
+             - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 6) AS alpha_ratio,
+       ROUND(CAST(len(list_filter({_SQL_TOKENS},
+             t -> list_contains(['the','of','and','to','in','is','that','it',
+                                 'for','was'], t))) AS DOUBLE)
+             / len({_SQL_TOKENS}), 6) AS en_stopword_ratio
+FROM documents
+"""
+
+
+def text_langid_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = X.language_id(d)
+    return out.select("doc_id", "lang", "pred_lang", "hits_en", "hits_es")
+
+
+_SQL_HITS = {
+    lang: (
+        f"CAST(len(list_filter({_SQL_TOKENS}, t -> list_contains("
+        + "["
+        + ", ".join(f"'{w}'" for w in words)
+        + "], t))) AS INT)"
+    )
+    for lang, words in X.STOPWORDS.items()
+}
+
+TEXT_LANGID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         {_SQL_HITS['en']} AS hits_en, {_SQL_HITS['es']} AS hits_es,
+         {_SQL_HITS['fr']} AS hits_fr, {_SQL_HITS['de']} AS hits_de
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN hits_en = 0 AND hits_es = 0 AND hits_fr = 0 AND hits_de = 0
+           THEN 'und'
+         WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de
+           THEN 'en'
+         WHEN hits_es >= hits_fr AND hits_es >= hits_de THEN 'es'
+         WHEN hits_fr >= hits_de THEN 'fr'
+         ELSE 'de'
+       END AS pred_lang,
+       hits_en, hits_es
+FROM h
+"""
+
+
+def text_fingerprint_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.fingerprint(d)
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKENS})), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+def text_token_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.token_frequencies(d, min_count=5)
+
+
+TOKEN_FREQ_SQL = f"""
+SELECT token, COUNT(*) AS n FROM (
+  SELECT UNNEST({_SQL_TOKENS}) AS token FROM documents
+) GROUP BY token HAVING COUNT(*) >= 5
+"""
+
+
+# -------------------------------------------------- similarity family
+
+
+def sim_topk_bruteforce(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e, query_ids=list(range(10)), k=5)
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         list_dot_product(q.q_vec, CAST(e.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])))) AS cosine
+  FROM q, embeddings e WHERE e.vec_id != q.q_id
+)
+SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id)
+           AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def sim_topk_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (approximate → rows-only check; recall is
+    measured against sim_topk_bruteforce in tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, query_ids=list(range(10)), k=5, n_planes=8)
+
+
+def sim_neardup_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    out = S.cosine_near_dup_pairs(e, threshold=0.4, exact=True)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+SIM_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(list_dot_product(a.vec, b.vec)
+             / (sqrt(list_dot_product(a.vec, a.vec))
+                * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+FROM v a JOIN v b ON a.id < b.id
+WHERE list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec))
+         * sqrt(list_dot_product(b.vec, b.vec))) >= 0.4
+"""
+
+
+def embed_label_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_stats(e)
+
+
+EMBED_STATS_SQL = """
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(MIN(len(embedding)) AS INT) AS min_dim,
+       CAST(MAX(len(embedding)) AS INT) AS max_dim,
+       ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6)
+         AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ----------------------------------------------------- driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the Q1-shape pricing summary."""
+    return q1_pricing_summary(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "join_anti_customers": join_anti_customers,
+        "join_semi_suppliers": join_semi_suppliers,
+        "join_outer_order_counts": join_outer_order_counts,
+        "agg_distinct_per_flag": agg_distinct_per_flag,
+        "rollup_orders": rollup_orders,
+        "cube_lineitem": cube_lineitem,
+        "conditional_agg_priorities": conditional_agg_priorities,
+        "window_rank_customers": window_rank_customers,
+        "window_running_spend": window_running_spend,
+        "topk_orders": topk_orders,
+        "setops_customers": setops_customers,
+        "string_funcs_parts": string_funcs_parts,
+        "date_funcs_orders": date_funcs_orders,
+        "json_extract_events": json_extract_events,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionize": events_sessionize,
+        "flatten_restructure": flatten_restructure,
+        "partition_specs_orders": partition_specs_orders,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "text_quality_docs": text_quality_docs,
+        "text_langid_docs": text_langid_docs,
+        "text_fingerprint_docs": text_fingerprint_docs,
+        "text_token_freq": text_token_freq,
+        "sim_topk_bruteforce": sim_topk_bruteforce,
+        "sim_topk_lsh": sim_topk_lsh,
+        "sim_neardup_exact": sim_neardup_exact,
+        "embed_label_stats": embed_label_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_shipping_priority": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "join_anti_customers": JOIN_ANTI_SQL,
+        "join_semi_suppliers": JOIN_SEMI_SQL,
+        "join_outer_order_counts": JOIN_OUTER_SQL,
+        "agg_distinct_per_flag": AGG_DISTINCT_SQL,
+        "rollup_orders": ROLLUP_SQL,
+        "cube_lineitem": CUBE_SQL,
+        "conditional_agg_priorities": COND_AGG_SQL,
+        "window_rank_customers": WINDOW_RANK_SQL,
+        "window_running_spend": WINDOW_RUNNING_SQL,
+        "topk_orders": TOPK_SQL,
+        "setops_customers": SETOPS_SQL,
+        "string_funcs_parts": STRING_SQL,
+        "date_funcs_orders": DATE_SQL,
+        "json_extract_events": JSON_SQL,
+        "events_tumbling_window": TUMBLING_SQL,
+        "events_sessionize": SESSIONIZE_SQL,
+        "flatten_restructure": FLATTEN_SQL,
+        "partition_specs_orders": PARTITION_SPECS_SQL,
+        "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
+        "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
+        "text_quality_docs": TEXT_QUALITY_SQL,
+        "text_langid_docs": TEXT_LANGID_SQL,
+        "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,
+        "text_token_freq": TOKEN_FREQ_SQL,
+        "sim_topk_bruteforce": SIM_TOPK_SQL,
+        "sim_neardup_exact": SIM_NEARDUP_SQL,
+        "embed_label_stats": EMBED_STATS_SQL,
+        # rows-only (algorithm-specific, not SQL-expressible):
+        #   dedup_simhash_pairs, sim_topk_lsh
+    }

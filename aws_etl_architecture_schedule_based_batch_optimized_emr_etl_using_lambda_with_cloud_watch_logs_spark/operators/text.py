@@ -1,0 +1,121 @@
+"""Text-analysis operators (SURVEY §2.M4): token counting, quality
+scoring, language ID, document fingerprinting.
+
+Design rule: every score is a deterministic closed-form column
+expression (``split`` / ``filter`` / ``size`` / ``md5`` …) so (a) it
+runs JVM-side with codegen at any scale and (b) an independent SQL
+engine (the DuckDB oracle) can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Tiny deterministic stopword inventories for the n-gram/stopword
+# language heuristic. Public knowledge (most-frequent function words).
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "en", "un", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "que", "une", "pour", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+}
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def _lit_array(words: list[str]) -> Column:
+    return F.array(*[F.lit(w) for w in words])
+
+
+def stopword_hits_col(tokens: Column, lang: str) -> Column:
+    """Number of tokens (with multiplicity) that are stopwords of
+    ``lang``."""
+    return F.size(
+        F.filter(tokens, lambda t: F.array_contains(_lit_array(STOPWORDS[lang]), t))
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", langs: list[str] | None = None
+) -> DataFrame:
+    """Heuristic language ID: the language whose stopword inventory
+    hits the most tokens wins; ties break in ``langs`` order;
+    zero hits → 'und'. Adds ``pred_lang`` and per-language hit
+    counts."""
+    langs = langs or list(STOPWORDS)
+    toks = tokens_col(text_col)
+    df = df.withColumn("_toks", toks)
+    for lang in langs:
+        df = df.withColumn(f"hits_{lang}", stopword_hits_col(F.col("_toks"), lang))
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    # Iterate in priority order; strict > keeps earlier-lang ties.
+    for lang in langs:
+        hits = F.col(f"hits_{lang}")
+        take = hits > best_hits
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return df.withColumn("pred_lang", best).drop("_toks")
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation and
+    stopword ratios, alpha ratio. All closed-form expressions."""
+    text = F.col(text_col)
+    toks = tokens_col(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(
+            F.size(F.array_distinct(toks)) / n_tokens, 6
+        ).alias("distinct_token_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) / n_chars, 6
+        ).alias("punct_ratio"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"[a-zA-Z]", ""))) / n_chars, 6
+        ).alias("alpha_ratio"),
+        F.round(
+            stopword_hits_col(toks, "en") / n_tokens, 6
+        ).alias("en_stopword_ratio"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the sorted distinct
+    token set (classic "fingerprint clustering" for dedup — robust to
+    token order and repetition). Reproducible in any engine with
+    md5."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+    )
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus token frequency table: explode → hash-aggregate (the
+    canonical map-side-combined word count)."""
+    return (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

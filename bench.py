@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Per-query timing excludes session startup; each query is forced with
+a count-style action (``collect`` on small results) so the full plan
+executes. O(n²) oracle-path queries (all-pairs ngram/cosine) are
+excluded — their scalable LSH counterparts are benched instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+    get_spark,
+)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "join_outer_order_counts",
+    "agg_distinct_per_flag",
+    "rollup_orders",
+    "window_rank_customers",
+    "window_running_spend",
+    "topk_orders",
+    "json_extract_events",
+    "events_tumbling_window",
+    "events_sessionize",
+    "flatten_restructure",
+    "dedup_exact_docs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "text_quality_docs",
+    "text_langid_docs",
+    "text_fingerprint_docs",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "embed_label_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+
+    queries = entry.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        df = fn(spark, sf_dir)  # build plan (untimed analysis is negligible)
+        start = time.perf_counter()
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

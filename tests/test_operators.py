@@ -1,0 +1,178 @@
+"""Unit tests for the M-extension operators (dedup, similarity, text,
+multimodal) on small hand-built frames plus the sf0.001 fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    dedup as D,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    multimodal as M,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    similarity as S,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    text as X,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different text about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "el gato y el perro en la casa de la abuela"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, ["text"], "doc_id").orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["n_copies"]) for r in out] == [
+        (1, 2), (2, 1), (3, 1), (5, 1),
+    ]
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 4) in got  # exact dup → jaccard 1.0
+    assert (1, 2) in got and (2, 4) in got  # near dups
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_minhash_matches_exact_jaccard(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup(
+            docs, n=3, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact  # banding recall ≈1 at this threshold
+
+
+def test_minhash_recall_on_fixtures(spark):
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup(
+            docs, n=3, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
+def test_simhash_dedup(spark, docs):
+    # measured: hamming(1,2)=4 (one token of nine differs → ~4 low-
+    # margin bits flip), unrelated pairs are >30 — radius 4 separates
+    pairs = D.simhash_dedup(docs, max_hamming=4).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 4)] == 0  # identical text → identical simhash
+    assert got[(1, 2)] == 4  # near dup within radius
+    assert not any(3 in p or 5 in p for p in got)  # unrelated excluded
+
+
+def test_simhash_plan_has_no_udf(spark, docs):
+    plan = D.simhash_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_brute_force_topk_is_exact(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    out = S.brute_force_topk(emb, query_ids=[0, 1], k=3).collect()
+    assert len(out) == 6
+    ranks = {(r["q_id"], r["rank"]): r["n_id"] for r in out}
+    # rank sequence complete per query
+    assert all((q, r) in ranks for q in (0, 1) for r in (1, 2, 3))
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.brute_force_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.lsh_topk(emb, query_ids=qids, k=5, n_planes=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in X.language_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "en"
+    assert out[5] == "es"
+
+
+def test_quality_features_ranges(spark, docs):
+    rows = X.quality_features(docs).collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["distinct_token_ratio"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_fingerprint_clusters_dups(spark, docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in X.fingerprint(docs).collect()}
+    assert fp[1] == fp[4]  # exact dup
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_extract_features(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x89PNG fake bytes"), {"src": "cam0"}),
+            (2, "audio", bytearray(b"RIFF fake"), {}),
+            (3, "image", None, None),
+        ],
+        M.ASSET_SCHEMA,
+    )
+    out = M.extract_features(assets, feat_dim=8).orderBy("asset_id").collect()
+    assert len(out) == 3
+    assert out[0]["n_bytes"] == 15 and len(out[0]["features"]) == 8
+    # determinism: same bytes → same sha/features
+    again = M.extract_features(assets, feat_dim=8).orderBy("asset_id").collect()
+    assert out[0]["content_sha"] == again[0]["content_sha"]
+    assert out[2]["n_bytes"] == 0  # null content handled
+
+
+def test_multimodal_raise_stub(spark):
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"), None)], M.ASSET_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.extract_features(assets, decode_stub="raise").collect()
+
+
+def test_frame_sample_plan(spark):
+    assets = spark.createDataFrame(
+        [(1, "video", bytearray(b"v" * 100), None), (2, "image", bytearray(b"i"), None)],
+        M.ASSET_SCHEMA,
+    )
+    out = M.frame_sample_plan(assets, every_n=10, max_frames=4).collect()
+    ids = {r["asset_id"] for r in out}
+    assert ids == {1}  # images filtered out
+    assert len(out) == 4
+    assert [r["frame_offset"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [
+        0, 10, 20, 30,
+    ]

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Wide aggregates (64-hash minhash signatures, 64-bit simhash
+        # votes) exceed the default codegen field limit (100), which
+        # silently drops whole-stage codegen and runs interpreted —
+        # measured 11x slower. Raise the cap so wide-but-flat plans
+        # stay compiled.
+        .config("spark.sql.codegen.maxFields", "2000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -754,6 +754,212 @@ SELECT token, COUNT(*) AS n FROM (
 """
 
 
+# --------------------------------------- scalar + aggregate extensions
+
+
+def math_funcs_lineitem(spark, sf_dir):
+    """Math scalar family over a pushed-down filter."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select(
+        "l_orderkey",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.ln("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.ceil("l_tax").cast("long").alias("tax_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias("price_k"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+MATH_SQL = """
+SELECT l_orderkey,
+       ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
+       ROUND(LN(l_extendedprice), 6) AS price_ln,
+       ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+       ROUND(POW(l_discount, 2), 6) AS disc_sq,
+       ABS(l_quantity - 25) AS qty_dev,
+       CAST(CEIL(l_tax) AS BIGINT) AS tax_ceil,
+       CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+       l_orderkey % 7 AS key_mod7
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+def cond_exprs_customers(spark, sf_dir):
+    """Conditional scalar family: case/coalesce/nullif/greatest/least."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("DEFAULT")).alias(
+            "segment_nb"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_cap1k"),
+    )
+
+
+COND_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 5000 THEN 'standard'
+            ELSE 'premium' END AS tier,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS segment_nb,
+       GREATEST(c_acctbal, 0.0) AS bal_floor0,
+       LEAST(c_acctbal, 1000.0) AS bal_cap1k
+FROM customer
+"""
+
+
+def percentile_orders(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    = SQL-standard continuous quantile)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def stats_agg_lineitem(spark, sf_dir):
+    """Statistical aggregates (rounded — both engines use stable
+    merge formulas; low-magnitude columns keep rounding safe)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.avg("l_tax"), 6).alias("avg_tax"),
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_std,
+       ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(AVG(l_tax), 6) AS avg_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def scalar_subquery_small_orders(spark, sf_dir):
+    """TPC-H Q17 shape: per-part average-quantity threshold
+    (correlated scalar subquery) → broadcast threshold join."""
+    l = _t(spark, sf_dir, "lineitem")
+    thresholds = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("qty_threshold")
+    )
+    small = l.join(F.broadcast(thresholds), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
+    return small.agg(
+        _dsum("l_extendedprice", "total_small_revenue"),
+        F.count("*").alias("n_small"),
+    )
+
+
+SCALAR_SUBQ_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice', 'total_small_revenue')},
+       COUNT(*) AS n_small
+FROM lineitem
+WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def array_agg_nations(spark, sf_dir):
+    """Array aggregation: sorted distinct collect per group."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT r_name, LIST_SORT(LIST(DISTINCT n_name)) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def sql_grouping_sets(spark, sf_dir):
+    """The ``spark.sql`` surface (the reference's Athena stand-in,
+    SURVEY §3.2) with GROUPING SETS."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# ---------------------------------------------------- multimodal family
+
+
+def multimodal_features_docs(spark, sf_dir):
+    """Multimodal plumbing on real fixtures: documents as binary
+    assets → Arrow-batched feature extraction (M.extract_features);
+    the byte-count and sha256 are engine-independently checkable."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        multimodal as M,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map(F.lit("src"), F.col("source")).alias("meta"),
+    )
+    return M.extract_features(assets, feat_dim=8).select(
+        "asset_id", "n_bytes", "content_sha"
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS asset_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       SHA256(text) AS content_sha
+FROM documents
+"""
+
+
 # -------------------------------------------------- similarity family
 
 
@@ -857,6 +1063,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
+        "math_funcs_lineitem": math_funcs_lineitem,
+        "cond_exprs_customers": cond_exprs_customers,
+        "percentile_orders": percentile_orders,
+        "stats_agg_lineitem": stats_agg_lineitem,
+        "scalar_subquery_small_orders": scalar_subquery_small_orders,
+        "array_agg_nations": array_agg_nations,
+        "sql_grouping_sets": sql_grouping_sets,
+        "multimodal_features_docs": multimodal_features_docs,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -896,6 +1110,14 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SESSIONIZE_SQL,
         "flatten_restructure": FLATTEN_SQL,
         "partition_specs_orders": PARTITION_SPECS_SQL,
+        "math_funcs_lineitem": MATH_SQL,
+        "cond_exprs_customers": COND_SQL,
+        "percentile_orders": PERCENTILE_SQL,
+        "stats_agg_lineitem": STATS_SQL,
+        "scalar_subquery_small_orders": SCALAR_SUBQ_SQL,
+        "array_agg_nations": ARRAY_AGG_SQL,
+        "sql_grouping_sets": GROUPING_SETS_SQL,
+        "multimodal_features_docs": MULTIMODAL_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path

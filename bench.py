@@ -37,6 +37,12 @@ HEADLINE = [
     "events_tumbling_window",
     "events_sessionize",
     "flatten_restructure",
+    "math_funcs_lineitem",
+    "percentile_orders",
+    "stats_agg_lineitem",
+    "scalar_subquery_small_orders",
+    "sql_grouping_sets",
+    "multimodal_features_docs",
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

@@ -1,0 +1,123 @@
+"""Structured-Streaming ingest tests (SURVEY §2.K consequence: the
+reference is batch-only; the stream form must reproduce its
+flatten → partitioned-parquet → archive semantics idiomatically)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+    run_available_now,
+    stream_ingest,
+    windowed_event_counts,
+)
+
+RECORDS = [
+    {
+        "customerid": "c1",
+        "vehicle": "v1",
+        "category": "cat1",
+        "tts": 1704103200,
+        "location": {"lat": 1.0, "lon": 2.0},
+        "tags": ["a", "b"],
+    },
+    {
+        "customerid": "c2",
+        "vehicle": "v1",
+        "category": "cat1",
+        "tts": 1704189600,
+        "location": {"lat": 3.0, "lon": 4.0},
+        "tags": ["c"],
+    },
+]
+
+
+def _write_json(path, records):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for r in records:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_stream_ingest_available_now_with_archive(spark, tmp_path):
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    arc = str(tmp_path / "arc")
+    _write_json(os.path.join(src, "b1.json"), RECORDS)
+
+    # Streams need an explicit schema: infer once from the batch
+    # reader (the production path would pin this).
+    schema = spark.read.json(src).schema
+
+    query = stream_ingest(
+        spark,
+        source_path=src,
+        sink_path=sink,
+        checkpoint_path=chk,
+        schema=schema,
+        archive_path=arc,
+    )
+    run_available_now(query)
+
+    out = spark.read.parquet(sink)
+    # 2 records: rec1 × 2 tags + rec2 × 1 tag = 3 rows
+    assert out.count() == 3
+    assert {"locationLat", "locationLon", "tags", "row_insert_date"} <= set(
+        out.columns
+    )
+    # partitioned layout written by the stream
+    assert os.path.isdir(
+        os.path.join(sink, "customerid=c1", "vehicle=v1", "category=cat1")
+    )
+
+    # second AvailableNow run with a new file: checkpoint means only
+    # the new file is processed (exactly-once ledger)
+    _write_json(
+        os.path.join(src, "b2.json"),
+        [dict(RECORDS[1], customerid="c3", tags=["d"])],
+    )
+    query2 = stream_ingest(
+        spark,
+        source_path=src,
+        sink_path=sink,
+        checkpoint_path=chk,
+        schema=schema,
+        archive_path=arc,
+    )
+    run_available_now(query2)
+    assert spark.read.parquet(sink).count() == 4
+
+
+def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "events")
+    events = [
+        {"ts": "2024-01-01T10:01:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:04:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T10:12:00", "event_type": "view", "value": 3.0},
+    ]
+    _write_json(os.path.join(src, "e1.json"), events)
+    schema = "ts timestamp, event_type string, value double"
+
+    batch_df = spark.read.schema(schema).json(src)
+    expected = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch_df).collect()
+    }
+
+    stream_df = spark.readStream.schema(schema).json(src)
+    q = (
+        windowed_event_counts(stream_df)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    assert got == expected and len(got) == 2

@@ -742,6 +742,24 @@ FROM documents
 """
 
 
+def text_bpe_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return X.bpe_token_stats(d)
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       CAST(len({_SQL_TOKENS}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+')) AS INT) AS n_alpha_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS INT) AS n_num_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[^a-zA-Z0-9\\s]+')) AS INT) AS n_other_tokens,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+'))
+            + len(regexp_extract_all(text, ' ?[0-9]+'))
+            + len(regexp_extract_all(text, ' ?[^a-zA-Z0-9\\s]+')) AS INT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def text_token_freq(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return X.token_frequencies(d, min_count=5)
@@ -1078,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_docs": text_quality_docs,
         "text_langid_docs": text_langid_docs,
         "text_fingerprint_docs": text_fingerprint_docs,
+        "text_bpe_token_stats": text_bpe_token_stats,
         "text_token_freq": text_token_freq,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
@@ -1124,6 +1143,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_docs": TEXT_QUALITY_SQL,
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,
+        "text_bpe_token_stats": BPE_TOKEN_SQL,
         "text_token_freq": TOKEN_FREQ_SQL,
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,

@@ -108,6 +108,38 @@ def fingerprint(
     )
 
 
+# Disjoint GPT-2-style token classes (no lookarounds, so the same
+# pattern behaves identically under Java regex and RE2):
+BPE_CLASS_PATTERNS = {
+    "alpha": r" ?[a-zA-Z]+",
+    "num": r" ?[0-9]+",
+    "other": r" ?[^a-zA-Z0-9\s]+",
+}
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex classes: per doc the
+    whitespace token count plus per-class subword-style counts (letter
+    runs, digit runs, punctuation runs — the disjoint core of the
+    GPT-2 pre-tokenizer). Closed-form ``regexp_extract_all`` counts,
+    reproducible in any RE2/PCRE engine."""
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat in BPE_CLASS_PATTERNS.items()
+    }
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_col(text_col)).alias("n_ws_tokens"),
+        counts["alpha"].alias("n_alpha_tokens"),
+        counts["num"].alias("n_num_tokens"),
+        counts["other"].alias("n_other_tokens"),
+        (counts["alpha"] + counts["num"] + counts["other"]).alias("n_bpe_tokens"),
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -61,6 +61,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
 
     queries = entry.queries()
+
+    # Warm the session once (codegen caches, file index, Python
+    # workers) so per-query numbers reflect steady state, not
+    # first-query JVM warmup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    queries["q1_pricing_summary"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -1013,6 +1013,13 @@ def sim_topk_lsh(spark, sf_dir):
     return S.lsh_topk(e, query_ids=list(range(10)), k=5, n_planes=8)
 
 
+def sim_topk_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (approximate -> rows-only check; recall is
+    measured against sim_topk_bruteforce in tests)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, query_ids=list(range(10)), k=5)
+
+
 def sim_neardup_exact(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     out = S.cosine_near_dup_pairs(e, threshold=0.4, exact=True)
@@ -1100,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_freq": text_token_freq,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
     }
@@ -1149,5 +1157,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup_exact": SIM_NEARDUP_SQL,
         "embed_label_stats": EMBED_STATS_SQL,
         # rows-only (algorithm-specific, not SQL-expressible):
-        #   dedup_simhash_pairs, sim_topk_lsh
+        #   dedup_simhash_pairs, sim_topk_lsh, sim_topk_ivf
     }

@@ -113,6 +113,45 @@ def ngram_jaccard_pairs(
     )
 
 
+# --------------------------------------------------- candidate pairing
+
+
+def bucket_pairs(
+    banded: DataFrame, bucket_cols: list[str], id_col: str
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing any bucket.
+
+    ONE scan + one shuffle: group by bucket key, sort the member-id
+    array, expand in-bucket combinations with array lambdas. The
+    naive alternative — a banded-self-join — scans and recomputes the
+    upstream (signature) stage twice and shuffles both sides.
+
+    Bucket keys are uniform hashes, so member arrays are tiny; a
+    pathological corpus (millions of identical docs → one giant
+    bucket → O(m²) pairs in one task) should be salted or capped by
+    the caller before pairing.
+    """
+    members = (
+        banded.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        members.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # --------------------------------------------------------- minhash LSH
 
 
@@ -241,21 +280,7 @@ def minhash_lsh_dedup(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands,
     )
-
-    a, b_ = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    candidates = bucket_pairs(banded, ["band", "band_hash"], id_col)
 
     # Exact verify only on candidates: fetch each side's shingle set.
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -363,7 +388,14 @@ def simhash_dedup(
     Pigeonhole blocking: split 64 bits into ``max_hamming+1`` chunks —
     any pair within the radius agrees on ≥1 chunk, so the self-join
     runs per-chunk on chunk equality (uniform hash keys, no skew),
-    then exact Hamming (bit_count of xor) filters."""
+    then exact Hamming (bit_count of xor) filters.
+
+    Shape note: this keeps the banded SELF-JOIN (recomputing the
+    cheap one-pass signature on both sides) rather than
+    :func:`bucket_pairs`-style grouped pair expansion — measured
+    faster here, because the members would have to be (id, simhash)
+    structs and struct collect_set/array_sort/nested-transform costs
+    more than the second signature pass."""
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     sh = simhash_df(df, id_col=id_col, text_col=text_col)

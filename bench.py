@@ -3,9 +3,13 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Per-query timing excludes session startup; each query is forced with
-a count-style action (``collect`` on small results) so the full plan
-executes. O(n²) oracle-path queries (all-pairs ngram/cosine) are
-excluded — their scalable LSH counterparts are benched instead.
+a count action so the full plan executes. O(n²) oracle-path queries
+(all-pairs ngram/cosine) are excluded — their scalable LSH
+counterparts are benched instead.
+
+Each query is timed in TWO interleaved passes and the minimum is
+reported: other JVMs share this box intermittently (driver probes),
+and a contention window then inflates at most one pass of a query.
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ HEADLINE = [
     "text_fingerprint_docs",
     "sim_topk_bruteforce",
     "sim_topk_lsh",
+    "sim_topk_ivf",
     "embed_label_stats",
 ]
 
@@ -69,13 +74,18 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        df = fn(spark, sf_dir)  # build plan (untimed analysis is negligible)
-        start = time.perf_counter()
-        n = df.count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+    for pass_no in range(2):
+        for name in HEADLINE:
+            fn = queries[name]
+            df = fn(spark, sf_dir)
+            start = time.perf_counter()
+            n = df.count()
+            elapsed = round(time.perf_counter() - start, 4)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
+            print(
+                f"# pass{pass_no} {name}: {elapsed:.3f}s rows={n}",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 4)
     print(

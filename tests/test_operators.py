@@ -127,6 +127,32 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    qids = list(range(10))
+    exact = {
+        (r["q_id"], r["n_id"])
+        for r in S.brute_force_topk(emb, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["n_id"])
+        for r in S.ivf_topk(emb, query_ids=qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_bpe_token_stats(spark, docs):
+    rows = {r["doc_id"]: r for r in X.bpe_token_stats(docs).collect()}
+    # "the quick brown fox jumps over the lazy dog": 9 words, no
+    # digits or punctuation
+    assert rows[1]["n_ws_tokens"] == 9
+    assert rows[1]["n_alpha_tokens"] == 9
+    assert rows[1]["n_num_tokens"] == 0
+    assert rows[1]["n_other_tokens"] == 0
+    assert rows[1]["n_bpe_tokens"] == 9
+
+
 def test_language_id(spark, docs):
     out = {r["doc_id"]: r["pred_lang"] for r in X.language_id(docs).collect()}
     assert out[1] == "en" and out[4] == "en"

@@ -562,6 +562,41 @@ FROM flagged GROUP BY user_id
 """
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join (custom temporal operator): each click picks up the
+    most recent prior view of the same user. One shuffle on user_id
+    (union + windowed last-non-null), no range explosion."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        asof_join,
+    )
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), "value"
+    )
+    out = asof_join(
+        clicks, views, on=["user_id"], right_payload=["view_id", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_view_id").alias("prev_view_id"),
+        F.round("asof_value", 6).alias("prev_view_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT l.event_id, l.user_id, r.event_id AS prev_view_id,
+       ROUND(r.value, 6) AS prev_view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ------------------------------------------- reference ETL parity ops
 
 
@@ -1086,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": json_extract_events,
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
+        "events_asof_join": events_asof_join,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
         "math_funcs_lineitem": math_funcs_lineitem,
@@ -1135,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": JSON_SQL,
         "events_tumbling_window": TUMBLING_SQL,
         "events_sessionize": SESSIONIZE_SQL,
+        "events_asof_join": ASOF_SQL,
         "flatten_restructure": FLATTEN_SQL,
         "partition_specs_orders": PARTITION_SPECS_SQL,
         "math_funcs_lineitem": MATH_SQL,

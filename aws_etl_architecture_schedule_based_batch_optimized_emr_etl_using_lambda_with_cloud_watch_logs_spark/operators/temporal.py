@@ -1,0 +1,91 @@
+"""Temporal join operators — custom operators Spark lacks natively,
+composed from existing DataFrame ops (charter §custom-operators; no
+counterpart in the reference, whose only temporal logic is the
+partition-column derivation at ``emr_json_parquet_schema_drift_etl.py:327-331``).
+
+The as-of join uses the union + windowed last-non-null composition:
+both sides are unioned with a side tag, sorted within each key by
+(ts, side), and every left row picks up the most recent right payload
+via ``last(..., ignorenulls=True)`` over an unbounded-preceding
+window. ONE shuffle on the join key — same cost as a regular
+sort-merge join, no range-explosion, no skew beyond the key's own
+distribution. This is the standard scalable formulation (a
+broadcast-range variant only wins when one side is tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_payload: list[str] | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the payload of the most recent right
+    row with ``right.ts <= left.ts`` and equal ``on`` keys (backward
+    as-of, inclusive — DuckDB/pandas ``merge_asof`` semantics).
+
+    Left rows with no prior right row keep null payload columns.
+    Ties: at equal timestamps the right row sorts before the left
+    row, so an exactly-simultaneous right row matches; among multiple
+    right rows at the same (key, ts) the last by payload order wins
+    deterministically via the secondary sort on the payload struct.
+
+    The payload travels as ONE struct column so the windowed
+    ``last(ignorenulls)`` always takes every field from the same
+    right row (per-column fills could mix rows when a payload field
+    is genuinely null).
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(
+            right.select(payload_struct.alias("_rp")).schema["_rp"].dataType
+        ).alias("_rp"),
+    )
+    right_tagged = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        payload_struct.alias("_rp"),
+    )
+    unioned = left_tagged.unionByName(right_tagged)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side", "_rp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_side"),
+        F.last("_rp", ignorenulls=True).over(w).alias("_rp_filled"),
+    )
+    return (
+        filled.filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col("_rp_filled").getField(c).alias(f"{prefix}{c}")
+                for c in right_payload
+            ],
+        )
+    )

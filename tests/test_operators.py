@@ -174,6 +174,70 @@ def test_fingerprint_clusters_dups(spark, docs):
     assert fp[1] != fp[3]
 
 
+def test_asof_join_backward_inclusive(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 20), (3, "u2", 5), (4, "u3", 9)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100.0), ("u1", 15, 150.0), ("u2", 6, 60.0)],
+        "user_id string, ts long, value double",
+    )
+    out = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[1] == 100.0  # inclusive: right at ts=10 matches left ts=10
+    assert out[2] == 150.0  # most recent prior (15), not first (10)
+    assert out[3] is None  # right exists but only later (6 > 5)
+    assert out[4] is None  # no right rows for the key
+
+
+def test_salted_join_and_two_phase_agg_match_unsalted(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.skew import (
+        salted_join,
+        two_phase_agg,
+    )
+    from pyspark.sql import functions as FF
+
+    # 90% of rows share one hot key.
+    left = spark.createDataFrame(
+        [(i, "hot" if i % 10 else f"k{i}", float(i)) for i in range(1000)],
+        "id long, k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3)], "k string, r long"
+    )
+
+    plain = {
+        (r["id"], r["r"])
+        for r in left.join(right, "k").select("id", "r").collect()
+    }
+    salted = {
+        (r["id"], r["r"])
+        for r in salted_join(left, right, on=["k"]).select("id", "r").collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+    expected = {
+        (r["k"], r["n"], r["total"])
+        for r in left.groupBy("k")
+        .agg(FF.count("*").alias("n"), FF.sum("v").alias("total"))
+        .collect()
+    }
+    got = {
+        (r["k"], r["n"], r["total"])
+        for r in two_phase_agg(
+            left, ["k"], {"n": ("v", "count"), "total": ("v", "sum")}
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_multimodal_extract_features(spark):
     assets = spark.createDataFrame(
         [

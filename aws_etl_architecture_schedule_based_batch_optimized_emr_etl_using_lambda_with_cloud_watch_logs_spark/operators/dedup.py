@@ -176,6 +176,30 @@ def _hash64(s: str) -> int:
     return int.from_bytes(blake2b(s.encode(), digest_size=8).digest(), "little")
 
 
+def jaccard_texts_pudf(n: int):
+    """Arrow-batched exact n-gram Jaccard over raw text pairs.
+
+    Used for candidate verification instead of
+    ``jaccard_col(shingles_col(...), ...)``: Catalyst collapses the
+    shingle higher-order expression through joins, so the column form
+    re-derives the whole shingle construction (including a re-split
+    per array element) for EVERY jaccard subterm of every pair —
+    measured 60-500 s on 3.4k candidates where this kernel takes
+    milliseconds. A Python UDF is a hard materialization boundary.
+    """
+
+    @F.pandas_udf("double")
+    def _jacc(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for ta, tb in zip(a, b):
+            sa, sb = _python_shingles(ta, n), _python_shingles(tb, n)
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 0.0)
+        return pd.Series(out)
+
+    return _jacc
+
+
 def _mix_constants(num_hashes: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
     """Fixed multiply-shift constants: h_i(x) = A_i*x + B_i mod 2^64,
     A_i odd — a universal-style family over one 64-bit base hash."""
@@ -189,6 +213,18 @@ _BANDS_SCHEMA_FIELDS = [
     StructField("band", IntegerType(), False),
     StructField("band_hash", LongType(), False),
 ]
+
+
+def _parallelize_narrow(df: DataFrame) -> DataFrame:
+    """Ensure a narrow per-row stage can use the cluster: single-file
+    inputs arrive as 1 partition, serializing the Arrow kernel onto
+    one core. Repartition only when clearly under-parallel — at real
+    scale inputs already have enough partitions and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def minhash_bands(
@@ -246,7 +282,9 @@ def minhash_bands(
                     }
                 )
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return _parallelize_narrow(df.select(id_col, text_col)).mapInPandas(
+        gen, schema
+    )
 
 
 def minhash_lsh_dedup(
@@ -272,27 +310,22 @@ def minhash_lsh_dedup(
     blowup is confined to near-identical buckets (salt or cap giant
     buckets if a pathological corpus demands it).
     """
-    sh = df.select(
-        F.col(id_col),
-        shingles_col(tokens_col(text_col), n).alias("shingles"),
-    )
     banded = minhash_bands(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands,
     )
     candidates = bucket_pairs(banded, ["band", "band_hash"], id_col)
 
-    # Exact verify only on candidates: fetch each side's shingle set.
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    # Exact verify only on candidates: join the raw texts back and
+    # shingle in an Arrow batch (see jaccard_texts_pudf for why not
+    # the column-expression form).
+    t_a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    t_b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    jacc = jaccard_texts_pudf(n)
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
-        )
+        candidates.join(t_a, "id_a")
+        .join(t_b, "id_b")
+        .select("id_a", "id_b", jacc(F.col("_ta"), F.col("_tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -374,7 +407,9 @@ def simhash_df(
             if out_ids:
                 yield pd.DataFrame({id_col: out_ids, "simhash": out_hashes})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return _parallelize_narrow(df.select(id_col, text_col)).mapInPandas(
+        gen, schema
+    )
 
 
 def simhash_dedup(

@@ -370,8 +370,12 @@ def ivf_topk(
         order = np.argsort(-(centroids @ q_unit))[: min(n_probe, len(centroids))]
         for c in order:
             probe_rows.append((int(row[0]), list(map(float, row[1])), int(c)))
+    # pandas → Arrow conversion stays JVM-side; a plain python list
+    # would take the pickle-RDD path with defaultParallelism slices,
+    # spawning a python worker per slice for 60 rows.
     queries = spark.createDataFrame(
-        probe_rows, f"q_id long, q_vec array<double>, cell long"
+        pd.DataFrame(probe_rows, columns=["q_id", "q_vec", "cell"]),
+        "q_id long, q_vec array<double>, cell long",
     )
 
     scored = (

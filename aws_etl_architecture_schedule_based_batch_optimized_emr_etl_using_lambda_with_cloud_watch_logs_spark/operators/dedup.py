@@ -221,8 +221,11 @@ def _parallelize_narrow(df: DataFrame) -> DataFrame:
     one core. Repartition only when clearly under-parallel — at real
     scale inputs already have enough partitions and this is a no-op.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # Cap the fan-out: each concurrent python task costs a worker
+    # process (pandas/numpy import, ~50 MB); 8 ways saturates the
+    # per-doc kernels at local scale without a worker storm.
+    target = min(8, df.sparkSession.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

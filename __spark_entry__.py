@@ -597,6 +597,43 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def events_range_join(spark, sf_dir):
+    """Range join (bucketed interval join): count views within the
+    hour before each click, per user."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        range_join,
+    )
+
+    e = _events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    joined = range_join(
+        clicks, views, on=["user_id"], left_ts="ts", right_ts="view_ts",
+        lower=-3600, upper=0,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("*").alias("n_prior_views"),
+        _dsum("view_value", "sum_view_value"),
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT l.event_id, COUNT(*) AS n_prior_views,
+       {_sql_dsum('r.value', 'sum_view_value')}
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+ AND r.ts BETWEEN l.ts - INTERVAL 3600 SECONDS AND l.ts
+GROUP BY l.event_id
+"""
+
+
 # ------------------------------------------- reference ETL parity ops
 
 
@@ -688,6 +725,34 @@ def dedup_minhash_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = D.minhash_lsh_dedup(d, n=3, num_hashes=64, bands=32, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs (rolling-hash scheme ->
+    rows-only check): docs sharing >= 8 winnowed k-gram fingerprints,
+    paired via the same grouped bucket expansion as minhash."""
+    d = _t(spark, sf_dir, "documents")
+    fps = X.winnow_fingerprints(d, k=16, window=8)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    fp_a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    fp_b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    shared = (
+        fp_a.join(fp_b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "overlap", F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("overlap") >= 0.5)
+        .select("id_a", "id_b", "n_shared", F.round("overlap", 6).alias("overlap"))
+    )
 
 
 def dedup_simhash_pairs(spark, sf_dir):
@@ -1122,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "events_sessionize": events_sessionize,
         "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
         "math_funcs_lineitem": math_funcs_lineitem,
@@ -1136,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,
         "text_langid_docs": text_langid_docs,
         "text_fingerprint_docs": text_fingerprint_docs,
@@ -1172,6 +1239,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": TUMBLING_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
+        "events_range_join": RANGE_JOIN_SQL,
         "flatten_restructure": FLATTEN_SQL,
         "partition_specs_orders": PARTITION_SPECS_SQL,
         "math_funcs_lineitem": MATH_SQL,

@@ -19,6 +19,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: float,
+    upper: float,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Interval join: all (left, right) pairs with equal ``on`` keys
+    and ``left_ts + lower <= right_ts <= left_ts + upper`` (bounds in
+    seconds, inclusive). ``left_ts`` and ``right_ts`` must be named
+    differently (rename one side before calling).
+
+    Naive formulation (equi-join on keys + range filter) degenerates:
+    every key's full history joins against itself before filtering.
+    This implementation bins time into ``upper - lower``-wide buckets
+    and equi-joins on (keys, bin), with each left row probing the two
+    bins its window can overlap — the standard bucketed interval
+    join. The shuffle key gains time locality, and per-task work is
+    bounded by events-per-bin, not events-per-key.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct names")
+    width = bin_width or max(1, int(upper - lower))
+    l_us = F.unix_micros(F.col(left_ts))
+    r_us = F.unix_micros(F.col(right_ts))
+    width_us = width * 1_000_000
+    lower_us, upper_us = int(lower * 1_000_000), int(upper * 1_000_000)
+
+    win_start = l_us + F.lit(lower_us)
+    lhs = left.withColumn(
+        "_bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (win_start / width_us).cast("long"),
+                    ((l_us + F.lit(upper_us)) / width_us).cast("long"),
+                )
+            )
+        ),
+    )
+    rhs = right.withColumn("_bin", (r_us / width_us).cast("long"))
+
+    joined = lhs.join(rhs, [*on, "_bin"]).drop("_bin")
+    jl = F.unix_micros(F.col(left_ts))
+    jr = F.unix_micros(F.col(right_ts))
+    return joined.filter(
+        (jr >= jl + F.lit(lower_us)) & (jr <= jl + F.lit(upper_us))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

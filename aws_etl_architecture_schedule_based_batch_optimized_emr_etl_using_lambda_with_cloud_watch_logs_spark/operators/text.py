@@ -140,6 +140,59 @@ def bpe_token_stats(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling hash): polynomial
+    rolling hashes over character k-grams, keeping the minimum hash
+    of each sliding window of ``window`` consecutive k-gram hashes
+    (the MOSS scheme — guarantees any match of length ≥ k+window-1
+    shares a fingerprint). Vectorized per Arrow batch; returns one
+    row per (doc, distinct fingerprint) for set-overlap joins.
+    """
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    base = np.uint64(257)
+    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+
+    def gen(batches):
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = " ".join((text or "").lower().split())
+                data = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
+                if len(data) < k:
+                    data = np.pad(data, (0, k - len(data)))
+                grams = sliding_window_view(data, k)  # (n-k+1, k)
+                hashes = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
+                if len(hashes) >= window:
+                    fps = sliding_window_view(hashes, window).min(axis=1)
+                else:
+                    fps = hashes.min(keepdims=True)
+                uniq = np.unique(fps).view(np.int64)
+                ids_out.append(np.full(len(uniq), doc_id, dtype=np.int64))
+                fps_out.append(uniq)
+            if ids_out:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids_out),
+                     "fingerprint": np.concatenate(fps_out)}
+                )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, LongType(), False),
+         StructField("fingerprint", LongType(), False)]
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

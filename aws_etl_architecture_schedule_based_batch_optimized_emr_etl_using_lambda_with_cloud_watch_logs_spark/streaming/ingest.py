@@ -76,6 +76,52 @@ def run_available_now(query: StreamingQuery, timeout_s: int = 300) -> None:
         query.stop()
 
 
+def sessionize_stateful(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+):
+    """Custom stateful streaming operator
+    (``applyInPandasWithState``): per-user session counting with an
+    inactivity gap, state = (last event epoch-µs, session count,
+    event count) carried across micro-batches. Emits one updated row
+    per user per batch (update output mode).
+
+    Batch-mode note: the same gaps-and-islands semantics in batch is
+    ``events_sessionize`` (lag + cumulative flag) — this operator is
+    the streaming form where history cannot be re-scanned.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+        for t_us in sorted(ts_list):
+            if last_us is None or t_us - last_us > gap_s * 1_000_000:
+                n_sessions += 1
+            last_us = t_us
+            n_events += 1
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_us long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -40,6 +40,8 @@ HEADLINE = [
     "json_extract_events",
     "events_tumbling_window",
     "events_sessionize",
+    "events_asof_join",
+    "events_range_join",
     "flatten_restructure",
     "math_funcs_lineitem",
     "percentile_orders",
@@ -50,6 +52,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_winnow_pairs",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

@@ -238,6 +238,50 @@ def test_salted_join_and_two_phase_agg_match_unsalted(spark):
     assert got == expected
 
 
+def test_range_join_window_bounds(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        range_join,
+    )
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "u1", t(100)), (2, "u2", t(100))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u1", t(40), "in"), ("u1", t(100), "edge"), ("u1", t(101), "late"),
+         ("u1", t(39), "early"), ("u2", t(50), "other")],
+        "k string, rts timestamp, tag string",
+    )
+    out = range_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", lower=-60, upper=0
+    )
+    got = {(r["id"], r["tag"]) for r in out.collect()}
+    # window [ts-60, ts]: includes t(40) and the t(100) edge, not
+    # t(101) (future) or t(39) (too old)
+    assert got == {(1, "in"), (1, "edge"), (2, "other")}
+
+
+def test_winnow_fingerprints_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "a completely different sentence with no shared content"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = X.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] == by_doc[2]  # identical docs → identical sets
+    assert not (by_doc[1] & by_doc[3])  # disjoint content → no overlap
+    assert len(by_doc[1]) > 3
+
+
 def test_multimodal_extract_features(spark):
     assets = spark.createDataFrame(
         [

@@ -90,6 +90,41 @@ def test_stream_ingest_available_now_with_archive(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 4
 
 
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "sess")
+    schema = "user_id long, ts timestamp"
+    # user 1: two sessions (gap > 30 min); user 2: one session
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T10:10:00"},
+            {"user_id": 1, "ts": "2024-01-01T12:00:00"},
+            {"user_id": 2, "ts": "2024-01-01T09:00:00"},
+        ],
+    )
+    stream_df = spark.readStream.schema(schema).json(src)
+    q = (
+        sessionize_stateful(stream_df)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    assert got[1] == (2, 3)
+    assert got[2] == (1, 1)
+
+
 def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     src = str(tmp_path / "events")
     events = [

@@ -634,6 +634,49 @@ GROUP BY l.event_id
 """
 
 
+def events_rollup_day(spark, sf_dir):
+    """Hypertable-style cascading rollup: day buckets aggregated FROM
+    hour buckets (one raw scan for all granularities); decimal sums
+    keep the two-stage aggregation exact."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        cascading_rollup,
+    )
+
+    e = _events(spark, sf_dir).withColumn("value", _dec("value"))
+    rollups = cascading_rollup(
+        e, "ts", ["event_type"], "value", ["1 hour", "1 day"]
+    )
+    day = rollups["1 day"]
+    return day.select(
+        "bucket_start",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
+
+
+ROLLUP_DAY_SQL = """
+SELECT time_bucket(INTERVAL '1 day', CAST(ts AS TIMESTAMP)) AS bucket_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def agg_approx_distinct(spark, sf_dir):
+    """HLL++ sketch distinct counts (approximate -> rows-only; the
+    5%-of-exact bound is pinned in tests)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
 # ------------------------------------------- reference ETL parity ops
 
 
@@ -1188,6 +1231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
+        "events_rollup_day": events_rollup_day,
+        "agg_approx_distinct": agg_approx_distinct,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
         "math_funcs_lineitem": math_funcs_lineitem,
@@ -1240,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_JOIN_SQL,
+        "events_rollup_day": ROLLUP_DAY_SQL,
         "flatten_restructure": FLATTEN_SQL,
         "partition_specs_orders": PARTITION_SPECS_SQL,
         "math_funcs_lineitem": MATH_SQL,

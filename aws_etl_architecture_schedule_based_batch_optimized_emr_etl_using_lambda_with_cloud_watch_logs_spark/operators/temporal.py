@@ -19,6 +19,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cascading_rollup(
+    events: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    value_col: str,
+    granularities: list[str],
+) -> dict[str, DataFrame]:
+    """Hypertable-style multi-granularity rollup: the finest bucket
+    aggregates from raw data; every coarser bucket aggregates FROM
+    the previous rollup, not from raw (sum/count/min/max are
+    associative). At 100 TB this is the difference between one raw
+    scan per granularity and one raw scan total — the continuous-
+    aggregate pattern. ``granularities`` must be ordered finest →
+    coarsest, each a Spark interval string evenly dividing the next.
+
+    Returns {granularity: DataFrame(bucket_start, *group_cols,
+    n_events, sum_value, min_value, max_value)}.
+    """
+    out: dict[str, DataFrame] = {}
+    current = (
+        events.groupBy(
+            F.window(ts_col, granularities[0]).alias("w"), *group_cols
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "*")
+        .drop("w")
+    )
+    out[granularities[0]] = current
+    for gran in granularities[1:]:
+        current = (
+            current.groupBy(
+                F.window("bucket_start", gran).alias("w"), *group_cols
+            )
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+            .select(F.col("w.start").alias("bucket_start"), "*")
+            .drop("w")
+        )
+        out[gran] = current
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -282,6 +282,55 @@ def test_winnow_fingerprints_overlap(spark):
     assert len(by_doc[1]) > 3
 
 
+def test_cascading_rollup_matches_direct(spark):
+    # Day buckets aggregated from hour buckets must equal day buckets
+    # aggregated directly from raw (associative aggs, exact decimals).
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        cascading_rollup,
+    )
+    import __spark_entry__ as entry
+
+    e = entry._events(spark, SF001).withColumn(
+        "value", F.col("value").cast("decimal(18,4)")
+    )
+    cascaded = cascading_rollup(e, "ts", ["event_type"], "value", ["1 hour", "1 day"])[
+        "1 day"
+    ]
+    direct = (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "*")
+        .drop("w")
+    )
+    key = lambda r: (r["bucket_start"], r["event_type"])
+    got = {key(r): (r["n_events"], r["sum_value"]) for r in cascaded.collect()}
+    want = {key(r): (r["n_events"], r["sum_value"]) for r in direct.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_approx_distinct_within_bound(spark):
+    l = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05
+
+
 def test_multimodal_extract_features(spark):
     assets = spark.createDataFrame(
         [

@@ -211,6 +211,120 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q4_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join + count per priority (late =
+    some line shipped after 60 days past order date)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l.select("l_orderkey", "l_shipdate"),
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_orders")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return j.agg(
+        F.round(
+            (F.sum(promo) * 100 / F.sum(rev)).cast("double"), 6
+        ).alias("promo_share_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) * 100
+       / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE), 6) AS promo_share_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: group-by HAVING threshold then rejoin."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round("total_qty", 4).alias("total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND(total_qty, 4) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150) big
+  ON o_orderkey = big.l_orderkey
+"""
+
+
 # ------------------------------------------------------- join family
 
 
@@ -1213,6 +1327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_late_orders": q4_late_orders,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q18_large_orders": q18_large_orders,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
         "join_outer_order_counts": join_outer_order_counts,
@@ -1267,6 +1385,10 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
         "q6_forecast_revenue": Q6_SQL,
+        "q4_late_orders": Q4_SQL,
+        "q10_returned_revenue": Q10_SQL,
+        "q14_promo_share": Q14_SQL,
+        "q18_large_orders": Q18_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,
         "join_outer_order_counts": JOIN_OUTER_SQL,

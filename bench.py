@@ -31,6 +31,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q4_late_orders",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

@@ -857,6 +857,22 @@ FROM documents GROUP BY text
 """
 
 
+def dedup_keep_first_docs(spark, sf_dir):
+    """Full-row exact dedup: keep the lowest-id row per text (window
+    row_number, one shuffle on the dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    out = D.exact_dedup_rows(d, ["text"], "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
 def dedup_ngram_pairs(spark, sf_dir):
     """Exact all-pairs 3-gram Jaccard ≥ 0.5 (the oracle path)."""
     d = _t(spark, sf_dir, "documents")
@@ -1362,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_grouping_sets": sql_grouping_sets,
         "multimodal_features_docs": multimodal_features_docs,
         "dedup_exact_docs": dedup_exact_docs,
+        "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1419,6 +1436,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_grouping_sets": GROUPING_SETS_SQL,
         "multimodal_features_docs": MULTIMODAL_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "text_quality_docs": TEXT_QUALITY_SQL,

@@ -155,10 +155,26 @@ def bucket_pairs(
 # --------------------------------------------------------- minhash LSH
 
 
+_ASCII_WS = " \t\n\r\f\v"
+_ASCII_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
+
+
 def _python_tokens(text: str | None) -> list[str]:
     """Python twin of :func:`tokens_col` (``split(lower(trim(s)),
-    '\\s+')``): used only inside Arrow batches."""
-    return (text or "").strip().lower().split()
+    '\\s+')``), used inside Arrow batches. Matching the JVM exactly
+    requires ASCII semantics: Java's ``\\s`` and SQL ``trim`` are
+    ASCII-only, while Python's default ``str.split``/``strip`` treat
+    unicode whitespace (NBSP etc.) as separators — a silent
+    signature divergence on non-ASCII corpora otherwise.
+    """
+    # SQL trim strips only ' ' — but lower+split on \s+ makes the
+    # practical difference only leading/trailing ASCII whitespace,
+    # which yields an empty first/last token in BOTH engines when
+    # not a plain space. Mirror Spark: trim spaces, then split.
+    stripped = (text or "").strip(" ").lower()
+    if stripped == "":
+        return [""]
+    return _ASCII_WS_RE.split(stripped)
 
 
 def _python_shingles(text: str | None, n: int) -> set[str]:

@@ -19,10 +19,15 @@ _SPARK = None
 
 def _spark():
     # The session-scoped fixture can't be injected into @given bodies;
-    # grab the active session created by conftest lazily.
-    from pyspark.sql import SparkSession
+    # get_spark() returns the conftest session when one exists and
+    # bootstraps an equivalent one when the module runs alone.
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+        get_spark,
+    )
 
-    return SparkSession.active()
+    return get_spark(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=4
+    )
 
 
 _field_names = st.sampled_from(["a", "b", "c", "d", "e"])
@@ -64,6 +69,36 @@ def _scalar_leaves(value):
         yield from value
     else:
         yield value
+
+
+_texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Zs"),
+        include_characters=" \t\n\xa0é",
+    ),
+    max_size=80,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(text=_texts)
+def test_python_tokenizer_twins_match_jvm(text):
+    """The Arrow-kernel tokenizer/shingler must agree byte-for-byte
+    with the JVM column expressions on arbitrary text (incl. unicode
+    whitespace, where python defaults silently diverge)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as D,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        D.tokens_col("text").alias("toks"),
+        D.shingles_col(D.tokens_col("text"), 3).alias("sh"),
+    ).collect()[0]
+    assert row["toks"] == D._python_tokens(text)
+    assert sorted(row["sh"]) == sorted(D._python_shingles(text, 3))
 
 
 @settings(max_examples=15, deadline=None)

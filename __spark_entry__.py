@@ -543,6 +543,97 @@ SELECT c_custkey FROM customer WHERE c_acctbal < 0
 """
 
 
+def unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot (melt): wide measure columns -> (measure, value) rows."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return l.select("l_orderkey", "l_quantity", "l_extendedprice", "l_tax").unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_linenumber = 1
+UNION ALL
+SELECT l_orderkey, 'l_tax', l_tax FROM lineitem WHERE l_linenumber = 1
+"""
+
+
+def setops_intersect_except(spark, sf_dir):
+    """INTERSECT and EXCEPT ALL composition."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_nationkey")
+    inter = building.intersect(rich).withColumn("src", F.lit("both"))
+    diff = building.exceptAll(rich).withColumn("src", F.lit("only_building"))
+    return inter.union(diff)
+
+
+INTERSECT_SQL = """
+SELECT c_nationkey, 'both' AS src FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+UNION ALL
+SELECT c_nationkey, 'only_building' AS src FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+def join_null_safe_segments(spark, sf_dir):
+    """Null-safe equality join (<=>): match rows where a nullable
+    derived key equals, treating NULL = NULL as true."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_mktsegment"))
+    left = c.select("c_custkey", seg.alias("seg"))
+    seg_counts = (
+        left.groupBy("seg")
+        .agg(F.count("*").alias("n_in_seg"))
+        .withColumnRenamed("seg", "seg_r")
+    )
+    return left.join(
+        seg_counts, F.col("seg").eqNullSafe(F.col("seg_r"))
+    ).select("c_custkey", "seg", "n_in_seg")
+
+
+NULL_SAFE_SQL = """
+WITH lft AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer),
+cnt AS (SELECT seg, COUNT(*) AS n_in_seg FROM lft GROUP BY seg)
+SELECT l.c_custkey, l.seg, c.n_in_seg
+FROM lft l JOIN cnt c ON l.seg IS NOT DISTINCT FROM c.seg
+"""
+
+
+def agg_minby_maxby(spark, sf_dir):
+    """min_by / max_by argument aggregates per group."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+MINBY_SQL = """
+SELECT o_orderstatus,
+       ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
+       ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+       MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # ----------------------------------------------------- scalar families
 
 
@@ -1358,6 +1449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_spend": window_running_spend,
         "topk_orders": topk_orders,
         "setops_customers": setops_customers,
+        "unpivot_lineitem_measures": unpivot_lineitem_measures,
+        "setops_intersect_except": setops_intersect_except,
+        "join_null_safe_segments": join_null_safe_segments,
+        "agg_minby_maxby": agg_minby_maxby,
         "string_funcs_parts": string_funcs_parts,
         "date_funcs_orders": date_funcs_orders,
         "json_extract_events": json_extract_events,
@@ -1417,6 +1512,10 @@ def oracle_sql() -> dict[str, str]:
         "window_running_spend": WINDOW_RUNNING_SQL,
         "topk_orders": TOPK_SQL,
         "setops_customers": SETOPS_SQL,
+        "unpivot_lineitem_measures": UNPIVOT_SQL,
+        "setops_intersect_except": INTERSECT_SQL,
+        "join_null_safe_segments": NULL_SAFE_SQL,
+        "agg_minby_maxby": MINBY_SQL,
         "string_funcs_parts": STRING_SQL,
         "date_funcs_orders": DATE_SQL,
         "json_extract_events": JSON_SQL,

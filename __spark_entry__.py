@@ -1420,6 +1420,511 @@ FROM embeddings GROUP BY label
 """
 
 
+# ------------------------------------------- TPC-H analogue widening
+# The fixtures lack partsupp / l_commitdate / l_receiptdate /
+# l_shipmode / c_phone / p_container, so Q8/Q9/Q12/Q21/Q22 below keep
+# the reference query's *operator shape* (the point of the exercise)
+# while substituting available columns; each docstring notes the swap.
+
+
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: two-nation trade volume by ship year. Five-way
+    join with two broadcast dimension roles for the same nation table,
+    disjunctive cross-pair predicate, decimal revenue sum."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_sql_dsum('volume', 'revenue')}
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: national market share within a region by order
+    year — conditional-sum ratio over a 7-way join (p_type stands in
+    for the reference's part filter)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round((F.sum(nat) / F.sum(vol)).cast("double"), 6).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                  ELSE CAST(0 AS DECIMAL(18,4)) END)
+             / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+             AS DOUBLE), 6) AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit per supplier nation per year. The
+    fixtures have no partsupp, so cost = 10% of p_retailprice per unit
+    (same expression tree: rev minus cost, LIKE filter on p_name)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    n = _t(spark, sf_dir, "nation")
+    profit = _dec(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+"""
+
+
+def q12_ship_delay(spark, sf_dir):
+    """TPC-H Q12 shape: conditional priority counts per shipping
+    class. No l_shipmode/l_receiptdate in fixtures → class = FAST/SLOW
+    by datediff(shipdate, orderdate) vs 90 days."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn("ship_class", F.when(delay > 90, "SLOW").otherwise("FAST"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ship_class
+"""
+
+
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of orders-per-customer — left
+    outer join, per-key count, then a second aggregation over the
+    counts (two shuffles, the second tiny)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: lines under 20% of the part's average quantity
+    (correlated aggregate → per-key agg + re-join), brand-filtered."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_limit")
+    )
+    j = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q, l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+    )
+    return j.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
+            "avg_yearly"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs join predicate (brand × size ×
+    quantity bands) — Catalyst pushes the common join key and keeps
+    the disjunction as a post-join filter."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 45)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(band).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 45
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone were late on a
+    multi-supplier order — self-join EXISTS + NOT EXISTS on lineitem.
+    Late = shipped >60 days after order date (no receipt/commit dates
+    in fixtures); top-20 by wait count."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    lines = l.join(
+        o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = lines.filter(F.col("late"))
+    others = lines.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = l1.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape: positive-balance customers above the average
+    with no URGENT order, grouped by a name-derived code
+    (right(c_name,2) stands in for the phone country code) — scalar
+    subquery + anti join + substring. (Plain "never ordered" is
+    vacuous on these fixtures: every customer has orders.)"""
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.expr("right(c_name, 2)")
+    )
+    codes = ["01", "11", "21", "31", "41", "51", "61"]
+    c = c.filter(F.col("cntrycode").isin(codes))
+    avg_bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(
+            (F.col("c_acctbal") > 0.0)
+            & F.expr("right(c_name, 2)").isin(codes)
+        )
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT cntrycode, COUNT(*) AS numcust,
+       {_sql_dsum('c_acctbal', 'totacctbal')}
+FROM (SELECT right(c_name, 2) AS cntrycode, c_custkey, c_acctbal
+      FROM customer
+      WHERE right(c_name, 2) IN ('01','11','21','31','41','51','61')) cust
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND right(c_name, 2) IN ('01','11','21','31','41','51','61'))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+"""
+
+
+# --------------------------------------- window / pivot / HOF widening
+
+
+def window_lag_lead(spark, sf_dir):
+    """lag/lead over a per-customer order timeline (ties broken on the
+    unique o_orderkey so both engines agree)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.round(F.lag("o_totalprice", 1).over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 4).alias("next_price"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 4
+        ).alias("price_delta"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(o_totalprice, 4) AS price,
+       ROUND(LAG(o_totalprice, 1) OVER w, 4) AS prev_price,
+       ROUND(LEAD(o_totalprice, 1) OVER w, 4) AS next_price,
+       ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 4) AS price_delta
+FROM orders
+WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot o_orderstatus into columns per priority (explicit value
+    list → no extra distinct scan; oracle is the conditional-agg
+    rewrite, which is also Spark's physical strategy)."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def hof_array_embeddings(spark, sf_dir):
+    """Higher-order array functions on array<float>: transform +
+    aggregate (L2 norm), filter + size (positive components),
+    array_max — all JVM-side, no UDF."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "vec", F.expr("transform(embedding, x -> cast(x AS double))")
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.expr("aggregate(vec, 0D, (acc, x) -> acc + x * x)")), 6
+        ).alias("l2_norm"),
+        F.expr("size(filter(vec, x -> x > 0))").cast("bigint").alias("n_positive"),
+        F.round(F.expr("array_max(vec)"), 6).alias("max_component"),
+    )
+
+
+HOF_ARRAY_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x))), 6) AS l2_norm,
+       len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+         AS n_positive,
+       ROUND(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_component
+FROM embeddings
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -1438,6 +1943,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
         "q18_large_orders": q18_large_orders,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_ship_delay": q12_ship_delay,
+        "q13_order_distribution": q13_order_distribution,
+        "q17_small_quantity": q17_small_quantity,
+        "q19_disjunctive": q19_disjunctive,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_global_sales": q22_global_sales,
+        "window_lag_lead": window_lag_lead,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "hof_array_embeddings": hof_array_embeddings,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
         "join_outer_order_counts": join_outer_order_counts,
@@ -1501,6 +2018,18 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": Q10_SQL,
         "q14_promo_share": Q14_SQL,
         "q18_large_orders": Q18_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q9_product_profit": Q9_SQL,
+        "q12_ship_delay": Q12_SQL,
+        "q13_order_distribution": Q13_SQL,
+        "q17_small_quantity": Q17_SQL,
+        "q19_disjunctive": Q19_SQL,
+        "q21_waiting_suppliers": Q21_SQL,
+        "q22_global_sales": Q22_SQL,
+        "window_lag_lead": WINDOW_LAG_SQL,
+        "pivot_status_by_priority": PIVOT_SQL,
+        "hof_array_embeddings": HOF_ARRAY_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,
         "join_outer_order_counts": JOIN_OUTER_SQL,

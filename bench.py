@@ -35,6 +35,18 @@ HEADLINE = [
     "q10_returned_revenue",
     "q14_promo_share",
     "q18_large_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_ship_delay",
+    "q13_order_distribution",
+    "q17_small_quantity",
+    "q19_disjunctive",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "window_lag_lead",
+    "pivot_status_by_priority",
+    "hof_array_embeddings",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

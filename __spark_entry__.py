@@ -120,7 +120,9 @@ FROM agg
 
 
 def q3_shipping_priority(spark, sf_dir):
-    """3-way join (broadcast customer filter) → agg → top-10."""
+    """3-way join → agg → top-10. No broadcast hint on customer: it
+    grows with SF, so AQE picks broadcast-vs-shuffle from runtime
+    stats."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -130,7 +132,7 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -154,7 +156,8 @@ LIMIT 10
 
 
 def q5_region_revenue(spark, sf_dir):
-    """5-way star join: dims broadcast, fact shuffles once."""
+    """5-way star join: constant-size dims (nation/region) broadcast
+    by hint; SF-proportional tables join via AQE-chosen strategy."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
@@ -163,7 +166,7 @@ def q5_region_revenue(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(c.c_nationkey == s.s_nationkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -272,7 +275,7 @@ def q14_promo_share(spark, sf_dir):
     """TPC-H Q14 shape: conditional-aggregate ratio over a join."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,4)"))
     return j.agg(
@@ -1242,12 +1245,13 @@ FROM lineitem GROUP BY l_returnflag
 
 def scalar_subquery_small_orders(spark, sf_dir):
     """TPC-H Q17 shape: per-part average-quantity threshold
-    (correlated scalar subquery) → broadcast threshold join."""
+    (correlated scalar subquery) re-joined to the fact; the threshold
+    side is per-partkey (grows with SF) so no broadcast hint."""
     l = _t(spark, sf_dir, "lineitem")
     thresholds = l.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.5).alias("qty_threshold")
     )
-    small = l.join(F.broadcast(thresholds), "l_partkey").filter(
+    small = l.join(thresholds, "l_partkey").filter(
         F.col("l_quantity") < F.col("qty_threshold")
     )
     return small.agg(
@@ -1441,7 +1445,7 @@ def q7_volume_shipping(spark, sf_dir):
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -1497,12 +1501,12 @@ def q8_market_share(spark, sf_dir):
     n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     vol = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     nat = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
@@ -1553,8 +1557,8 @@ def q9_product_profit(spark, sf_dir):
         - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .withColumn("o_year", F.year("o_orderdate"))
@@ -1647,7 +1651,7 @@ def q17_small_quantity(spark, sf_dir):
         (F.avg("l_quantity") * 0.2).alias("qty_limit")
     )
     j = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(avg_q, l.l_partkey == F.col("a_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_limit"))
     )
@@ -1678,7 +1682,7 @@ def q19_disjunctive(spark, sf_dir):
     the disjunction as a post-join filter."""
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1755,7 +1759,7 @@ def q21_waiting_suppliers(spark, sf_dir):
         )
     )
     return (
-        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

@@ -999,21 +999,33 @@ def dedup_winnow_pairs(spark, sf_dir):
     rows-only check): docs sharing >= 8 winnowed k-gram fingerprints,
     paired via the same grouped bucket expansion as minhash."""
     d = _t(spark, sf_dir, "documents")
-    fps = X.winnow_fingerprints(d, k=16, window=8)
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    fp_a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
-    fp_b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
-    shared = (
-        fp_a.join(fp_b, "fingerprint")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
+    # n_fp rides along with every fingerprint row so the whole pair
+    # computation references the Python (mapInPandas) stage exactly
+    # once; the old self-join + sizes formulation recomputed it 3x.
+    fps = X.winnow_fingerprints(d, k=16, window=8, with_counts=True)
+    members = (
+        fps.groupBy("fingerprint")
+        .agg(F.array_sort(F.collect_set(F.struct("doc_id", "n_fp"))).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_fp").alias("n_a"))
-    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        shared.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        members.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("id_a"),
+            F.col("p.b.doc_id").alias("id_b"),
+            F.col("p.a.n_fp").alias("n_a"),
+            F.col("p.b.n_fp").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
         .withColumn(
             "overlap", F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))
         )
@@ -1929,6 +1941,314 @@ FROM embeddings
 """
 
 
+# ------------------------------------- TPC-H widening batch 2 + utils
+
+
+def q2_min_unit_price(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a window
+    min (no partsupp in fixtures → unit price from lineitem stands in
+    for ps_supplycost)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("unit_price", 6).alias("unit_price"),
+        )
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, s_name, ROUND(unit_price, 6) AS unit_price
+FROM (
+  SELECT p_partkey, p_name, s_name,
+         l_extendedprice / l_quantity AS unit_price,
+         MIN(l_extendedprice / l_quantity)
+           OVER (PARTITION BY p_partkey) AS min_price
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE p_size = 15
+) priced
+WHERE unit_price = min_price
+"""
+
+
+def q11_important_values(spark, sf_dir):
+    """TPC-H Q11 shape: per-nation line value vs a global-total
+    scalar subquery in HAVING (grouped agg + single-row broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    val = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_nation = j.groupBy("n_name").agg(F.sum(val).alias("value_dec"))
+    total = per_nation.agg(
+        (F.sum("value_dec") * F.lit(0.045)).alias("threshold")
+    )
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("threshold"))
+        .select("n_name", F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH per_nation AS (
+  SELECT n_name,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, CAST(value_dec AS DOUBLE) AS value
+FROM per_nation
+WHERE value_dec > (SELECT SUM(value_dec) * 0.045 FROM per_nation)
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly
+    revenue — derived revenue view + scalar max subquery."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev_dec"
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev_dec").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_rev_dec") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM revenue)
+"""
+
+
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, excluding a NOT IN supplier subquery."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select("s_suppkey")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_chained_semi(spark, sf_dir):
+    """TPC-H Q20 shape: chained semi-joins — suppliers in one nation
+    who shipped a 'small%' part in above-half-average quantity (the
+    per-part correlated threshold replaces partsupp availqty)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_4")
+    avg_q = l.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    qualifying = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .join(avg_q, l.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") > F.col("half_avg"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_quantity > (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = lineitem.l_partkey))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation
+                      WHERE n_name = 'NATION_4')
+"""
+
+
+def sample_hash_orders(spark, sf_dir):
+    """Deterministic ~10% Bernoulli sample via a multiplicative hash
+    of the key — reproducible across engines and runs (unlike
+    TABLESAMPLE), the sampling idiom for 100 TB pipeline reruns."""
+    o = _t(spark, sf_dir, "orders")
+    keep = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296) < F.lit(
+        429496730
+    )
+    return o.filter(keep).agg(
+        F.count("*").alias("n_sampled"),
+        _dsum("o_totalprice", "sampled_value"),
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT COUNT(*) AS n_sampled,
+       {_sql_dsum('o_totalprice', 'sampled_value')}
+FROM orders
+WHERE (o_orderkey * 2654435761) % 4294967296 < 429496730
+"""
+
+
+def stratified_sample_orders(spark, sf_dir):
+    """Stratified top-N-per-group sample: 3 earliest orders per
+    priority (row_number over a deterministic order) — the per-class
+    cap idiom for training-data balancing."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+STRATIFIED_SQL = """
+SELECT o_orderpriority, o_orderkey, o_orderdate, rn
+FROM (SELECT o_orderpriority, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def histogram_totalprice(spark, sf_dir):
+    """Fixed-width histogram of order value (floor-division bucket —
+    portable width_bucket), plus per-bucket bounds."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket", F.floor(F.col("o_totalprice") / 25000).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 4).alias("bucket_max"),
+        )
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 4) AS bucket_min,
+       ROUND(MAX(o_totalprice), 4) AS bucket_max
+FROM orders
+GROUP BY bucket
+"""
+
+
+def string_agg_regions(spark, sf_dir):
+    """Ordered string aggregation (listagg): nations per region as a
+    comma-joined sorted list."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def regexp_funcs_parts(spark, sf_dir):
+    """Regexp scalar surface: extract (group), replace-all, rlike."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("masked"),
+        F.col("p_name").rlike("o.t").alias("has_ot"),
+    )
+
+
+REGEXP_SQL = r"""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       regexp_replace(p_name, '[aeiou]', '*', 'g') AS masked,
+       regexp_matches(p_name, 'o.t') AS has_ot
+FROM part
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -1959,6 +2279,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_lead": window_lag_lead,
         "pivot_status_by_priority": pivot_status_by_priority,
         "hof_array_embeddings": hof_array_embeddings,
+        "q2_min_unit_price": q2_min_unit_price,
+        "q11_important_values": q11_important_values,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q20_chained_semi": q20_chained_semi,
+        "sample_hash_orders": sample_hash_orders,
+        "stratified_sample_orders": stratified_sample_orders,
+        "histogram_totalprice": histogram_totalprice,
+        "string_agg_regions": string_agg_regions,
+        "regexp_funcs_parts": regexp_funcs_parts,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
         "join_outer_order_counts": join_outer_order_counts,
@@ -2034,6 +2364,16 @@ def oracle_sql() -> dict[str, str]:
         "window_lag_lead": WINDOW_LAG_SQL,
         "pivot_status_by_priority": PIVOT_SQL,
         "hof_array_embeddings": HOF_ARRAY_SQL,
+        "q2_min_unit_price": Q2_SQL,
+        "q11_important_values": Q11_SQL,
+        "q15_top_supplier": Q15_SQL,
+        "q16_supplier_cnt": Q16_SQL,
+        "q20_chained_semi": Q20_SQL,
+        "sample_hash_orders": SAMPLE_HASH_SQL,
+        "stratified_sample_orders": STRATIFIED_SQL,
+        "histogram_totalprice": HISTOGRAM_SQL,
+        "string_agg_regions": STRING_AGG_SQL,
+        "regexp_funcs_parts": REGEXP_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,
         "join_outer_order_counts": JOIN_OUTER_SQL,

@@ -146,6 +146,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     window: int = 4,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling hash): polynomial
     rolling hashes over character k-grams, keeping the minimum hash
@@ -153,6 +154,10 @@ def winnow_fingerprints(
     (the MOSS scheme — guarantees any match of length ≥ k+window-1
     shares a fingerprint). Vectorized per Arrow batch; returns one
     row per (doc, distinct fingerprint) for set-overlap joins.
+
+    ``with_counts=True`` appends the doc's distinct-fingerprint count
+    ``n_fp`` to every row, so overlap consumers need no second pass
+    (and therefore no recomputation) of this Python stage.
     """
     import numpy as np
     import pandas as pd
@@ -163,7 +168,7 @@ def winnow_fingerprints(
 
     def gen(batches):
         for pdf in batches:
-            ids_out, fps_out = [], []
+            ids_out, fps_out, counts_out = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 norm = " ".join((text or "").lower().split())
                 data = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
@@ -178,18 +183,24 @@ def winnow_fingerprints(
                 uniq = np.unique(fps).view(np.int64)
                 ids_out.append(np.full(len(uniq), doc_id, dtype=np.int64))
                 fps_out.append(uniq)
+                if with_counts:
+                    counts_out.append(
+                        np.full(len(uniq), len(uniq), dtype=np.int64)
+                    )
             if ids_out:
-                yield pd.DataFrame(
-                    {id_col: np.concatenate(ids_out),
-                     "fingerprint": np.concatenate(fps_out)}
-                )
+                out = {id_col: np.concatenate(ids_out),
+                       "fingerprint": np.concatenate(fps_out)}
+                if with_counts:
+                    out["n_fp"] = np.concatenate(counts_out)
+                yield pd.DataFrame(out)
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    schema = StructType(
-        [StructField(id_col, LongType(), False),
-         StructField("fingerprint", LongType(), False)]
-    )
+    fields = [StructField(id_col, LongType(), False),
+              StructField("fingerprint", LongType(), False)]
+    if with_counts:
+        fields.append(StructField("n_fp", LongType(), False))
+    schema = StructType(fields)
     return df.select(id_col, text_col).mapInPandas(gen, schema)
 
 

@@ -47,6 +47,16 @@ HEADLINE = [
     "window_lag_lead",
     "pivot_status_by_priority",
     "hof_array_embeddings",
+    "q2_min_unit_price",
+    "q11_important_values",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_chained_semi",
+    "sample_hash_orders",
+    "stratified_sample_orders",
+    "histogram_totalprice",
+    "string_agg_regions",
+    "regexp_funcs_parts",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

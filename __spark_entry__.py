@@ -2249,6 +2249,182 @@ FROM part
 """
 
 
+# ------------------------------------------------- widening batch 3
+
+
+def window_ntile_stats(spark, sf_dir):
+    """ntile / percent_rank / cume_dist per market segment (bounded
+    partitions — a single global ORDER BY window would serialize on
+    one task at 100 TB; per-segment windows parallelize)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a day offset (30-day trailing spend) plus
+    full-frame first/last order value per customer. The offset int
+    keeps RANGE semantics identical across engines."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    day = F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+    o = o.withColumn("day_no", day)
+    w_range = (
+        Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    )
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.round(F.sum("o_totalprice").over(w_range), 4).alias("trailing_30d"),
+        F.round(F.first("o_totalprice").over(w_full), 4).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 4).alias("last_price"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey, day_no,
+       ROUND(SUM(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY day_no
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS trailing_30d,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w_full, 4) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w_full, 4) AS last_price
+FROM (SELECT *, datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                         o_orderdate) AS day_no
+      FROM orders WHERE o_custkey % 25 = 0) t
+WINDOW w_full AS (PARTITION BY o_custkey ORDER BY day_no, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+"""
+
+
+def posexplode_part_words(spark, sf_dir):
+    """posexplode: token + 0-based position (lateral view shape)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+    )
+
+
+POSEXPLODE_SQL = """
+SELECT p_partkey,
+       generate_subscripts(string_split(p_name, ' '), 1) - 1 AS pos,
+       unnest(string_split(p_name, ' ')) AS word
+FROM part
+"""
+
+
+def map_pivot_priorities(spark, sf_dir):
+    """MapType surface: per-status priority→count map built with
+    map_from_entries over collected structs, probed with element_at
+    (missing key → null → coalesce 0) and cardinality."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    m = per.groupBy("o_orderstatus").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderpriority", "cnt"))
+        ).alias("prio_counts")
+    )
+    return m.select(
+        "o_orderstatus",
+        F.coalesce(F.element_at("prio_counts", "1-URGENT"), F.lit(0)).alias(
+            "n_urgent"
+        ),
+        F.coalesce(F.element_at("prio_counts", "5-LOW"), F.lit(0)).alias("n_low"),
+        F.size("prio_counts").cast("bigint").alias("n_priorities"),
+    )
+
+
+MAP_PIVOT_SQL = """
+WITH per AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+), m AS (
+  SELECT o_orderstatus,
+         map_from_entries(list(row(o_orderpriority, cnt))) AS prio_counts
+  FROM per GROUP BY o_orderstatus
+)
+SELECT o_orderstatus,
+       COALESCE(prio_counts['1-URGENT'][1], 0) AS n_urgent,
+       COALESCE(prio_counts['5-LOW'][1], 0) AS n_low,
+       cardinality(prio_counts) AS n_priorities
+FROM m
+"""
+
+
+def weekly_gapfill_orders(spark, sf_dir):
+    """Gap-filled weekly order counts: sequence() generates the full
+    calendar spine (one tiny row → exploded), left-joined to the
+    per-week aggregate so empty weeks appear as zeros — the
+    time-series densification idiom."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("week", F.min("o_orderdate")).alias("w0"),
+        F.date_trunc("week", F.max("o_orderdate")).alias("w1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("w0", "w1", F.expr("INTERVAL 7 DAYS"))
+        ).alias("week_start")
+    )
+    per_week = o.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("week_start")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        _dsum("o_totalprice", "week_value"),
+    )
+    return (
+        spine.join(per_week, "week_start", "left_outer")
+        .select(
+            "week_start",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("week_value", F.lit(0.0)).alias("week_value"),
+        )
+    )
+
+
+WEEKLY_GAPFILL_SQL = f"""
+WITH spine AS (
+  SELECT unnest(generate_series(
+           (SELECT date_trunc('week', MIN(o_orderdate)) FROM orders),
+           (SELECT date_trunc('week', MAX(o_orderdate)) FROM orders),
+           INTERVAL 7 DAY)) AS week_start
+), per_week AS (
+  SELECT date_trunc('week', o_orderdate) AS week_start,
+         COUNT(*) AS n_orders,
+         {_sql_dsum('o_totalprice', 'week_value')}
+  FROM orders GROUP BY 1
+)
+SELECT spine.week_start,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(week_value, 0.0) AS week_value
+FROM spine LEFT OUTER JOIN per_week ON spine.week_start = per_week.week_start
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2289,6 +2465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": histogram_totalprice,
         "string_agg_regions": string_agg_regions,
         "regexp_funcs_parts": regexp_funcs_parts,
+        "window_ntile_stats": window_ntile_stats,
+        "window_range_frame": window_range_frame,
+        "posexplode_part_words": posexplode_part_words,
+        "map_pivot_priorities": map_pivot_priorities,
+        "weekly_gapfill_orders": weekly_gapfill_orders,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
         "join_outer_order_counts": join_outer_order_counts,
@@ -2374,6 +2555,11 @@ def oracle_sql() -> dict[str, str]:
         "histogram_totalprice": HISTOGRAM_SQL,
         "string_agg_regions": STRING_AGG_SQL,
         "regexp_funcs_parts": REGEXP_SQL,
+        "window_ntile_stats": WINDOW_NTILE_SQL,
+        "window_range_frame": WINDOW_RANGE_SQL,
+        "posexplode_part_words": POSEXPLODE_SQL,
+        "map_pivot_priorities": MAP_PIVOT_SQL,
+        "weekly_gapfill_orders": WEEKLY_GAPFILL_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,
         "join_outer_order_counts": JOIN_OUTER_SQL,

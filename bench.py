@@ -57,6 +57,11 @@ HEADLINE = [
     "histogram_totalprice",
     "string_agg_regions",
     "regexp_funcs_parts",
+    "window_ntile_stats",
+    "window_range_frame",
+    "posexplode_part_words",
+    "map_pivot_priorities",
+    "weekly_gapfill_orders",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

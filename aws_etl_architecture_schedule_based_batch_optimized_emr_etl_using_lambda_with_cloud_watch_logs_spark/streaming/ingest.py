@@ -122,6 +122,65 @@ def sessionize_stateful(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: keep the first
+    arrival per key, drop re-deliveries that land within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). The
+    streaming counterpart of the batch ``exact_dedup`` (M1): state is
+    evicted once the watermark passes, so memory is O(keys per
+    horizon), not O(all history) — the property that makes exact
+    dedup feasible on an unbounded 100 TB/day stream.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event
+    with right events of the same user that happened within
+    ``[t, t + max_gap]``. Both sides carry watermarks and the join
+    condition bounds event time on both sides, so Spark can evict
+    buffered rows — without the time bound a stream-stream join
+    buffers forever.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("l_user"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_type").alias("l_type"),
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("r_user"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_type").alias("r_type"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}"))
+        & (F.col("l_event_id") != F.col("r_event_id")),
+        "inner",
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

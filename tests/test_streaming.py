@@ -156,3 +156,78 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_counts").collect()
     }
     assert got == expected and len(got) == 2
+
+
+def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "dupes")
+    schema = "event_id long, ts timestamp, user_id long"
+    # event 1 delivered twice within the horizon (second copy dropped);
+    # events 2 and 3 unique.
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 7},
+            {"event_id": 1, "ts": "2024-01-01T10:05:00", "user_id": 7},
+            {"event_id": 2, "ts": "2024-01-01T10:06:00", "user_id": 7},
+            {"event_id": 3, "ts": "2024-01-01T10:07:00", "user_id": 8},
+        ],
+    )
+    stream_df = spark.readStream.schema(schema).json(src)
+    q = (
+        dedup_within_watermark(stream_df)
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_stream_interval_join,
+    )
+
+    src = str(tmp_path / "ssj")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01T10:05:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01T10:30:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 4, "ts": "2024-01-01T10:02:00", "user_id": 2, "event_type": "view"},
+    ]
+    _write_json(os.path.join(src, "e1.json"), events)
+
+    # Batch oracle: same join expression on a static frame.
+    batch = spark.read.schema(schema).json(src)
+    expected = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in stream_stream_interval_join(batch, batch).collect()
+    }
+    # events 1->2 within 10 min same user; 2->3 is 25 min apart (out);
+    # user 2 has nothing to pair with.
+    assert expected == {(1, 2)}
+
+    left = spark.readStream.schema(schema).json(src)
+    right = spark.readStream.schema(schema).json(src)
+    q = (
+        stream_stream_interval_join(left, right)
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["l_event_id"], r["r_event_id"])
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    assert got == expected

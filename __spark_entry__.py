@@ -2425,6 +2425,32 @@ FROM spine LEFT OUTER JOIN per_week ON spine.week_start = per_week.week_start
 """
 
 
+def dedup_cluster_docs(spark, sf_dir):
+    """Near-dup cluster assignment: MinHash+LSH pairs → connected
+    components (min-label propagation, one shuffle per round,
+    rounds = cluster diameter). cluster_id = min doc_id in the
+    component; the keep-one filter is ``doc_id == cluster_id``.
+    Oracle: exact-Jaccard pairs + recursive-CTE transitive closure."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_clusters(d, n=3, num_hashes=64, bands=32, threshold=0.5)
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2508,6 +2534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_cluster_docs": dedup_cluster_docs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,
@@ -2597,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
+        "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "text_quality_docs": TEXT_QUALITY_SQL,
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,

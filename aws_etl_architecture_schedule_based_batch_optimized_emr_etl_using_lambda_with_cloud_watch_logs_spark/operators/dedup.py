@@ -484,3 +484,84 @@ def simhash_dedup(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------ dedup cluster graph
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph by min-label
+    propagation: every node starts labeled with its own id; each
+    round takes the min of its label and its neighbors' labels;
+    convergence when the global label sum stops falling (it is
+    strictly decreasing while any label can improve).
+
+    Rounds = graph diameter (near-dup clusters are shallow — dup
+    chains longer than a few hops are rare), each round one shuffle
+    of the edge list. ``localCheckpoint`` truncates the iterative
+    lineage so the plan doesn't grow per round; on a cluster with a
+    checkpoint dir, ``checkpoint`` would make rounds restartable.
+    Returns (node, cluster_id) for every node that appears in
+    ``pairs``; cluster_id = min node id in the component.
+    """
+    sym = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup cluster assignment: MinHash+LSH pairs → connected
+    components. The canonical keep-one-per-cluster filter is then a
+    ``doc_id == cluster_id`` predicate (cluster_id is the min member,
+    so exactly one survivor per cluster)."""
+    pairs = minhash_lsh_dedup(
+        df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )
+    return connected_components(pairs, "id_a", "id_b")

@@ -369,3 +369,21 @@ def test_frame_sample_plan(spark):
     assert [r["frame_offset"] for r in sorted(out, key=lambda r: r["frame_idx"])] == [
         0, 10, 20, 30,
     ]
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

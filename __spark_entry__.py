@@ -1749,32 +1749,35 @@ def q21_waiting_suppliers(spark, sf_dir):
             "late"
         ),
     )
-    l1 = lines.filter(F.col("late"))
-    others = lines.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    # EXISTS/NOT EXISTS as a two-level aggregation instead of two
+    # lineitem self-joins: per (order, supplier) count late lines,
+    # then per order count suppliers and late suppliers. For a late
+    # supplier's lines, "some other supplier on the order" =
+    # n_supp >= 2 and "no other supplier was late" = n_late_supp == 1
+    # (itself). Two cheap shuffles on shrinking keys replace two
+    # join-shaped recomputations of the lineitem⋈orders input, and
+    # no expand-based countDistinct is needed.
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("n_late_lines")
     )
-    late_others = l1.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        l1.join(
-            others,
-            (F.col("l_orderkey") == F.col("o2_orderkey"))
-            & (F.col("l_suppkey") != F.col("o2_suppkey")),
-            "left_semi",
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
         )
-        .join(
-            late_others,
-            (F.col("l_orderkey") == F.col("o3_orderkey"))
-            & (F.col("l_suppkey") != F.col("o3_suppkey")),
-            "left_anti",
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )

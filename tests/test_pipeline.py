@@ -143,3 +143,34 @@ def test_rehydrate_roundtrip(spark, etl_dirs, tmp_path):
     back = archive_files(spark, src, arc, rehydration_path=reh, rehydrate=True)
     assert len(back) == 1 and os.path.exists(os.path.join(reh, "f1.json"))
     assert not os.listdir(arc)
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        compact_partitions,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, "g1" if i % 2 else "g2", float(i)) for i in range(40)],
+        ["id", "grp", "val"],
+    ).repartition(4)
+    # Two appends with hygiene off → up to 8 files per partition dir.
+    write_partitioned(df, sink, ["grp"], files_per_partition=None)
+    write_partitioned(df, sink, ["grp"], files_per_partition=None)
+
+    before = spark.read.parquet(sink).groupBy().sum("val").collect()[0][0]
+    n_before = len(glob.glob(f"{sink}/*/*.parquet"))
+    assert n_before > 2
+
+    stats = compact_partitions(spark, sink, ["grp"], target_files=1)
+    assert stats["compacted"] == 2
+
+    n_after = len(glob.glob(f"{sink}/*/*.parquet"))
+    assert n_after == 2
+    after_df = spark.read.parquet(sink)
+    assert after_df.count() == 80
+    assert after_df.groupBy().sum("val").collect()[0][0] == before

@@ -62,6 +62,10 @@ HEADLINE = [
     "posexplode_part_words",
     "map_pivot_priorities",
     "weekly_gapfill_orders",
+    "try_cast_events",
+    "union_by_name_customers",
+    "hof_exists_forall_docs",
+    "fuzzy_levenshtein_parts",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

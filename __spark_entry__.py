@@ -39,8 +39,21 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 SF001 = "/root/testdata/sf0.001"
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reader with a per-session DataFrame cache: DataFrames
+    are immutable plans, so reusing one skips the file listing and
+    footer read every query construction would otherwise repeat
+    (~30-80 ms each; the inventory reads the same 10 tables
+    hundreds of times across a bench run)."""
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

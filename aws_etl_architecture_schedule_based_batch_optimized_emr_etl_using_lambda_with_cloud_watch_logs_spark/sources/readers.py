@@ -50,3 +50,33 @@ def distinct_input_files(df: DataFrame, file_col: str = "input_file") -> list[st
     distributed; only file *names* are collected (bounded by file
     count)."""
     return [row[0] for row in df.select(file_col).distinct().collect()]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "PERMISSIVE",
+) -> DataFrame:
+    """CSV source (beyond the reference's JSON-only surface). An
+    explicit schema avoids the inference pre-scan, exactly as for
+    JSON; ``mode`` selects the malformed-row policy (PERMISSIVE
+    null-fills, DROPMALFORMED skips, FAILFAST errors)."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", mode)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar alternative to parquet, same pushdown
+    and pruning behavior under Catalyst."""
+    return spark.read.orc(path)

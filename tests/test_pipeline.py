@@ -174,3 +174,28 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
     after_df = spark.read.parquet(sink)
     assert after_df.count() == 80
     assert after_df.groupBy().sum("val").collect()[0][0] == before
+
+
+def test_csv_and_orc_roundtrip(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.readers import (
+        read_csv,
+        read_orc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.0), (3, None, 0.25)],
+        ["id", "tag", "score"],
+    )
+    csv_path = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(csv_path)
+    back = read_csv(spark, csv_path, schema="id long, tag string, score double")
+    assert back.count() == 3
+    assert {r["id"]: (r["tag"], r["score"]) for r in back.collect()} == {
+        1: ("a", 1.5), 2: ("b", -2.0), 3: (None, 0.25),
+    }
+
+    orc_path = str(tmp_path / "orc")
+    df.write.orc(orc_path)
+    back_orc = read_orc(spark, orc_path)
+    assert back_orc.count() == 3
+    assert dict(back_orc.dtypes)["score"] == "double"

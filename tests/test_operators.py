@@ -387,3 +387,42 @@ def test_connected_components_chain_triangle_pair(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check on random graphs: the distributed min-label
+    propagation must agree with a driver-side union-find."""
+    import random
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes, n_edges = 30, 25
+        edges = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        in_graph = {v for e in edges for v in e}
+        expected = {}
+        for v in in_graph:
+            root = find(v)
+            expected[v] = min(u for u in in_graph if find(u) == root)
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"

@@ -135,3 +135,32 @@ def resize_stub(features: DataFrame, width: int, height: int) -> DataFrame:
     return features.withColumn("target_width", F.lit(width)).withColumn(
         "target_height", F.lit(height)
     )
+
+
+def audio_chunk_plan(
+    assets: DataFrame, chunk_ms: int = 1000, bytes_per_ms: int = 16
+) -> DataFrame:
+    """Audio chunking *plan*: one row per fixed-duration chunk with
+    byte offsets (``sequence`` + ``explode``, no decode — same
+    plan-time fan-out shape as :func:`frame_sample_plan`). A
+    downstream codec UDF consumes (asset_id, byte_start, byte_end)
+    slices; ``bytes_per_ms`` comes from the asset's sample-rate
+    metadata in a real pipeline."""
+    chunk_bytes = chunk_ms * bytes_per_ms
+    n_chunks = (
+        (F.length("content") + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)
+    ).cast("int")
+    return (
+        assets.filter(F.col("media_type") == "audio")
+        .select(
+            "asset_id",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            F.length("content").alias("n_bytes"),
+        )
+        .withColumn("byte_start", F.col("chunk_idx") * chunk_bytes)
+        .withColumn(
+            "byte_end",
+            F.least(F.col("byte_start") + chunk_bytes, F.col("n_bytes")),
+        )
+        .drop("n_bytes")
+    )

@@ -426,3 +426,20 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_audio_chunk_plan_offsets(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(40_000), {}),
+            (2, "video", bytearray(100), {}),
+        ],
+        M.ASSET_SCHEMA,
+    )
+    chunks = M.audio_chunk_plan(assets, chunk_ms=1000, bytes_per_ms=16).collect()
+    # 40_000 bytes / 16_000 per chunk -> 3 chunks (last one partial)
+    assert [r["chunk_idx"] for r in chunks] == [0, 1, 2]
+    assert [(r["byte_start"], r["byte_end"]) for r in chunks] == [
+        (0, 16000), (16000, 32000), (32000, 40000),
+    ]
+    assert all(r["asset_id"] == 1 for r in chunks)  # video filtered out

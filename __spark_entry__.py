@@ -2595,6 +2595,50 @@ GROUP BY a.fw, dist
 """
 
 
+def paged_orders(spark, sf_dir):
+    """Keyset-free pagination: ORDER BY unique key LIMIT/OFFSET. (At
+    100 TB prefer keyset pagination — WHERE key > last_seen — since
+    OFFSET still sorts/skips the prefix; this declares the surface.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+PAGED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
+"""
+
+
+def agg_mode_bits(spark, sf_dir):
+    """mode() and bitwise aggregates per group. l_linenumber's mode
+    is deterministic (line 1 exists for every order, strictly most
+    frequent), so cross-engine tie-breaking never triggers."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").alias("mode_line"),
+        F.bit_and("l_linenumber").alias("line_bit_and"),
+        F.bit_or("l_linenumber").alias("line_bit_or"),
+        F.bit_xor("l_linenumber").alias("line_bit_xor"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+MODE_BITS_SQL = """
+SELECT l_returnflag,
+       mode(l_linenumber) AS mode_line,
+       bit_and(l_linenumber) AS line_bit_and,
+       bit_or(l_linenumber) AS line_bit_or,
+       bit_xor(l_linenumber) AS line_bit_xor,
+       COUNT(*) AS n_lines
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2644,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name_customers": union_by_name_customers,
         "hof_exists_forall_docs": hof_exists_forall_docs,
         "fuzzy_levenshtein_parts": fuzzy_levenshtein_parts,
+        "paged_orders": paged_orders,
+        "agg_mode_bits": agg_mode_bits,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
         "join_outer_order_counts": join_outer_order_counts,
@@ -2739,6 +2785,8 @@ def oracle_sql() -> dict[str, str]:
         "union_by_name_customers": UNION_BY_NAME_SQL,
         "hof_exists_forall_docs": HOF_PREDICATE_SQL,
         "fuzzy_levenshtein_parts": FUZZY_LEV_SQL,
+        "paged_orders": PAGED_SQL,
+        "agg_mode_bits": MODE_BITS_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,
         "join_outer_order_counts": JOIN_OUTER_SQL,

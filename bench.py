@@ -66,6 +66,8 @@ HEADLINE = [
     "union_by_name_customers",
     "hof_exists_forall_docs",
     "fuzzy_levenshtein_parts",
+    "paged_orders",
+    "agg_mode_bits",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
     "rollup_orders",

@@ -443,3 +443,32 @@ def test_audio_chunk_plan_offsets(spark):
         (0, 16000), (16000, 32000), (32000, 40000),
     ]
     assert all(r["asset_id"] == 1 for r in chunks)  # video filtered out
+
+
+def test_signature_ops_on_empty_and_degenerate_docs(spark):
+    """Empty frames and empty/whitespace/1-char docs must not crash
+    any signature operator — the batch shapes these produce (empty
+    Arrow batches, zero-length grams) are exactly what a 100 TB
+    corpus's stragglers look like."""
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    weird = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "x"), (4, None), (5, "a b")], schema
+    )
+
+    assert D.minhash_lsh_dedup(empty, threshold=0.5).count() == 0
+    assert X.winnow_fingerprints(empty).count() == 0
+    assert D.simhash_dedup(empty).count() == 0
+    assert D.ngram_jaccard_pairs(empty).count() == 0
+
+    # Degenerate docs: must complete; empty-ish docs may legitimately
+    # pair with each other, never crash.
+    D.minhash_lsh_dedup(weird, threshold=0.9).count()
+    X.winnow_fingerprints(weird).count()
+    D.simhash_dedup(weird).count()
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        connected_components,
+    )
+    assert connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0

@@ -2639,6 +2639,38 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def embed_centroids(spark, sf_dir):
+    """Distributed per-label centroid: posexplode the vector to
+    (label, dim, value) rows, average per cell — one shuffle keyed on
+    (label, dim), fully JVM-side. This is the distributed form of the
+    centroid step whose driver-side sampled variant seeds IVF
+    (similarity._spherical_kmeans)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.expr("transform(embedding, x -> cast(x AS double))"))
+            .alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid_v"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+EMBED_CENTROIDS_SQL = """
+SELECT label, dim, ROUND(AVG(v), 6) AS centroid_v,
+       COUNT(*) AS n_vectors
+FROM (SELECT label,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings)
+GROUP BY label, dim
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2741,6 +2773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": sim_topk_ivf,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
+        "embed_centroids": embed_centroids,
     }
 
 
@@ -2833,6 +2866,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,
         "embed_label_stats": EMBED_STATS_SQL,
+        "embed_centroids": EMBED_CENTROIDS_SQL,
         # rows-only (algorithm-specific, not SQL-expressible):
         #   dedup_simhash_pairs, sim_topk_lsh, sim_topk_ivf
     }

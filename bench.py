@@ -98,6 +98,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "sim_topk_ivf",
     "embed_label_stats",
+    "embed_centroids",
 ]
 
 

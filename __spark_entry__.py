@@ -2671,6 +2671,55 @@ GROUP BY label, dim
 """
 
 
+def curation_pipeline_docs(spark, sf_dir):
+    """End-to-end training-data curation as ONE Catalyst plan:
+    quality gate (token count + alpha ratio) → exact near-dup
+    removal on whitespace-normalized text (keep lowest doc_id) →
+    corpus accounting. The composition stays declarative, so filters
+    still push down and the dedup is a single hash aggregate — the
+    shape a 100 TB curation job should have."""
+    d = _t(spark, sf_dir, "documents")
+    q = (
+        X.quality_features(d)
+        .filter((F.col("n_tokens") >= 5) & (F.col("alpha_ratio") >= 0.6))
+        .select("doc_id")
+    )
+    kept = d.join(q, "doc_id", "left_semi")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    survivors = kept.groupBy(norm.alias("norm_text")).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    return survivors.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_copies").cast("bigint").alias("n_docs_quality"),
+        F.sum(F.size(F.split("norm_text", " ")))
+        .cast("bigint")
+        .alias("total_tokens_kept"),
+    )
+
+
+CURATION_SQL = f"""
+WITH quality AS (
+  SELECT doc_id FROM documents
+  WHERE len({_SQL_TOKENS}) >= 5
+    AND CAST(LENGTH(text)
+        - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        / LENGTH(text) >= 0.6
+), survivors AS (
+  SELECT lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text,
+         MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM quality)
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs_quality,
+       CAST(SUM(len(string_split(norm_text, ' '))) AS BIGINT)
+         AS total_tokens_kept
+FROM survivors
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2761,6 +2810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_cluster_docs": dedup_cluster_docs,
+        "curation_pipeline_docs": curation_pipeline_docs,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,
@@ -2858,6 +2908,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
+        "curation_pipeline_docs": CURATION_SQL,
         "text_quality_docs": TEXT_QUALITY_SQL,
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,

@@ -89,6 +89,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_pairs",
     "dedup_cluster_docs",
+    "curation_pipeline_docs",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "text_quality_docs",

@@ -2720,6 +2720,33 @@ FROM survivors
 """
 
 
+def skew_salted_token_counts(spark, sf_dir):
+    """Skewed hash aggregation through the salted two-phase path:
+    token frequencies follow a Zipf-ish curve (hot keys), so the
+    partial aggregate splits each hot token across 16 reducers
+    before the tiny final merge. Results are exactly the plain
+    groupBy — salting only reshapes the shuffle — so the oracle is
+    the straightforward SQL count."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        skew as K,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    out = K.two_phase_agg(toks, ["token"], {"n": ("token", "count")}, salt=16)
+    return out.filter(F.col("n") >= 50).select("token", F.col("n").cast("bigint").alias("n"))
+
+
+SKEW_TOKENS_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+      FROM documents)
+GROUP BY token HAVING COUNT(*) >= 50
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2811,6 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_cluster_docs": dedup_cluster_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
+        "skew_salted_token_counts": skew_salted_token_counts,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,
@@ -2909,6 +2937,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "curation_pipeline_docs": CURATION_SQL,
+        "skew_salted_token_counts": SKEW_TOKENS_SQL,
         "text_quality_docs": TEXT_QUALITY_SQL,
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,

@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_cluster_docs",
     "curation_pipeline_docs",
+    "skew_salted_token_counts",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "text_quality_docs",

@@ -152,6 +152,11 @@ def brute_force_topk(
                     {"q_id": qid, "n_id": ids[top], "cosine": col[top]}
                 )
 
+    # No _parallelize_narrow here: the matrix multiply is so cheap
+    # per batch that the repartition + extra python workers cost more
+    # than single-partition scoring at small inputs (measured 0.38s
+    # vs 0.54s at sf0.1); at real scale the scan arrives with many
+    # partitions and parallelizes naturally.
     scored = embeddings.select(id_col, vec_col).mapInPandas(score, _SCORED_SCHEMA)
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id").asc())
     return (

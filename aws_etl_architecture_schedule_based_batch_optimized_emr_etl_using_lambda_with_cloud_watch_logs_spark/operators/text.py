@@ -196,12 +196,16 @@ def winnow_fingerprints(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from .dedup import _parallelize_narrow
+
     fields = [StructField(id_col, LongType(), False),
               StructField("fingerprint", LongType(), False)]
     if with_counts:
         fields.append(StructField("n_fp", LongType(), False))
     schema = StructType(fields)
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return _parallelize_narrow(df.select(id_col, text_col)).mapInPandas(
+        gen, schema
+    )
 
 
 def token_frequencies(

@@ -2747,6 +2747,21 @@ GROUP BY token HAVING COUNT(*) >= 50
 """
 
 
+def approx_quantile_orders(spark, sf_dir):
+    """approx_percentile (GK sketch) per priority — algorithm-
+    specific results (rows-only check); the accuracy bound vs the
+    exact percentile is pinned in tests/test_operators.py. The
+    sketch is the 100 TB path: mergeable, bounded memory, one pass —
+    exact percentile_orders is the small-scale oracle twin."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p50_p90_p99"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2839,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_docs": dedup_cluster_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "skew_salted_token_counts": skew_salted_token_counts,
+        "approx_quantile_orders": approx_quantile_orders,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,

@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_cluster_docs",
     "curation_pipeline_docs",
     "skew_salted_token_counts",
+    "approx_quantile_orders",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "text_quality_docs",

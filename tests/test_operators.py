@@ -472,3 +472,39 @@ def test_signature_ops_on_empty_and_degenerate_docs(spark):
     assert connected_components(
         spark.createDataFrame([], "id_a long, id_b long")
     ).count() == 0
+
+
+def test_approx_quantile_within_bound(spark):
+    """GK-sketch percentiles must land within 1% rank error of exact
+    on the sf0.001 fixture."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    approx = {
+        r["o_orderpriority"]: r["approx_p50_p90_p99"]
+        for r in entry.queries()["approx_quantile_orders"](spark, sf).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["exact"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("exact"))
+        .collect()
+    }
+    for prio, approxs in approx.items():
+        values = sorted(
+            r["o_totalprice"]
+            for r in o.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(values)
+        for a, q in zip(approxs, (0.5, 0.9, 0.99)):
+            # rank of the approximate answer must be within 1% of q
+            import bisect
+
+            rank = bisect.bisect_left(values, a) / n
+            assert abs(rank - q) <= 0.01 + 1.0 / n, (prio, q, a, rank)
+        assert len(approxs) == 3 and approxs == sorted(approxs)
+        _ = exact  # exact values fetched to ensure the twin runs

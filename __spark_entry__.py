@@ -2762,6 +2762,93 @@ def approx_quantile_orders(spark, sf_dir):
     )
 
 
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC-style snapshot diff: full outer join on the key, classify
+    added / removed / changed / unchanged with null-safe comparison.
+    (Two deterministic 'snapshots' are derived from orders so the
+    diff is oracle-checkable; the operator shape is what a sink-to-
+    sink reconciliation runs at scale — one key-partitioned join.)"""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("old_price")
+    )
+    new = o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")).alias("new_price"),
+    )
+    diff = old.join(new, "o_orderkey", "full_outer").withColumn(
+        "change_type",
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "removed")
+        .when(~F.col("old_price").eqNullSafe(F.col("new_price")), "changed")
+        .otherwise("unchanged"),
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("n_keys"))
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey, o_totalprice AS old_price
+             FROM orders WHERE o_orderkey % 3 <> 0),
+new AS (SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS new_price
+        FROM orders WHERE o_orderkey % 2 <> 0)
+SELECT CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price IS DISTINCT FROM new_price THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       COUNT(*) AS n_keys
+FROM old FULL OUTER JOIN new USING (o_orderkey)
+GROUP BY change_type
+"""
+
+
+def dq_checks_orders(spark, sf_dir):
+    """Data-quality audit in one pass + one anti join: null rates,
+    key uniqueness, domain violations, referential orphans — the
+    constraint checks an ingest gate runs before publishing a 100 TB
+    batch (conditional aggregation, no per-rule scans)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    orphans = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count("*").alias("n_orphan_custkey")
+    )
+    checks = o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_null_key"
+        ),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n_dup_key"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("n_bad_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive_price"
+        ),
+    )
+    return checks.join(F.broadcast(orphans))
+
+
+DQ_CHECKS_SQL = """
+SELECT n_rows, n_null_key, n_dup_key, n_bad_status,
+       n_nonpositive_price, n_orphan_custkey
+FROM (SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS n_null_key,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_key,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                      THEN 1 ELSE 0 END) AS n_bad_status,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS n_nonpositive_price
+      FROM orders),
+     (SELECT COUNT(*) AS n_orphan_custkey FROM orders
+      WHERE NOT EXISTS (SELECT 1 FROM customer
+                        WHERE c_custkey = o_custkey))
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2855,6 +2942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline_docs": curation_pipeline_docs,
         "skew_salted_token_counts": skew_salted_token_counts,
         "approx_quantile_orders": approx_quantile_orders,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "dq_checks_orders": dq_checks_orders,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "text_quality_docs": text_quality_docs,
@@ -2954,6 +3043,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "curation_pipeline_docs": CURATION_SQL,
         "skew_salted_token_counts": SKEW_TOKENS_SQL,
+        "snapshot_diff_orders": SNAPSHOT_DIFF_SQL,
+        "dq_checks_orders": DQ_CHECKS_SQL,
         "text_quality_docs": TEXT_QUALITY_SQL,
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,

@@ -92,6 +92,8 @@ HEADLINE = [
     "curation_pipeline_docs",
     "skew_salted_token_counts",
     "approx_quantile_orders",
+    "snapshot_diff_orders",
+    "dq_checks_orders",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
     "text_quality_docs",

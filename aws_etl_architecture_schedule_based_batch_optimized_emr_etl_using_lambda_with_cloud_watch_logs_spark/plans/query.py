@@ -23,6 +23,10 @@ def register_tables(
 ) -> None:
     """Register the parquet fixture tables as temp views (the Glue
     catalog stand-in for ad-hoc SQL)."""
+    # events.parquet stores ns timestamps, which the parquet reader
+    # rejects unless read as longs (same policy as the entry module's
+    # _events helper).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for name in tables or TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(
             name

@@ -1,0 +1,59 @@
+"""Three-surface parity: for ANSI-portable queries, the SAME SQL
+text that DuckDB verifies (oracle_sql) must also run unchanged on
+spark.sql and match the DataFrame-API implementation — the ad-hoc
+SQL surface (reference §3.2, Athena parity) is not a separate
+dialect."""
+
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.query import (
+    run_sql,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Oracle strings that are pure ANSI (no DuckDB list_* / string_split /
+# datediff('day',...) forms) and therefore must parse on Spark too.
+PORTABLE = [
+    "q1_pricing_summary",
+    "q4_late_orders",
+    "q6_forecast_revenue",
+    "q13_order_distribution",
+    "q16_supplier_cnt",
+    "q22_global_sales",
+    "paged_orders",
+    "agg_mode_bits",
+    "stratified_sample_orders",
+    "snapshot_diff_orders",
+]
+
+
+def canon(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else f"{v:.8g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", PORTABLE)
+def test_oracle_sql_runs_on_spark(spark, name):
+    sql = entry.oracle_sql()[name]
+    df_api = entry.queries()[name](spark, SF_DIR)
+    df_sql = run_sql(spark, SF_DIR, sql)
+    assert sorted(df_api.columns) == sorted(df_sql.columns)
+    assert canon(df_api.collect(), df_api.columns) == canon(
+        df_sql.collect(), df_sql.columns
+    )

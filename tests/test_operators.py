@@ -508,3 +508,17 @@ def test_approx_quantile_within_bound(spark):
             assert abs(rank - q) <= 0.01 + 1.0 / n, (prio, q, a, rank)
         assert len(approxs) == 3 and approxs == sorted(approxs)
         _ = exact  # exact values fetched to ensure the twin runs
+
+
+def test_signatures_partitioning_independent(spark, docs):
+    """The dedup signatures claim partitioning-independence (blake2b
+    base hashes, no rand()) — pin it: 1-partition and 7-partition
+    runs of the same corpus must emit identical signature sets."""
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    one = docs.repartition(1)
+    many = docs.repartition(7)
+    assert rows(D.minhash_bands(one)) == rows(D.minhash_bands(many))
+    assert rows(D.simhash_df(one)) == rows(D.simhash_df(many))
+    assert rows(X.winnow_fingerprints(one)) == rows(X.winnow_fingerprints(many))

@@ -2849,6 +2849,17 @@ FROM (SELECT COUNT(*) AS n_rows,
 """
 
 
+def embed_label_spectrum(spark, sf_dir):
+    """Per-label covariance trace + top eigenvalues via grouped
+    applyInPandas (no SQL form → rows-only check; the known-
+    covariance unit test pins the math)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = S.label_spectrum(e, top_k=3)
+    return out.select(
+        "label", "n_vectors", "cov_trace", F.col("top_eigs").alias("top_eigs")
+    )
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -2957,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
         "embed_centroids": embed_centroids,
+        "embed_label_spectrum": embed_label_spectrum,
     }
 
 

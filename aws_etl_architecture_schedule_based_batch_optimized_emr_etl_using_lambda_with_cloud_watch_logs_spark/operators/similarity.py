@@ -472,3 +472,53 @@ def cosine_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cosine") >= threshold)
     )
+
+def label_spectrum(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-label covariance spectrum via grouped ``applyInPandas``:
+    each label's vectors form one pandas group; numpy computes the
+    covariance trace and top-k eigenvalues (the per-cluster variance
+    structure an embedding-quality monitor tracks). This is the
+    legitimate applyInPandas case — eigen-decomposition has no
+    DataFrame-expression form.
+
+    Scale: state per group is the (dim × dim) covariance, not the
+    member vectors — but the grouped pandas input DOES materialize
+    each label's vectors in one worker, so labels must be
+    bounded-size groups (re-chunk giant labels upstream, e.g. salt +
+    merge moment matrices).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        label = pdf[label_col].iloc[0]
+        if len(mat) < 2:
+            zeros = [0.0] * top_k
+            return pd.DataFrame(
+                {"label": [label], "n_vectors": [len(mat)],
+                 "cov_trace": [0.0], "top_eigs": [zeros]}
+            )
+        cov = np.cov(mat, rowvar=False)
+        eigs = np.sort(np.linalg.eigvalsh(cov))[::-1][:top_k]
+        return pd.DataFrame(
+            {
+                "label": [label],
+                "n_vectors": [len(mat)],
+                "cov_trace": [round(float(np.trace(cov)), 6)],
+                "top_eigs": [[round(float(e), 6) for e in eigs]],
+            }
+        )
+
+    return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
+        spectrum,
+        schema="label int, n_vectors long, cov_trace double, "
+        "top_eigs array<double>",
+    )

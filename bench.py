@@ -104,6 +104,7 @@ HEADLINE = [
     "sim_topk_ivf",
     "embed_label_stats",
     "embed_centroids",
+    "embed_label_spectrum",
 ]
 
 

@@ -522,3 +522,21 @@ def test_signatures_partitioning_independent(spark, docs):
     assert rows(D.minhash_bands(one)) == rows(D.minhash_bands(many))
     assert rows(D.simhash_df(one)) == rows(D.simhash_df(many))
     assert rows(X.winnow_fingerprints(one)) == rows(X.winnow_fingerprints(many))
+
+
+def test_label_spectrum_known_covariance(spark):
+    """applyInPandas eigen operator on a hand-built group: vectors
+    along one axis → top eigenvalue = that axis variance, trace equals
+    it, second eigenvalue 0."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.similarity import (
+        label_spectrum,
+    )
+
+    rows = [(1, [float(x), 0.0]) for x in (0, 2, 4, 6)] + [(2, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r["label"]: r for r in label_spectrum(df, top_k=2).collect()}
+    # variance of [0,2,4,6] (ddof=1) = 20/3
+    assert abs(got[1]["cov_trace"] - 20 / 3) < 1e-4
+    assert abs(got[1]["top_eigs"][0] - 20 / 3) < 1e-4
+    assert abs(got[1]["top_eigs"][1]) < 1e-9
+    assert got[2]["n_vectors"] == 1 and got[2]["cov_trace"] == 0.0

@@ -47,6 +47,7 @@ ARROW_STAGE_OK = {
     "sim_topk_bruteforce",
     "sim_neardup_exact",
     "embed_label_stats",
+    "embed_label_spectrum",
     "events_sessionize",
 }
 

@@ -280,3 +280,22 @@ def add_new_partitions_from_state(
     if new:
         spark.sql(partitions_ddl(db, table, new))
     return new
+
+
+def analyze_table(
+    spark, table: str, columns: list[str] | None = None
+) -> dict:
+    """ANALYZE TABLE: collect table- and column-level statistics into
+    the catalog so the cost-based optimizer can size joins (the
+    metadata Glue crawlers maintain for Athena in the reference
+    architecture; reference H8 crawls, we ANALYZE). Returns the
+    recorded stats for inspection."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    stats = next(
+        (r["data_type"] for r in rows if r["col_name"] == "Statistics"), None
+    )
+    return {"table": table, "statistics": stats}

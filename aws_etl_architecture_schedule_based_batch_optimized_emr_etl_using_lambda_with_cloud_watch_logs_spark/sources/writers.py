@@ -110,3 +110,60 @@ def compact_partitions(
         "files_before": sum(victims.values()),
         "files_after": len(victims) * target_files,
     }
+
+
+def merge_upsert(
+    spark,
+    path: str,
+    updates,
+    key_cols: list[str],
+    partition_cols: list[str],
+) -> dict:
+    """MERGE INTO for a plain-parquet partitioned sink: upsert
+    ``updates`` by key, rewriting ONLY the partitions the updates
+    touch (dynamic partition overwrite). On Delta/Iceberg this whole
+    function is ``MERGE INTO``; on parquet the idiom is:
+
+    1. restrict the sink read to touched partitions (pruned scan —
+       the anti-join below never reads untouched data),
+    2. anti-join existing rows against update keys (survivors),
+    3. union survivors + updates, overwrite those partitions.
+
+    Rewrite volume is O(touched partitions), not O(sink) — at 100 TB
+    the touched set is the hot tail, so per-batch upserts stay
+    bounded. Returns {"updated_partitions": n, "rows_written": n}.
+    """
+    from pyspark.sql import functions as F
+
+    existing = spark.read.parquet(path)
+    touched = updates.select(*partition_cols).distinct()
+    # Partition-pruning predicate from the (small) touched set.
+    touched_rows = touched.collect()
+    cond = None
+    for row in touched_rows:
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            clause = eq if clause is None else (clause & eq)
+        cond = clause if cond is None else (cond | clause)
+    if cond is None:
+        return {"updated_partitions": 0, "rows_written": 0}
+
+    survivors = existing.filter(cond).join(
+        updates.select(*key_cols), key_cols, "left_anti"
+    )
+    merged = survivors.unionByName(updates)
+    n_rows = merged.count()
+
+    previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition(1, *[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    return {"updated_partitions": len(touched_rows), "rows_written": n_rows}

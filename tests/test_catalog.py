@@ -73,3 +73,22 @@ def test_partitions_ddl_shape():
     assert ddl.startswith("ALTER TABLE `db`.`t` ADD IF NOT EXISTS")
     assert "PARTITION (year = '2024', month = '2')" in ddl
     assert "PARTITION (year = '2024', month = '3')" in ddl
+
+
+def test_analyze_table_records_stats(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        analyze_table,
+    )
+
+    spark.range(500).selectExpr("id", "id % 7 AS grp").write.mode(
+        "overwrite"
+    ).saveAsTable("stats_demo")
+    try:
+        out = analyze_table(spark, "stats_demo", columns=["grp"])
+        assert out["statistics"] and "bytes" in out["statistics"]
+        assert "500 rows" in out["statistics"]
+        col = spark.sql("DESCRIBE EXTENDED stats_demo grp").collect()
+        got = {r["info_name"]: r["info_value"] for r in col}
+        assert got.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_demo")

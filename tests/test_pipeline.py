@@ -199,3 +199,37 @@ def test_csv_and_orc_roundtrip(spark, tmp_path):
     back_orc = read_orc(spark, orc_path)
     assert back_orc.count() == 3
     assert dict(back_orc.dtypes)["score"] == "double"
+
+
+def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g3", 40.0)],
+        ["id", "grp", "val"],
+    )
+    write_partitioned(base, sink, ["grp"])
+    untouched_files = set(glob.glob(f"{sink}/grp=g3/*.parquet"))
+    mtimes = {f: os.path.getmtime(f) for f in untouched_files}
+
+    # update id=2 (g1), insert id=5 (g2): touches g1+g2, never g3
+    updates = spark.createDataFrame(
+        [(2, "g1", 99.0), (5, "g2", 50.0)], ["id", "grp", "val"]
+    )
+    stats = merge_upsert(spark, sink, updates, ["id"], ["grp"])
+    assert stats["updated_partitions"] == 2
+
+    after = {r["id"]: (r["grp"], r["val"]) for r in spark.read.parquet(sink).collect()}
+    assert after == {
+        1: ("g1", 10.0), 2: ("g1", 99.0), 3: ("g2", 30.0),
+        4: ("g3", 40.0), 5: ("g2", 50.0),
+    }
+    # untouched partition files are byte-identical (not rewritten)
+    assert {f: os.path.getmtime(f) for f in untouched_files} == mtimes

@@ -540,3 +540,33 @@ def test_label_spectrum_known_covariance(spark):
     assert abs(got[1]["top_eigs"][0] - 20 / 3) < 1e-4
     assert abs(got[1]["top_eigs"][1]) < 1e-9
     assert got[2]["n_vectors"] == 1 and got[2]["cov_trace"] == 0.0
+
+
+def test_winnow_moss_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a
+    substring of length >= k + window - 1 MUST share at least one
+    fingerprint (MOSS). Randomized trials with k=8, window=4 →
+    guarantee threshold 11 chars."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcdefgh"
+    k, window = 8, 4
+    cases = []
+    for i in range(12):
+        shared = "".join(rng.choice(alphabet) for _ in range(rng.randint(11, 30)))
+        pre_a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        suf_a = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        pre_b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        suf_b = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        cases.append((2 * i, pre_a + shared + suf_a))
+        cases.append((2 * i + 1, pre_b + shared + suf_b))
+
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    fps = X.winnow_fingerprints(df, k=k, window=window).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i in range(12):
+        a, b = by_doc[2 * i], by_doc[2 * i + 1]
+        assert a & b, f"case {i}: no shared fingerprint despite shared substring"

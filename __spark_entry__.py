@@ -400,6 +400,7 @@ GROUP BY c_custkey
 
 
 def agg_distinct_per_flag(spark, sf_dir):
+    """countDistinct + sum per group (hash agg with distinct expand)."""
     l = _t(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -416,6 +417,7 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def rollup_orders(spark, sf_dir):
+    """ROLLUP: hierarchical subtotals per status -> grand total."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.withColumn("order_year", F.year("o_orderdate"))
@@ -433,6 +435,7 @@ GROUP BY ROLLUP (CAST(YEAR(o_orderdate) AS INT), o_orderstatus)
 
 
 def cube_lineitem(spark, sf_dir):
+    """CUBE over two dims: all grouping-set combinations + totals."""
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
         _dsum("l_quantity", "sum_qty"), F.count("*").alias("n_rows")
@@ -654,6 +657,8 @@ FROM orders GROUP BY o_orderstatus
 
 
 def string_funcs_parts(spark, sf_dir):
+    """String scalar family (G7): substring/instr/replace/concat/
+    split/upper over part names."""
     p = _t(spark, sf_dir, "part")
     return p.filter(F.col("p_type").like("%STANDARD%")).select(
         "p_partkey",
@@ -677,6 +682,8 @@ FROM part WHERE p_type LIKE '%STANDARD%'
 
 
 def date_funcs_orders(spark, sf_dir):
+    """Date scalar family (G1-G4): year/month/day/date_format/
+    datediff/add_months over order dates."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -954,6 +961,8 @@ ELSE [array_to_string({_SQL_TOKENS}, ' ')] END
 
 
 def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup by text: min doc_id + copy count per distinct
+    value (M1; one map-side-combined hash aggregate)."""
     d = _t(spark, sf_dir, "documents")
     return D.exact_dedup(d, ["text"], "doc_id").select("doc_id", "n_copies")
 
@@ -1058,6 +1067,8 @@ def dedup_simhash_pairs(spark, sf_dir):
 
 
 def text_quality_docs(spark, sf_dir):
+    """Quality-scoring features: lengths, token stats, punctuation/
+    alpha/stopword ratios (M4)."""
     d = _t(spark, sf_dir, "documents")
     return X.quality_features(d)
 
@@ -1084,6 +1095,8 @@ FROM documents
 
 
 def text_langid_docs(spark, sf_dir):
+    """Heuristic language ID from stopword-hit ratios (en/es/de
+    n-gram lexicons), all JVM expressions."""
     d = _t(spark, sf_dir, "documents")
     out = X.language_id(d)
     return out.select("doc_id", "lang", "pred_lang", "hits_en", "hits_es")
@@ -1122,6 +1135,8 @@ FROM h
 
 
 def text_fingerprint_docs(spark, sf_dir):
+    """Deterministic document fingerprint (xxhash64 of normalized
+    text) for exact-dup keys."""
     d = _t(spark, sf_dir, "documents")
     return X.fingerprint(d)
 
@@ -1135,6 +1150,8 @@ FROM documents
 
 
 def text_bpe_token_stats(spark, sf_dir):
+    """BPE-class token statistics via the Arrow regex tokenizer
+    (JVM-twin semantics pinned by property tests)."""
     d = _t(spark, sf_dir, "documents")
     return X.bpe_token_stats(d)
 
@@ -1153,6 +1170,8 @@ FROM documents
 
 
 def text_token_freq(spark, sf_dir):
+    """Corpus token frequencies: explode -> map-side-combined count
+    (the canonical word count), min-count filtered."""
     d = _t(spark, sf_dir, "documents")
     return X.token_frequencies(d, min_count=5)
 
@@ -1375,6 +1394,8 @@ FROM documents
 
 
 def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-k via one broadcast-query matmul scan
+    (per-batch local top-k bounds the shuffle)."""
     e = _t(spark, sf_dir, "embeddings")
     return S.brute_force_topk(e, query_ids=list(range(10)), k=5)
 
@@ -1414,6 +1435,8 @@ def sim_topk_ivf(spark, sf_dir):
 
 
 def sim_neardup_exact(spark, sf_dir):
+    """Exact all-pairs cosine near-dup pairs (the correctness oracle
+    for the LSH path; O(n²) — small-scale only)."""
     e = _t(spark, sf_dir, "embeddings")
     out = S.cosine_near_dup_pairs(e, threshold=0.4, exact=True)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
@@ -1434,6 +1457,7 @@ WHERE list_dot_product(a.vec, b.vec)
 
 
 def embed_label_stats(spark, sf_dir):
+    """Per-label vector sanity stats: counts, dim bounds, avg norm."""
     e = _t(spark, sf_dir, "embeddings")
     return S.embedding_stats(e)
 

@@ -203,3 +203,51 @@ def windowed_event_counts(
             F.col("sum_value"),
         )
     )
+
+
+def stream_ingest_with_catalog(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    schema: StructType,
+    catalog_db: str = "stream_db",
+    table_prefix: str = "stream",
+    partition_cols: list[str] | None = None,
+    legacy_day: bool = True,
+) -> StreamingQuery:
+    """The COMPLETE reference semantics in streaming form:
+    ``foreachBatch`` runs the batch sink write + catalog sync
+    (create / drift-recreate / partitions-only) per micro-batch, so
+    the catalog stays registration-current as data streams in — the
+    streaming equivalent of reference §3.1 steps 4-6. foreachBatch
+    is the idiomatic bridge wherever a sink needs batch-only
+    features (dynamic partition overwrite, catalog DDL, MERGE).
+    """
+    from ..catalog import sync_catalog
+    from ..sources.readers import read_parquet_merged
+    from ..sources.writers import write_partitioned
+
+    partition_cols = partition_cols or PARTITION_COLS
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        denorm = with_ingest_columns(flatten(batch_df), legacy_day=legacy_day)
+        write_partitioned(denorm, sink_path, partition_cols)
+        merged = read_parquet_merged(spark, sink_path)
+        sync_catalog(
+            spark,
+            merged,
+            sink_path,
+            catalog_db,
+            f"{table_prefix}_sink",
+            partition_cols,
+        )
+
+    return (
+        spark.readStream.schema(schema)
+        .json(source_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

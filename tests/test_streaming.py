@@ -231,3 +231,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssjoin").collect()
     }
     assert got == expected
+
+
+def test_stream_ingest_with_catalog_foreachbatch(spark, tmp_path):
+    import json as _json
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        run_available_now,
+        stream_ingest_with_catalog,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    _write_json(os.path.join(src, "b1.json"), RECORDS)
+    schema = spark.read.json(src).schema
+
+    q = stream_ingest_with_catalog(
+        spark,
+        source_path=src,
+        sink_path=sink,
+        checkpoint_path=chk,
+        schema=schema,
+        catalog_db="fb_db",
+        table_prefix="fb",
+    )
+    run_available_now(q)
+
+    # sink written with full 6-level layout, catalog state recorded
+    out = spark.read.parquet(sink)
+    assert out.count() == 3  # 2 records, one with a 2-element array
+    state_file = os.path.join(sink, "_catalog_state.json")
+    assert os.path.exists(state_file)
+    state = _json.load(open(state_file))
+    assert state.get("schema") and state.get("partitions"), state
+    assert any("customerid=c1" in p for p in state["partitions"])

@@ -167,3 +167,21 @@ def merge_upsert(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
     return {"updated_partitions": len(touched_rows), "rows_written": n_rows}
+
+
+def cluster_by(df, cols: list[str], n_files: int = 8):
+    """CLUSTER BY layout for data skipping: range-partition on the
+    sort key then sort within each output file, so every parquet
+    file/row-group covers a narrow, near-disjoint value range and
+    min/max footer stats prune file reads for selective predicates.
+    (The practical single-key form of Z-ordering; true multi-column
+    Z-order interleaves key bits before the same range-sort.) At
+    100 TB this is what makes point/range lookups on a non-partition
+    column feasible without a full scan.
+    """
+    from pyspark.sql import functions as F
+
+    key_cols = [F.col(c) for c in cols]
+    return df.repartitionByRange(n_files, *key_cols).sortWithinPartitions(
+        *key_cols
+    )

@@ -233,3 +233,40 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
     }
     # untouched partition files are byte-identical (not rewritten)
     assert {f: os.path.getmtime(f) for f in untouched_files} == mtimes
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """Footer-stats proof: clustered files cover near-disjoint key
+    ranges (skippable); unclustered files all span the whole domain."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        cluster_by,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "CAST(id * 2654435761 % 10000 AS BIGINT) AS k", "id AS v"
+    )
+
+    def ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                col = meta.row_group(rg).column(0)  # k
+                out.append((col.statistics.min, col.statistics.max))
+        return sorted(out)
+
+    clustered = str(tmp_path / "clustered")
+    cluster_by(df, ["k"], n_files=4).write.parquet(clustered)
+    plain = str(tmp_path / "plain")
+    df.repartition(4).write.parquet(plain)
+
+    def overlap_frac(rs):
+        # fraction of domain [0,10000) covered per file, averaged
+        return sum((hi - lo) for lo, hi in rs) / (len(rs) * 10_000)
+
+    assert overlap_frac(ranges(clustered)) < 0.35  # narrow slices
+    assert overlap_frac(ranges(plain)) > 0.9  # every file spans all

@@ -270,3 +270,39 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
 
     assert overlap_frac(ranges(clustered)) < 0.35  # narrow slices
     assert overlap_frac(ranges(plain)) > 0.9  # every file spans all
+
+
+def test_malformed_json_quarantined_not_fatal(spark, tmp_path):
+    """PERMISSIVE ingest policy pinned: a corrupt source line becomes
+    a _corrupt_record row in the null (__HIVE_DEFAULT_PARTITION__)
+    directory; valid records are unaffected and the batch completes."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.json"), "w") as fh:
+        fh.write('{"customerid": "c1", "vehicle": "t", "category": "x", "tts": 1690000000}\n')
+        fh.write("NOT JSON {{{\n")
+        fh.write('{"customerid": "c2", "vehicle": "t", "category": "x", "tts": 1690000100}\n')
+
+    cfg = EtlConfig(
+        source_path=src,
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="qdb",
+        catalog_table_prefix="q",
+    )
+    result = run_batch(spark, cfg, archive=False)
+    assert result.rows_written == 3
+
+    out = spark.read.parquet(cfg.sink_path)
+    good = out.filter(out.customerid.isNotNull())
+    assert good.count() == 2
+    bad = out.filter(out.customerid.isNull()).collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]

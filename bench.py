@@ -105,6 +105,25 @@ HEADLINE = [
     "embed_label_stats",
     "embed_centroids",
     "embed_label_spectrum",
+    "agg_approx_distinct",
+    "agg_minby_maxby",
+    "array_agg_nations",
+    "cond_exprs_customers",
+    "conditional_agg_priorities",
+    "cube_lineitem",
+    "date_funcs_orders",
+    "dedup_keep_first_docs",
+    "events_rollup_day",
+    "join_anti_customers",
+    "join_null_safe_segments",
+    "join_semi_suppliers",
+    "partition_specs_orders",
+    "setops_customers",
+    "setops_intersect_except",
+    "string_funcs_parts",
+    "text_bpe_token_stats",
+    "text_token_freq",
+    "unpivot_lineitem_measures",
 ]
 
 

@@ -496,18 +496,21 @@ def connected_components(
     max_iter: int = 30,
 ) -> DataFrame:
     """Connected components of the near-dup pair graph by min-label
-    propagation: every node starts labeled with its own id; each
-    round takes the min of its label and its neighbors' labels;
-    convergence when the global label sum stops falling (it is
-    strictly decreasing while any label can improve).
+    propagation WITH pointer jumping: each round a node takes the min
+    of (its label, its neighbors' labels, its label's label). The
+    neighbor step alone needs diameter rounds — a length-d dup chain
+    would need d iterations; the label-of-label shortcut doubles the
+    effective propagation distance per round, so convergence is
+    O(log diameter) (a 64-node path converges in ~7 rounds, test-
+    pinned). Convergence detector: the global label sum, strictly
+    decreasing while any label can improve.
 
-    Rounds = graph diameter (near-dup clusters are shallow — dup
-    chains longer than a few hops are rare), each round one shuffle
-    of the edge list. ``localCheckpoint`` truncates the iterative
-    lineage so the plan doesn't grow per round; on a cluster with a
-    checkpoint dir, ``checkpoint`` would make rounds restartable.
-    Returns (node, cluster_id) for every node that appears in
-    ``pairs``; cluster_id = min node id in the component.
+    Each round is two joins + one shuffle of the (tiny relative to
+    the corpus) edge/label frames. ``localCheckpoint`` truncates the
+    iterative lineage so the plan doesn't grow per round; on a
+    cluster with a checkpoint dir, ``checkpoint`` would make rounds
+    restartable. Returns (node, cluster_id) for every node that
+    appears in ``pairs``; cluster_id = min node id in the component.
     """
     sym = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -530,12 +533,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        stepped = (
             labels.join(nbr, labels.node == nbr.src, "left_outer")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("cand"),
+            )
+        )
+        jump = labels.select(
+            F.col("node").alias("j_node"), F.col("label").alias("j_label")
+        )
+        labels = (
+            stepped.join(jump, stepped.cand == jump.j_node, "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("cand"), F.coalesce("j_label", F.col("cand"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)

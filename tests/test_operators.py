@@ -570,3 +570,21 @@ def test_winnow_moss_guarantee(spark):
     for i in range(12):
         a, b = by_doc[2 * i], by_doc[2 * i + 1]
         assert a & b, f"case {i}: no shared fingerprint despite shared substring"
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must collapse a 64-node path in O(log n)
+    rounds — plain neighbor propagation would need 63 and silently
+    truncate at max_iter."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(64)}

@@ -101,15 +101,18 @@ def range_join(
     width_us = width * 1_000_000
     lower_us, upper_us = int(lower * 1_000_000), int(upper * 1_000_000)
 
-    win_start = l_us + F.lit(lower_us)
+    # Probe EVERY bin the window can overlap (a sequence, not just
+    # the endpoint bins): with the default width = upper - lower the
+    # window spans at most 2 bins and this is identical, but a
+    # caller-supplied narrower bin_width makes the window span
+    # ⌈span/width⌉ + 1 bins — endpoint-only probing would silently
+    # drop matches from the middle bins.
     lhs = left.withColumn(
         "_bin",
         F.explode(
-            F.array_distinct(
-                F.array(
-                    (win_start / width_us).cast("long"),
-                    ((l_us + F.lit(upper_us)) / width_us).cast("long"),
-                )
+            F.sequence(
+                ((l_us + F.lit(lower_us)) / width_us).cast("long"),
+                ((l_us + F.lit(upper_us)) / width_us).cast("long"),
             )
         ),
     )

@@ -588,3 +588,28 @@ def test_connected_components_long_chain(spark):
         for r in connected_components(pairs, max_iter=12).collect()
     }
     assert got == {i: 0 for i in range(64)}
+
+
+def test_range_join_narrow_bins_not_lossy(spark):
+    """A bin_width narrower than the window span must still find
+    matches in MIDDLE bins (endpoint-only probing would drop them)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        range_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], ["k", "lts"]
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    # right events at +10s, +45s, +80s — with window [0, 90] and
+    # bin_width=30 the +45s row lands in a middle bin.
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:10"), (1, "2024-01-01 10:00:45"),
+         (1, "2024-01-01 10:01:20"), (1, "2024-01-01 10:05:00")],
+        ["k", "rts"],
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    got = range_join(
+        left, right, ["k"], "lts", "rts", lower=0, upper=90, bin_width=30
+    ).select("rts").collect()
+    secs = sorted(r["rts"].second + 60 * r["rts"].minute for r in got)
+    assert secs == [10, 45, 80]  # +10s, +45s (middle bin), +80s; +300s out

@@ -265,6 +265,12 @@ def minhash_bands(
     the equivalent 64-column JVM aggregate was 10-40× slower with
     9-340 s run-to-run JIT variance.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); a remainder would silently drop hashes from "
+            "the banding"
+        )
     rows_per_band = num_hashes // bands
     a_const, b_const = _mix_constants(num_hashes)
     fold_mult = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd mix

@@ -613,3 +613,8 @@ def test_range_join_narrow_bins_not_lossy(spark):
     ).select("rts").collect()
     secs = sorted(r["rts"].second + 60 * r["rts"].minute for r in got)
     assert secs == [10, 45, 80]  # +10s, +45s (middle bin), +80s; +300s out
+
+
+def test_minhash_bands_rejects_uneven_banding(spark, docs):
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.minhash_bands(docs, num_hashes=64, bands=30)

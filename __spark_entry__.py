@@ -89,13 +89,34 @@ def q1_pricing_summary(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1999-12-01").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Decimal-typed FACTORS, then exact decimal multiplication: casting
+    # the 3-factor double product to decimal rounds ties at the 4th
+    # decimal differently in Spark (HALF_UP) vs DuckDB. Casting each
+    # narrow factor first is tie-free, and decimal x decimal is exact
+    # and engine-independent: (18,4)x(6,4)->(25,8), x(6,4)->(32,12).
+    # Each exact product is ROUNDed to scale 4 per row — ROUND on
+    # decimal is half-away-from-zero in BOTH engines and reduces the
+    # result type's scale (Spark's decimal->decimal CAST is HALF_UP but
+    # DuckDB's TRUNCATES, so CAST must never rescale) — then summed at
+    # scale 4, where the unscaled value stays < 2^53 and the final
+    # double cast is one exact-int conversion + one correctly-rounded
+    # division on both engines.
+    one = F.lit(1).cast("decimal(5,4)")
+    ep = _dec("l_extendedprice")
+    disc_price = F.round(
+        ep * (one - F.col("l_discount").cast("decimal(5,4)")), 4
+    )
+    charge = F.round(
+        ep
+        * (one - F.col("l_discount").cast("decimal(5,4)"))
+        * (one + F.col("l_tax").cast("decimal(5,4)")),
+        4,
+    )
     out = l.groupBy("l_returnflag", "l_linestatus").agg(
         _dsum("l_quantity", "sum_qty"),
         _dsum("l_extendedprice", "sum_base_price"),
-        _dsum(disc_price, "sum_disc_price"),
-        _dsum(charge, "sum_charge"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
         F.count("*").alias("count_order"),
     )
     return out.select(
@@ -116,8 +137,13 @@ WITH agg AS (
   SELECT l_returnflag, l_linestatus,
          {_sql_dsum('l_quantity', 'sum_qty')},
          {_sql_dsum('l_extendedprice', 'sum_base_price')},
-         {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
-         {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+         CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4))),
+                        4)) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(5,4)))
+                        * (CAST(1 AS DECIMAL(5,4)) + CAST(l_tax AS DECIMAL(5,4))),
+                        4)) AS DOUBLE) AS sum_charge,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
@@ -896,13 +922,41 @@ FROM events GROUP BY 1, 2
 
 
 def agg_approx_distinct(spark, sf_dir):
-    """HLL++ sketch distinct counts (approximate -> rows-only; the
-    5%-of-exact bound is pinned in tests)."""
+    """HLL++ sketch distinct counts. The raw estimates are engine-
+    specific, so the oracle-checkable output is (a) the exact distinct
+    counts and (b) a within-5%-of-exact flag per sketch (rsd=0.02, so
+    5% = 2.5 sigma) — the driver hash now verifies the quantitative
+    accuracy bound instead of recording a rows-only result."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    a = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
     )
+    return a.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.col("approx_supps") - F.col("exact_supps"))
+            <= 0.05 * F.col("exact_supps")
+        ).alias("supps_within_5pct"),
+    )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_supps,
+       TRUE AS parts_within_5pct,
+       TRUE AS supps_within_5pct
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # ------------------------------------------- reference ETL parity ops
@@ -1653,10 +1707,10 @@ def q12_ship_delay(spark, sf_dir):
 Q12_SQL = """
 SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
             THEN 'SLOW' ELSE 'FAST' END AS ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY ship_class
 """
@@ -2517,7 +2571,8 @@ SELECT COUNT(*) AS n_rows,
        COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
          AS n_k_parsed,
        COUNT(TRY_CAST(event_type AS INTEGER)) AS n_type_parsed,
-       SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER))
+            AS BIGINT) AS sum_k
 FROM events
 """
 
@@ -2772,18 +2827,50 @@ GROUP BY token HAVING COUNT(*) >= 50
 
 
 def approx_quantile_orders(spark, sf_dir):
-    """approx_percentile (GK sketch) per priority — algorithm-
-    specific results (rows-only check); the accuracy bound vs the
-    exact percentile is pinned in tests/test_operators.py. The
-    sketch is the 100 TB path: mergeable, bounded memory, one pass —
-    exact percentile_orders is the small-scale oracle twin."""
+    """approx_percentile (GK sketch, accuracy=10000) per priority.
+    The sketch is the 100 TB path: mergeable, bounded memory, one
+    pass. Raw sketch outputs are engine-specific, so the oracle-
+    checkable output is the exact interpolated median plus a flag
+    that each approx quantile lies within the +-0.005 RANK window of
+    the exact distribution (rank error for accuracy=10000 is 1e-4 —
+    the bound holds with 50x slack)."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    a = o.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("approx_p50_p90_p99"),
+        ).alias("ap"),
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.495, 0.505, 0.895, 0.905, 0.985, 0.995))"
+        ).alias("ex"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "exact_median"
+        ),
         F.count("*").alias("n_orders"),
     )
+    within = (
+        (F.col("ap")[0] >= F.col("ex")[0])
+        & (F.col("ap")[0] <= F.col("ex")[1])
+        & (F.col("ap")[1] >= F.col("ex")[2])
+        & (F.col("ap")[1] <= F.col("ex")[3])
+        & (F.col("ap")[2] >= F.col("ex")[4])
+        & (F.col("ap")[2] <= F.col("ex")[5])
+    )
+    return a.select(
+        "o_orderpriority",
+        "n_orders",
+        "exact_median",
+        within.alias("within_rank_bounds"),
+    )
+
+
+APPROX_QUANTILE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS exact_median,
+       TRUE AS within_rank_bounds
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 def snapshot_diff_orders(spark, sf_dir):
@@ -2859,13 +2946,13 @@ DQ_CHECKS_SQL = """
 SELECT n_rows, n_null_key, n_dup_key, n_bad_status,
        n_nonpositive_price, n_orphan_custkey
 FROM (SELECT COUNT(*) AS n_rows,
-             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
-               AS n_null_key,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null_key,
              COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_key,
-             SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
-                      THEN 1 ELSE 0 END) AS n_bad_status,
-             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
-               AS n_nonpositive_price
+             CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nonpositive_price
       FROM orders),
      (SELECT COUNT(*) AS n_orphan_custkey FROM orders
       WHERE NOT EXISTS (SELECT 1 FROM customer
@@ -2893,8 +2980,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered for the driver's correctness gate, which checks entries
+    front-to-back under a budget (~50/round in round 1). Round-1 proved
+    47 entries green; this round leads with everything still unproven:
+
+    1. the 3 round-1 hash mismatches, now fixed (q1 decimal rounding,
+       q12/try_cast HUGEINT oracles) — re-proof first;
+    2. the 42 oracle-backed gates round 1 never reached (extension
+       suite + query-surface gates);
+    3. the 7 rows-only gates (algorithm-specific output; quantitative
+       bounds live in pytest) — weakest driver signal, so last of the
+       unproven block;
+    4. the 47 entries already green in CORRECTNESS_r01.json.
+    """
     return {
+        # -- (1) round-1 hash fails, fixed this round
         "q1_pricing_summary": q1_pricing_summary,
+        "q12_ship_delay": q12_ship_delay,
+        "try_cast_events": try_cast_events,
+        # -- (2) oracle-backed, no driver row yet
+        "multimodal_features_docs": multimodal_features_docs,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_keep_first_docs": dedup_keep_first_docs,
+        "dedup_ngram_pairs": dedup_ngram_pairs,
+        "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_cluster_docs": dedup_cluster_docs,
+        "curation_pipeline_docs": curation_pipeline_docs,
+        "skew_salted_token_counts": skew_salted_token_counts,
+        "snapshot_diff_orders": snapshot_diff_orders,
+        "dq_checks_orders": dq_checks_orders,
+        "text_quality_docs": text_quality_docs,
+        "text_langid_docs": text_langid_docs,
+        "text_fingerprint_docs": text_fingerprint_docs,
+        "text_bpe_token_stats": text_bpe_token_stats,
+        "text_token_freq": text_token_freq,
+        "sim_topk_bruteforce": sim_topk_bruteforce,
+        "sim_neardup_exact": sim_neardup_exact,
+        "embed_label_stats": embed_label_stats,
+        "embed_centroids": embed_centroids,
+        "topk_orders": topk_orders,
+        "setops_customers": setops_customers,
+        "unpivot_lineitem_measures": unpivot_lineitem_measures,
+        "setops_intersect_except": setops_intersect_except,
+        "join_null_safe_segments": join_null_safe_segments,
+        "agg_minby_maxby": agg_minby_maxby,
+        "string_funcs_parts": string_funcs_parts,
+        "date_funcs_orders": date_funcs_orders,
+        "json_extract_events": json_extract_events,
+        "events_tumbling_window": events_tumbling_window,
+        "events_sessionize": events_sessionize,
+        "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
+        "events_rollup_day": events_rollup_day,
+        "flatten_restructure": flatten_restructure,
+        "partition_specs_orders": partition_specs_orders,
+        "math_funcs_lineitem": math_funcs_lineitem,
+        "cond_exprs_customers": cond_exprs_customers,
+        "percentile_orders": percentile_orders,
+        "stats_agg_lineitem": stats_agg_lineitem,
+        "scalar_subquery_small_orders": scalar_subquery_small_orders,
+        "array_agg_nations": array_agg_nations,
+        "sql_grouping_sets": sql_grouping_sets,
+        "agg_approx_distinct": agg_approx_distinct,
+        "approx_quantile_orders": approx_quantile_orders,
+        # -- (3) rows-only (no SQL-expressible oracle)
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
+        "embed_label_spectrum": embed_label_spectrum,
+        "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
+        # -- (4) green in CORRECTNESS_r01.json
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2905,7 +3060,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
-        "q12_ship_delay": q12_ship_delay,
         "q13_order_distribution": q13_order_distribution,
         "q17_small_quantity": q17_small_quantity,
         "q19_disjunctive": q19_disjunctive,
@@ -2929,7 +3083,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "posexplode_part_words": posexplode_part_words,
         "map_pivot_priorities": map_pivot_priorities,
         "weekly_gapfill_orders": weekly_gapfill_orders,
-        "try_cast_events": try_cast_events,
         "union_by_name_customers": union_by_name_customers,
         "hof_exists_forall_docs": hof_exists_forall_docs,
         "fuzzy_levenshtein_parts": fuzzy_levenshtein_parts,
@@ -2944,55 +3097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditional_agg_priorities": conditional_agg_priorities,
         "window_rank_customers": window_rank_customers,
         "window_running_spend": window_running_spend,
-        "topk_orders": topk_orders,
-        "setops_customers": setops_customers,
-        "unpivot_lineitem_measures": unpivot_lineitem_measures,
-        "setops_intersect_except": setops_intersect_except,
-        "join_null_safe_segments": join_null_safe_segments,
-        "agg_minby_maxby": agg_minby_maxby,
-        "string_funcs_parts": string_funcs_parts,
-        "date_funcs_orders": date_funcs_orders,
-        "json_extract_events": json_extract_events,
-        "events_tumbling_window": events_tumbling_window,
-        "events_sessionize": events_sessionize,
-        "events_asof_join": events_asof_join,
-        "events_range_join": events_range_join,
-        "events_rollup_day": events_rollup_day,
-        "agg_approx_distinct": agg_approx_distinct,
-        "flatten_restructure": flatten_restructure,
-        "partition_specs_orders": partition_specs_orders,
-        "math_funcs_lineitem": math_funcs_lineitem,
-        "cond_exprs_customers": cond_exprs_customers,
-        "percentile_orders": percentile_orders,
-        "stats_agg_lineitem": stats_agg_lineitem,
-        "scalar_subquery_small_orders": scalar_subquery_small_orders,
-        "array_agg_nations": array_agg_nations,
-        "sql_grouping_sets": sql_grouping_sets,
-        "multimodal_features_docs": multimodal_features_docs,
-        "dedup_exact_docs": dedup_exact_docs,
-        "dedup_keep_first_docs": dedup_keep_first_docs,
-        "dedup_ngram_pairs": dedup_ngram_pairs,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
-        "dedup_cluster_docs": dedup_cluster_docs,
-        "curation_pipeline_docs": curation_pipeline_docs,
-        "skew_salted_token_counts": skew_salted_token_counts,
-        "approx_quantile_orders": approx_quantile_orders,
-        "snapshot_diff_orders": snapshot_diff_orders,
-        "dq_checks_orders": dq_checks_orders,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_winnow_pairs": dedup_winnow_pairs,
-        "text_quality_docs": text_quality_docs,
-        "text_langid_docs": text_langid_docs,
-        "text_fingerprint_docs": text_fingerprint_docs,
-        "text_bpe_token_stats": text_bpe_token_stats,
-        "text_token_freq": text_token_freq,
-        "sim_topk_bruteforce": sim_topk_bruteforce,
-        "sim_topk_lsh": sim_topk_lsh,
-        "sim_topk_ivf": sim_topk_ivf,
-        "sim_neardup_exact": sim_neardup_exact,
-        "embed_label_stats": embed_label_stats,
-        "embed_centroids": embed_centroids,
-        "embed_label_spectrum": embed_label_spectrum,
     }
 
 
@@ -3062,6 +3166,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_JOIN_SQL,
         "events_rollup_day": ROLLUP_DAY_SQL,
+        "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,
+        "approx_quantile_orders": APPROX_QUANTILE_SQL,
         "flatten_restructure": FLATTEN_SQL,
         "partition_specs_orders": PARTITION_SPECS_SQL,
         "math_funcs_lineitem": MATH_SQL,
@@ -3091,5 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_label_stats": EMBED_STATS_SQL,
         "embed_centroids": EMBED_CENTROIDS_SQL,
         # rows-only (algorithm-specific, not SQL-expressible):
-        #   dedup_simhash_pairs, sim_topk_lsh, sim_topk_ivf
+        #   dedup_simhash_pairs, dedup_winnow_pairs, sim_topk_lsh,
+        #   sim_topk_ivf, embed_label_spectrum — quantitative recall /
+        #   containment / eigen bounds for each are pinned in pytest
     }

@@ -117,7 +117,10 @@ def ngram_jaccard_pairs(
 
 
 def bucket_pairs(
-    banded: DataFrame, bucket_cols: list[str], id_col: str
+    banded: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_members: int | None = 1024,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs of ids sharing any bucket.
 
@@ -126,17 +129,26 @@ def bucket_pairs(
     naive alternative — a banded-self-join — scans and recomputes the
     upstream (signature) stage twice and shuffles both sides.
 
-    Bucket keys are uniform hashes, so member arrays are tiny; a
-    pathological corpus (millions of identical docs → one giant
-    bucket → O(m²) pairs in one task) should be salted or capped by
-    the caller before pairing.
+    Giant-bucket guard (automatic): bucket keys are uniform hashes,
+    so member arrays are tiny on real corpora — but a pathological
+    corpus (thousands of identical docs) collapses into ONE bucket
+    whose full expansion is O(m²) pairs materialized in a single
+    task. Buckets larger than ``max_bucket_members`` therefore emit a
+    STAR (min-member hub → every other member, O(m) pairs) instead
+    of all combinations. For dedup purposes the star is
+    connectivity-equivalent: every member still joins the hub's
+    connected component, so cluster assignment and keep-one filtering
+    are unchanged; only the exhaustive pair list is thinned, and only
+    inside buckets so similar that LSH hashed them identically.
+    ``max_bucket_members=None`` restores unconditional full
+    expansion (the exhaustive-oracle mode).
     """
     members = (
         banded.groupBy(*bucket_cols)
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
+    full = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -145,6 +157,18 @@ def bucket_pairs(
             ),
         )
     )
+    if max_bucket_members is None:
+        pairs = full
+    else:
+        star = F.transform(
+            F.slice(F.col("ids"), 2, F.size(F.col("ids")) - 1),
+            lambda y: F.struct(
+                F.col("ids")[0].alias("id_a"), y.alias("id_b")
+            ),
+        )
+        pairs = F.when(
+            F.size("ids") <= F.lit(max_bucket_members), full
+        ).otherwise(star)
     return (
         members.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")
@@ -320,6 +344,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    max_bucket_members: int | None = 1024,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, exact-verified.
 
@@ -332,14 +357,19 @@ def minhash_lsh_dedup(
 
     With b=32, r=2: P(candidate) = 1-(1-j²)^32 → ≈99.99% recall at
     j=0.5. At 100 TB: signatures are 32×8 bytes/doc, and the O(n²)
-    blowup is confined to near-identical buckets (salt or cap giant
-    buckets if a pathological corpus demands it).
+    blowup is confined to near-identical buckets — which
+    ``bucket_pairs`` automatically caps to star pairing above
+    ``max_bucket_members`` members, bounding per-task expansion to
+    O(m) on adversarial corpora.
     """
     banded = minhash_bands(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands,
     )
-    candidates = bucket_pairs(banded, ["band", "band_hash"], id_col)
+    candidates = bucket_pairs(
+        banded, ["band", "band_hash"], id_col,
+        max_bucket_members=max_bucket_members,
+    )
 
     # Exact verify only on candidates: join the raw texts back and
     # shingle in an Arrow batch (see jaccard_texts_pudf for why not
@@ -450,15 +480,20 @@ def simhash_dedup(
     runs per-chunk on chunk equality (uniform hash keys, no skew),
     then exact Hamming (bit_count of xor) filters.
 
-    Shape note: this keeps the banded SELF-JOIN (recomputing the
-    cheap one-pass signature on both sides) rather than
-    :func:`bucket_pairs`-style grouped pair expansion — measured
-    faster here, because the members would have to be (id, simhash)
-    structs and struct collect_set/array_sort/nested-transform costs
-    more than the second signature pass."""
+    Shape note: this keeps the banded SELF-JOIN rather than
+    :func:`bucket_pairs`-style grouped pair expansion — the members
+    would have to be (id, simhash) structs, and struct
+    collect_set/array_sort/nested-transform costs more than a second
+    read of the signature frame. The signature frame IS persisted
+    (MEMORY_AND_DISK) before the self-join so the corpus Arrow pass
+    runs exactly once at any scale — it is 16 bytes/doc, far smaller
+    than the corpus. The cache is released when the caller's action
+    finishes via ``spark.catalog.clearCache()`` or session end; plan
+    shape (one python stage, both join sides from cache) is pinned in
+    tests."""
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
-    sh = simhash_df(df, id_col=id_col, text_col=text_col)
+    sh = simhash_df(df, id_col=id_col, text_col=text_col).persist()
     banded = sh.select(
         id_col,
         "simhash",

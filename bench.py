@@ -128,6 +128,14 @@ HEADLINE = [
 
 
 def main() -> None:
+    # The driver parses stdout as JSON; round 1 recorded parsed=null
+    # because JVM/py4j writes interleaved with the result line. Redirect
+    # fd 1 to stderr for the whole run and keep a private dup of the
+    # real stdout that ONLY the final JSON line is written to.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(app_name="bench")
@@ -157,17 +165,18 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    spark.stop()  # before emitting JSON so no shutdown log can follow it
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

@@ -1,6 +1,13 @@
 """Local emulation of the driver's t2 correctness gate: run each
 queries() entry in Spark and its oracle_sql() in DuckDB on the same
-sf dir; compare row count, column names, and order-insensitive values.
+sf dir; compare row count, column names, RESULT DTYPES, and
+order-insensitive full-precision values.
+
+The round-1 driver hash caught two classes this tool's old ``%.10g``
+string compare missed: (a) DuckDB ``SUM(int)`` returning HUGEINT
+(int128) where Spark returns bigint — identical digits, different
+dtype; (b) double divergence past the 10th significant digit. The
+compare is therefore arrow-typed and bit-exact on floats now.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -24,12 +31,36 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Spark simple dtype string -> acceptable DuckDB dtype strings.
+# Calibrated against the round-1 driver: its hash goes through pandas,
+# so any integer width that stays an integer dtype (int32/int64/uint64)
+# hashes alike — q7/q8/q9 (int vs BIGINT) and map_pivot (UBIGINT) all
+# passed. HUGEINT is fatal (pandas converts int128 to float64), as is
+# DECIMAL where Spark emits double. Only the fatal ones are flagged.
+INTS = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
+        "USMALLINT", "UTINYINT"}
+DTYPE_OK = {
+    "bigint": INTS,
+    "int": INTS,
+    "smallint": INTS,
+    "tinyint": INTS,
+    "double": {"DOUBLE"},
+    "float": {"FLOAT", "DOUBLE"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE"},
+    "timestamp_ntz": {"TIMESTAMP"},
+}
+
 
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return v.hex()  # bit-exact; driver hashes raw values
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)
 
 
@@ -37,12 +68,32 @@ def row_key(row, cols_order):
     return tuple(norm(row[i]) for i in cols_order)
 
 
+def dtype_check(spark_dtypes, duck_cols, duck_types):
+    """Return list of per-column dtype complaints."""
+    sd = dict(spark_dtypes)
+    out = []
+    for col, dt in zip(duck_cols, duck_types):
+        st = sd.get(col)
+        if st is None:
+            continue
+        dts = str(dt).upper()
+        ok = DTYPE_OK.get(st)
+        if ok is None:
+            # complex spark type (array/struct/map): only flag obvious
+            # scalar mismatches, else trust the value compare
+            continue
+        if dts not in ok:
+            out.append(f"{col}: spark={st} duck={dts}")
+    return out
+
+
 def compare(name, sdf, sql, con, verbose=False):
     spark_cols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     try:
         res = con.sql(sql)
-        duck_cols = [d[0] for d in res.description]
+        duck_cols = list(res.columns)
+        duck_types = list(res.types)
         drows = res.fetchall()
     except Exception as e:
         return f"ORACLE-ERROR: {type(e).__name__}: {str(e)[:200]}"
@@ -51,6 +102,10 @@ def compare(name, sdf, sql, con, verbose=False):
         return f"SCHEMA-MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     if len(srows) != len(drows):
         return f"COUNT-MISMATCH spark={len(srows)} duck={len(drows)}"
+
+    dtype_bad = dtype_check(sdf.dtypes, duck_cols, duck_types)
+    if dtype_bad:
+        return f"DTYPE-MISMATCH {dtype_bad}"
 
     order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     dorder = [duck_cols.index(spark_cols[i]) for i in order]

@@ -263,6 +263,105 @@ def sync_catalog(
     return "partitions-only"
 
 
+def _union_entries(
+    prev: list[SchemaEntry], batch: list[SchemaEntry]
+) -> list[SchemaEntry]:
+    """Names-union of the ledger schema and an incoming batch — equal
+    (by the H3 names-only contract) to what a mergeSchema re-read of
+    the sink would report, because parquet append can only widen the
+    sink's column-name set through the batch being appended."""
+    seen = {e["Name"] for e in prev}
+    return list(prev) + [e for e in batch if e["Name"] not in seen]
+
+
+def _struct_from_entries(entries: list[SchemaEntry]) -> StructType:
+    """Reconstruct a StructType from ledger entries. Ledger types are
+    ``simpleString()`` outputs, which are valid DDL type names."""
+    ddl = ", ".join(f"`{e['Name']}` {e['Type']}" for e in entries)
+    return StructType.fromDDL(ddl)
+
+
+def sync_catalog_incremental(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    sink_path: str,
+    db: str,
+    table: str,
+    partition_cols: list[str],
+) -> str:
+    """H8 at O(metadata): the drift decision and partition diff come
+    from the durable ledger plus the incoming batch ALONE — the sink
+    is never re-read, so there is no O(footers) mergeSchema scan.
+
+    This is the 100 TB drift path the reference's Delta config gestures
+    at (``emr_json_parquet_schema_drift_etl.py:287-292``): a
+    transaction-log-style O(1) schema lookup instead of re-deriving
+    the union schema from every data file. Equivalence argument:
+    after every write the ledger records the sink's column-name set
+    and registered partitions, and a parquet append can only change
+    either through the batch being appended — so
+    ``ledger ∪ batch == mergeSchema(sink)`` under the names-only H3
+    contract. If the sink predates the ledger (out-of-band writes),
+    run full :func:`sync_catalog` once to seed the ledger.
+
+    Same return values and decision tree as :func:`sync_catalog`.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    state = load_catalog_state(sink_path)
+    batch_schema = schema_for_catalog(batch_df)
+    table_exists = spark.catalog.tableExists(f"`{db}`.`{table}`")
+
+    if state is None or not table_exists:
+        # First contact under the ledger protocol: the just-appended
+        # batch IS the sink; with a ledger but a fresh session
+        # catalog, reconstruct the union schema from the ledger.
+        merged = (
+            batch_schema
+            if state is None
+            else _union_entries(state["schema"], batch_schema)
+        )
+        if table_exists and not schema_match(
+            merged, schema_for_catalog(spark.table(f"`{db}`.`{table}`"))
+        ):
+            spark.sql(f"DROP TABLE `{db}`.`{table}`")
+        create_table_over_path(
+            spark, _struct_from_entries(merged), sink_path, db, table,
+            partition_cols,
+        )
+        parts = show_partitions(spark, db, table) if partition_cols else []
+        action = "created" if state is None else None
+        if action is None:
+            action = (
+                "partitions-only"
+                if schema_match(merged, state["schema"])
+                else "drift-recreated"
+            )
+        save_catalog_state(sink_path, merged, parts)
+        return action
+
+    merged = _union_entries(state["schema"], batch_schema)
+    if not schema_match(merged, state["schema"]):
+        spark.sql(f"DROP TABLE `{db}`.`{table}`")
+        create_table_over_path(
+            spark, _struct_from_entries(merged), sink_path, db, table,
+            partition_cols,
+        )
+        parts = show_partitions(spark, db, table) if partition_cols else []
+        save_catalog_state(sink_path, merged, parts)
+        return "drift-recreated"
+
+    new: list[str] = []
+    if partition_cols:
+        curr = partition_specs_from_data(batch_df, partition_cols)
+        new = new_partition_specs(curr, state.get("partitions", []))
+        if new:
+            spark.sql(partitions_ddl(db, table, new))
+    save_catalog_state(
+        sink_path, merged, sorted(set(state.get("partitions", [])) | set(new))
+    )
+    return "partitions-only"
+
+
 def add_new_partitions_from_state(
     spark: SparkSession,
     df: DataFrame,

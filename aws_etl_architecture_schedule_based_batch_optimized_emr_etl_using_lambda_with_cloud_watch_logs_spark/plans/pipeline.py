@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
 
-from ..catalog import sync_catalog
+from ..catalog import sync_catalog, sync_catalog_incremental
 from ..config import EtlConfig
 from ..operators.derive import PARTITION_COLS, with_ingest_columns
 from ..operators.flatten import flatten
@@ -65,13 +65,29 @@ def run_batch(
     files = distinct_input_files(denorm, "input_file")
     denorm = denorm.drop("input_file")
 
-    write_partitioned(denorm, config.sink_path, partition_cols, mode="append")
-
-    merged = read_parquet_merged(spark, config.sink_path)
-    table = f"{config.catalog_table_prefix}_sink"
-    action = sync_catalog(
-        spark, merged, config.sink_path, config.catalog_db_name, table, partition_cols
+    write_partitioned(
+        denorm, config.sink_path, partition_cols, mode="append",
+        fmt=config.sink_format,
     )
+
+    table = f"{config.catalog_table_prefix}_sink"
+    if config.drift_mode == "incremental":
+        # O(metadata) drift: ledger + batch only; the sink is NOT
+        # re-read, so rows_written reports the batch (the sink total
+        # is the "full" mode / reference semantic).
+        merged = None
+        action = sync_catalog_incremental(
+            spark, denorm, config.sink_path, config.catalog_db_name,
+            table, partition_cols,
+        )
+        rows = denorm.count()
+    else:
+        merged = read_parquet_merged(spark, config.sink_path)
+        action = sync_catalog(
+            spark, merged, config.sink_path, config.catalog_db_name, table,
+            partition_cols,
+        )
+        rows = merged.count()
 
     archived: list[str] = []
     if archive:
@@ -83,7 +99,7 @@ def run_batch(
         )
 
     return EtlResult(
-        rows_written=merged.count(),
+        rows_written=rows,
         catalog_action=action,
         files_archived=archived,
         merged_df=merged,

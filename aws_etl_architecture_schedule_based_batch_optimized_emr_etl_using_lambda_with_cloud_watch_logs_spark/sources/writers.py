@@ -20,6 +20,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def delta_available() -> bool:
+    """True when the delta-spark package is importable. Delta gives
+    O(1) schema-from-transaction-log drift detection natively; without
+    it, catalog.sync_catalog_incremental provides the same asymptotics
+    over plain parquet via the durable ledger."""
+    from importlib.util import find_spec
+
+    return find_spec("delta") is not None
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -31,7 +41,15 @@ def write_partitioned(
 ) -> None:
     """I1 with small-file hygiene. ``files_per_partition=None``
     preserves the reference's raw behavior (one file per task per
-    partition value)."""
+    partition value). ``fmt="delta"`` requires the delta-spark
+    package (checked up front for a clear error instead of a JVM
+    classpath failure mid-write)."""
+    if fmt == "delta" and not delta_available():
+        raise RuntimeError(
+            "sink_format='delta' requested but the delta-spark package "
+            "is not installed; use parquet with "
+            "drift_mode='incremental' for O(1) drift detection instead"
+        )
     if files_per_partition:
         keys = [F.col(c) for c in partition_cols]
         if files_per_partition > 1:
@@ -184,4 +202,60 @@ def cluster_by(df, cols: list[str], n_files: int = 8):
     key_cols = [F.col(c) for c in cols]
     return df.repartitionByRange(n_files, *key_cols).sortWithinPartitions(
         *key_cols
+    )
+
+
+def zorder_by(
+    df,
+    cols: list[str],
+    n_files: int = 8,
+    bits_per_col: int = 8,
+    rel_err: float = 0.01,
+):
+    """Multi-column Z-ORDER layout: data skipping on EVERY listed key
+    at once, where :func:`cluster_by` serves only its leading key.
+
+    Mechanics (all JVM-side expressions, one range shuffle):
+
+    1. quantile-bucket each key into ``2^bits_per_col`` ranks —
+       boundaries from ``approxQuantile`` (driver-side, bounded by
+       ``cols × 2^bits``, data-independent memory); rank = count of
+       boundaries ≤ value via an array filter over the literal
+       boundary array (whole-stage-codegen'd, no UDF);
+    2. Morton-interleave the rank bits of all keys into one integer
+       (bit j of key i lands at position ``j*len(cols)+i``);
+    3. range-partition + sort on the interleaved key, so every output
+       file covers a small hyper-rectangle of the key space and
+       parquet footer min/max stats prune selective scans on ANY of
+       the keys — the 100× posture for multi-predicate lookups.
+
+    Quantile bucketing (not min/max linear binning) makes the cells
+    equal-population, so skewed keys still spread across files.
+    """
+    from pyspark.sql import functions as F
+
+    if not 1 <= bits_per_col <= 16:
+        raise ValueError("bits_per_col must be in [1, 16]")
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    rank_cols = []
+    for c in cols:
+        bounds = df.stat.approxQuantile(c, probs, rel_err)
+        arr = F.array(*[F.lit(b) for b in bounds])
+        rank = F.size(
+            F.filter(arr, lambda x: x <= F.col(c).cast("double"))
+        ).cast("long")
+        rank_cols.append(rank)
+    morton = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for i, rank in enumerate(rank_cols):
+            morton = morton + F.shiftleft(
+                F.shiftright(rank, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + i,
+            )
+    return (
+        df.withColumn("_zorder_key", morton)
+        .repartitionByRange(n_files, F.col("_zorder_key"))
+        .sortWithinPartitions("_zorder_key")
+        .drop("_zorder_key")
     )

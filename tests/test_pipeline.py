@@ -306,3 +306,71 @@ def test_malformed_json_quarantined_not_fatal(spark, tmp_path):
     assert good.count() == 2
     bad = out.filter(out.customerid.isNull()).collect()
     assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+
+def test_incremental_drift_mode_never_rereads_sink(spark, etl_dirs, monkeypatch):
+    """drift_mode="incremental" must reproduce the full-mode action
+    sequence (created → no-op → drift-recreated → partitions-only)
+    while NEVER re-reading the sink: read_parquet_merged is poisoned
+    for the whole drive."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans import (
+        pipeline as P,
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("incremental mode must not re-read the sink")
+
+    monkeypatch.setattr(P, "read_parquet_merged", _boom)
+
+    cfg = EtlConfig(
+        source_path=etl_dirs["source"],
+        sink_path=etl_dirs["sink"],
+        catalog_db_name="etl_inc",
+        catalog_table_prefix="ti",
+        drift_mode="incremental",
+    )
+
+    _write_batch(etl_dirs["source"], "batch1.json", BATCH_1)
+    res1 = run_batch(spark, cfg)
+    assert res1.catalog_action == "created"
+    assert res1.rows_written == 3  # batch rows (sink==batch on first run)
+
+    res2 = run_batch(spark, cfg)  # source drained by archival
+    assert res2.catalog_action == "no-op"
+
+    _write_batch(etl_dirs["source"], "batch2.json", BATCH_2)
+    res3 = run_batch(spark, cfg)
+    assert res3.catalog_action == "drift-recreated"
+
+    # same-schema batch, new partition value
+    batch3 = [dict(BATCH_2[0], customerid="c9", tts=1709546400)]
+    _write_batch(etl_dirs["source"], "batch3.json", batch3)
+    res4 = run_batch(spark, cfg)
+    assert res4.catalog_action == "partitions-only"
+
+    # ledger tracked the union schema and all partitions
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        load_catalog_state,
+    )
+
+    state = load_catalog_state(etl_dirs["sink"])
+    names = {e["Name"] for e in state["schema"]}
+    assert "firmware" in names and "customerid" in names
+    assert any("customerid=c9" in p for p in state["partitions"])
+
+    # and the catalog answers queries over the whole sink
+    n = spark.sql("SELECT count(*) FROM `etl_inc`.`ti_sink`").collect()[0][0]
+    assert n == res1.rows_written + 1 + 1
+
+
+def test_delta_sink_raises_without_package(spark, etl_dirs):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        delta_available,
+        write_partitioned,
+    )
+
+    if delta_available():
+        pytest.skip("delta installed here; the gate only fires without it")
+    df = spark.range(3).selectExpr("id", "'x' AS p")
+    with pytest.raises(RuntimeError, match="delta-spark package"):
+        write_partitioned(df, str(etl_dirs["sink"]) + "_d", ["p"], fmt="delta")

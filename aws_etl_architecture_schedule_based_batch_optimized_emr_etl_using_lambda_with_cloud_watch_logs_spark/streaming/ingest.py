@@ -215,6 +215,7 @@ def stream_ingest_with_catalog(
     table_prefix: str = "stream",
     partition_cols: list[str] | None = None,
     legacy_day: bool = True,
+    drift_mode: str = "incremental",
 ) -> StreamingQuery:
     """The COMPLETE reference semantics in streaming form:
     ``foreachBatch`` runs the batch sink write + catalog sync
@@ -223,8 +224,15 @@ def stream_ingest_with_catalog(
     streaming equivalent of reference §3.1 steps 4-6. foreachBatch
     is the idiomatic bridge wherever a sink needs batch-only
     features (dynamic partition overwrite, catalog DDL, MERGE).
+
+    ``drift_mode`` defaults to "incremental" here (unlike the batch
+    pipeline's "full"): a stream syncs the catalog EVERY micro-batch,
+    so an O(footers) mergeSchema re-read per batch compounds into a
+    quadratic total scan over the stream's life — the ledger-based
+    O(metadata) decision is the only shape that survives a long-lived
+    100 TB/day stream. "full" keeps the reference-parity re-read.
     """
-    from ..catalog import sync_catalog
+    from ..catalog import sync_catalog, sync_catalog_incremental
     from ..sources.readers import read_parquet_merged
     from ..sources.writers import write_partitioned
 
@@ -233,15 +241,21 @@ def stream_ingest_with_catalog(
     def process_batch(batch_df, batch_id: int) -> None:
         denorm = with_ingest_columns(flatten(batch_df), legacy_day=legacy_day)
         write_partitioned(denorm, sink_path, partition_cols)
-        merged = read_parquet_merged(spark, sink_path)
-        sync_catalog(
-            spark,
-            merged,
-            sink_path,
-            catalog_db,
-            f"{table_prefix}_sink",
-            partition_cols,
-        )
+        if drift_mode == "incremental":
+            sync_catalog_incremental(
+                spark, denorm, sink_path, catalog_db,
+                f"{table_prefix}_sink", partition_cols,
+            )
+        else:
+            merged = read_parquet_merged(spark, sink_path)
+            sync_catalog(
+                spark,
+                merged,
+                sink_path,
+                catalog_db,
+                f"{table_prefix}_sink",
+                partition_cols,
+            )
 
     return (
         spark.readStream.schema(schema)

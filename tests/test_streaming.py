@@ -266,3 +266,48 @@ def test_stream_ingest_with_catalog_foreachbatch(spark, tmp_path):
     state = _json.load(open(state_file))
     assert state.get("schema") and state.get("partitions"), state
     assert any("customerid=c1" in p for p in state["partitions"])
+
+
+def test_stream_drift_restart_protocol(spark, tmp_path):
+    """Schema drift in a stream: the fixed stream plan cannot widen
+    mid-flight, so the protocol is stop → restart with the widened
+    schema against the SAME checkpoint. Pin that (a) the restarted
+    stream processes only the NEW files (exactly-once from the
+    checkpoint ledger — old rows are not duplicated), (b) the sink
+    read-back merges both schemas (old rows null-fill the new
+    column)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    _write_json(os.path.join(src, "b1.json"), RECORDS)
+
+    schema_v1 = spark.read.json(src).schema
+    q1 = stream_ingest(
+        spark, source_path=src, sink_path=sink, checkpoint_path=chk,
+        schema=schema_v1,
+    )
+    run_available_now(q1)
+    assert spark.read.parquet(sink).count() == 3
+
+    # drift: a new batch file adds "firmware"
+    drifted = [dict(RECORDS[0], customerid="c3", firmware="fw-2")]
+    _write_json(os.path.join(src, "b2.json"), drifted)
+    schema_v2 = spark.read.json(src).schema
+    assert "firmware" in [f.name for f in schema_v2.fields]
+
+    q2 = stream_ingest(
+        spark, source_path=src, sink_path=sink, checkpoint_path=chk,
+        schema=schema_v2,
+    )
+    run_available_now(q2)
+
+    out = spark.read.option("mergeSchema", "true").parquet(sink)
+    # old 3 rows NOT reprocessed + 2 new rows (c3 × 2 tags)
+    assert out.count() == 5
+    assert out.filter(F.col("firmware").isNotNull()).count() == 2
+    assert (
+        out.filter(F.col("customerid") == "c1")
+        .filter(F.col("firmware").isNull())
+        .count()
+        == 2
+    )

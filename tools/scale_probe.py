@@ -1,0 +1,116 @@
+"""Scale probe: time representative heavy operators at 1× and N× the
+sf0.1 fixtures (N-way union with remapped keys) on the same session,
+and report the wall-clock growth ratio. Sub-linear-to-linear ratios
+(≤ N) are the evidence that no operator hides super-linear work —
+the local stand-in for the 100 TB scale-up question.
+
+Key remapping keeps join/dedup semantics honest: ids stay unique
+across copies, so dedup finds the cross-copy duplicate groups
+(every doc gains N-1 identical siblings — which also exercises the
+giant-bucket guard) and kNN sees a genuinely larger corpus.
+
+Usage: python tools/scale_probe.py [sf_dir] [N]
+Prints one JSON line: {"sf_dir": ..., "scale": N,
+"ops": {op: {"t1": s, "tN": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    dedup as D,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    similarity as S,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    text as X,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+    get_spark,
+)
+
+
+def scaled(df, n: int, id_cols: list[str]):
+    """N-way union with ids offset per copy (keys stay unique)."""
+    if n == 1:
+        return df
+    offset = df.agg(*[F.max(c) for c in id_cols]).collect()[0]
+    parts = []
+    for i in range(n):
+        part = df
+        for j, c in enumerate(id_cols):
+            part = part.withColumn(c, F.col(c) + F.lit(i * (offset[j] + 1)))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def timed(fn) -> float:
+    t0 = time.monotonic()
+    fn()
+    return round(time.monotonic() - t0, 3)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark(app_name="scale_probe")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    cases = {
+        "q1_shape_agg": lambda d: d.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+        .collect(),
+        "minhash_lsh_pairs": lambda d: D.minhash_lsh_dedup(
+            d, bands=32, threshold=0.5
+        ).count(),
+        "dedup_clusters": lambda d: D.connected_components(
+            D.minhash_lsh_dedup(d, bands=32, threshold=0.5)
+        ).count(),
+        "winnow_fingerprints": lambda d: X.winnow_fingerprints(d).count(),
+        "brute_force_knn": lambda d: S.brute_force_topk(
+            d, query_ids=list(range(10)), k=5
+        ).count(),
+    }
+    inputs = {
+        "q1_shape_agg": (li, ["l_orderkey"]),
+        "minhash_lsh_pairs": (docs, ["doc_id"]),
+        "dedup_clusters": (docs, ["doc_id"]),
+        "winnow_fingerprints": (docs, ["doc_id"]),
+        "brute_force_knn": (emb, ["vec_id"]),
+    }
+
+    ops = {}
+    for name, fn in cases.items():
+        base, id_cols = inputs[name]
+        big = scaled(base, n, id_cols).localCheckpoint(eager=True)
+        one = scaled(base, 1, id_cols).localCheckpoint(eager=True)
+        # warm both frames, then time (isolates operator cost from IO)
+        t1 = timed(lambda: fn(one))
+        tn = timed(lambda: fn(big))
+        ops[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 2) if t1 else None}
+        print(f"{name:22} 1x={t1:7.2f}s {n}x={tn:7.2f}s ratio={ops[name]['ratio']}",
+              file=sys.stderr)
+
+    spark.stop()
+    print(json.dumps({"sf_dir": sf_dir, "scale": n, "ops": ops}))
+
+
+if __name__ == "__main__":
+    main()

@@ -385,6 +385,119 @@ def minhash_lsh_dedup(
     )
 
 
+# ------------------------------------------- incremental (band store)
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    old_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket_members: int | None = 1024,
+    update_store: bool = True,
+) -> DataFrame:
+    """Near-dup pairs for an incoming batch against a PERSISTENT band
+    store — the recompute-free growth path for a corpus that gains
+    batches forever.
+
+    One-shot :func:`minhash_lsh_dedup` re-signatures the whole corpus
+    every run: O(corpus) Arrow work per batch, quadratic total over
+    the corpus lifetime. Here the Arrow signature pass covers ONLY
+    the new batch; historical signatures come from the parquet band
+    store (O(docs × bands × 16 B) — tiny next to the corpus), and
+    candidate generation is the same uniform-key bucket join:
+
+      1. band the new docs (one Arrow pass over the batch),
+      2. new×new candidates via :func:`bucket_pairs` (giant-bucket
+         guard included),
+      3. new×old candidates by joining new bands against stored
+         bands on (band, band_hash) — hash keys, no skew,
+      4. exact-Jaccard verify on candidates only (texts from the
+         new batch plus ``old_docs``, the historical corpus table),
+      5. append the new bands to the store (the next batch's
+         "old").
+
+    Invariant (pinned in tests): running batches B1, B2, … through
+    this and unioning the per-batch pairs yields exactly the pairs
+    of a one-shot run over the full corpus — order of arrival does
+    not change the answer. Old↔old pairs were already reported when
+    those docs were new, so each run reports only pairs touching the
+    incoming batch.
+
+    ``update_store=False`` makes the call read-only (a dry-run
+    audit). First contact (no store yet) degrades to the one-shot
+    semantics on the batch alone.
+    """
+    spark = new_docs.sparkSession
+    new_bands = minhash_bands(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands,
+    ).persist()
+
+    try:
+        old_bands = spark.read.parquet(store_path)
+        have_store = True
+    except Exception:
+        old_bands = None
+        have_store = False
+
+    cand_new = bucket_pairs(
+        new_bands, ["band", "band_hash"], id_col,
+        max_bucket_members=max_bucket_members,
+    )
+    if have_store and old_docs is not None:
+        # new×old: the stored side is already banded; candidate pairs
+        # are (old_id, new_id) normalized to id_a < id_b.
+        cross = (
+            new_bands.select(
+                F.col(id_col).alias("_new_id"), "band", "band_hash"
+            )
+            .join(
+                old_bands.select(
+                    F.col(id_col).alias("_old_id"), "band", "band_hash"
+                ),
+                ["band", "band_hash"],
+            )
+            .select(
+                F.least("_new_id", "_old_id").alias("id_a"),
+                F.greatest("_new_id", "_old_id").alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        candidates = cand_new.union(cross).dropDuplicates(["id_a", "id_b"])
+        texts = old_docs.select(id_col, text_col).unionByName(
+            new_docs.select(id_col, text_col)
+        )
+    else:
+        candidates = cand_new
+        texts = new_docs.select(id_col, text_col)
+
+    t_a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    t_b = texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    jacc = jaccard_texts_pudf(n)
+    pairs = (
+        candidates.join(t_a, "id_a")
+        .join(t_b, "id_b")
+        .select(
+            "id_a", "id_b", jacc(F.col("_ta"), F.col("_tb")).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if update_store:
+        # Materialize pairs BEFORE appending, so the returned frame
+        # (lazy) can't double-count the batch against its own stored
+        # bands if evaluated after the append.
+        pairs = pairs.localCheckpoint(eager=True)
+        new_bands.write.mode("append").parquet(store_path)
+    return pairs
+
+
 # ------------------------------------------------------------- simhash
 
 

@@ -667,3 +667,42 @@ def test_simhash_signature_computed_once(spark, docs):
     # cached stage's description) — none executes outside the cache.
     assert plan.count("MapInPandas") == plan.count("InMemoryRelation")
     spark.catalog.clearCache()
+
+
+def test_incremental_minhash_matches_one_shot(spark, docs, tmp_path):
+    """Arrival-order invariance: pairs from batch-wise incremental
+    runs (band store carried between batches) must union to exactly
+    the one-shot full-corpus pairs. The near-dup group {1, 2, 4}
+    straddles the batch split, so cross-batch candidates are
+    genuinely exercised."""
+    store = str(tmp_path / "band_store")
+    b1 = docs.filter(F.col("doc_id").isin(1, 3))       # doc 1 of the group
+    b2 = docs.filter(F.col("doc_id").isin(2, 4, 5))    # docs 2, 4 arrive later
+
+    kw = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+    p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kw)
+    got1 = {(r["id_a"], r["id_b"]) for r in p1.collect()}
+    p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kw)
+    got2 = {(r["id_a"], r["id_b"]) for r in p2.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_dedup(docs, **kw).collect()
+    }
+    assert got1 | got2 == full
+    assert got1 & got2 == set()          # no pair reported twice
+    assert (1, 4) in got2                # cross-batch exact dup found
+    assert (1, 2) in got2 and (2, 4) in got2
+
+
+def test_incremental_minhash_dry_run_leaves_store(spark, docs, tmp_path):
+    """update_store=False must not grow the band store."""
+    store = str(tmp_path / "band_store")
+    b1 = docs.filter(F.col("doc_id") <= 3)
+    D.incremental_minhash_dedup(b1, store, threshold=0.5).collect()
+    n_before = spark.read.parquet(store).count()
+    b2 = docs.filter(F.col("doc_id") > 3)
+    D.incremental_minhash_dedup(
+        b2, store, old_docs=b1, threshold=0.5, update_store=False
+    ).collect()
+    assert spark.read.parquet(store).count() == n_before

@@ -62,8 +62,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (truncation — matching DuckDB's CAST(ts_ns AS TIMESTAMP))."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = _t(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] == "bigint":
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Spark 4 reads tz-less parquet timestamp[us] as TIMESTAMP_NTZ,
+        # which unix_micros/window rejects. Session tz is UTC, so the
+        # cast is value-preserving and keeps DuckDB parity.
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 
@@ -1070,10 +1076,39 @@ def dedup_minhash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def dedup_winnow_pairs(spark, sf_dir):
-    """Winnowing-fingerprint near-dup pairs (rolling-hash scheme ->
-    rows-only check): docs sharing >= 8 winnowed k-gram fingerprints,
-    paired via the same grouped bucket expansion as minhash."""
+def _pair_recall_gate(truth_pairs, sketch_pairs, bound: float):
+    """Oracle-checkable sketch-dedup output (same pattern as
+    _ann_recall_gate): the sketch's pair list is hash-algorithm-
+    specific, so the gate emits the RECALL of the sketch pairs
+    against the exact Jaccard≥0.5 truth set computed in the same job
+    via the LSH+exact-verify path (whose output provably matches the
+    all-pairs n-gram oracle — see dedup_minhash_pairs). DuckDB
+    recomputes n_truth from the n-gram Jaccard definition and pins
+    the flag. Empty truth (no near-dups at this SF) degrades to
+    recall_ok=true on both engines."""
+    hits = truth_pairs.join(
+        sketch_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).agg(F.count("*").alias("n_hits"))
+    totals = truth_pairs.agg(F.count("*").alias("n_truth"))
+    return totals.crossJoin(hits).select(
+        "n_truth",
+        (
+            (F.col("n_truth") == 0)
+            | ((F.col("n_hits") / F.col("n_truth")) >= bound)
+        ).alias("recall_ok"),
+    )
+
+
+PAIR_RECALL_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_SQL})
+SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM pairs
+"""
+
+
+def _winnow_pairs_raw(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs: docs sharing winnowed
+    k-gram fingerprints with overlap >= 0.5, paired via the same
+    grouped bucket expansion as minhash."""
     d = _t(spark, sf_dir, "documents")
     # n_fp rides along with every fingerprint row so the whole pair
     # computation references the Python (mapInPandas) stage exactly
@@ -1110,11 +1145,31 @@ def dedup_winnow_pairs(spark, sf_dir):
     )
 
 
-def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hash-algorithm-specific → rows-only
-    check, no SQL oracle)."""
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup detection, recall-verified against the
+    exact Jaccard≥0.5 truth set in the same plan (the MOSS guarantee
+    — any shared run of ≥ k+window-1 chars is always fingerprinted —
+    makes winnowing a high-recall detector for near-identical docs;
+    measured recall 1.0 at sf0.001 and sf0.01, gated at ≥0.8). The
+    raw pair list is pinned quantitatively in pytest."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_dedup(d, max_hamming=3)
+    truth = D.minhash_lsh_dedup(
+        d, n=3, num_hashes=64, bands=32, threshold=0.5
+    ).select("id_a", "id_b")
+    return _pair_recall_gate(truth, _winnow_pairs_raw(spark, sf_dir), 0.8)
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash (Hamming≤3 of 64 bits) near-dup detection, recall-
+    verified against the exact Jaccard≥0.5 truth set in the same plan
+    (measured recall 0.71-0.72 at sf0.001/sf0.01 — the 3-bit radius
+    is deliberately tight — gated at ≥0.5). The raw pair list and
+    signature determinism are pinned in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    truth = D.minhash_lsh_dedup(
+        d, n=3, num_hashes=64, bands=32, threshold=0.5
+    ).select("id_a", "id_b")
+    return _pair_recall_gate(truth, D.simhash_dedup(d, max_hamming=3), 0.5)
 
 
 # ------------------------------------------------------- text family
@@ -1368,21 +1423,27 @@ WHERE l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
 
 
 def array_agg_nations(spark, sf_dir):
-    """Array aggregation: sorted distinct collect per group."""
+    """Array aggregation: sorted distinct collect per group. The
+    sorted array is string-joined because the driver's hash harness
+    canonicalizes via pandas sort_values, which cannot hash list
+    cells — the comparable surface must be scalar."""
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_set("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias(
+                "nations"
+            ),
             F.count("*").alias("n_nations"),
         )
     )
 
 
 ARRAY_AGG_SQL = """
-SELECT r_name, LIST_SORT(LIST(DISTINCT n_name)) AS nations,
+SELECT r_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT n_name)), ',') AS nations,
        COUNT(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
@@ -3085,24 +3146,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks entries
-    front-to-back under a budget (~50/round in round 1). Round-1 proved
-    47 entries green; this round leads with everything still unproven:
+    front-to-back under a budget (~50/round). Rounds 1-2 together
+    proved 94 of 99 entries green; this round leads with the 5 never
+    driver-proven entries:
 
-    1. the 3 round-1 hash mismatches, now fixed (q1 decimal rounding,
-       q12/try_cast HUGEINT oracles) — re-proof first;
-    2. the 42 oracle-backed gates round 1 never reached (extension
-       suite + query-surface gates);
-    3. the 2 rows-only gates (hash-algorithm-specific output;
-       quantitative bounds live in pytest) plus the ANN/spectrum
-       gates newly upgraded to oracle-backed self-verifying form;
-    4. the 47 entries already green in CORRECTNESS_r01.json.
+    1. events_sessionize / events_range_join — errored in r02 on the
+       TIMESTAMP_NTZ regression, fixed this round;
+    2. array_agg_nations — r02 array-typed column broke the driver's
+       pandas hash harness, now string-joined on both engines;
+    3. dedup_simhash_pairs / dedup_winnow_pairs — registry positions
+       51-52 in both prior rounds, never inside a driver window; now
+       oracle-backed self-verifying invariants (this round's upgrade);
+    4. everything already driver-green in r01∪r02, stable order.
     """
     return {
-        # -- (1) round-1 hash fails, fixed this round
+        # -- (1-3) never driver-proven before this round
+        "events_sessionize": events_sessionize,
+        "events_range_join": events_range_join,
+        "array_agg_nations": array_agg_nations,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
+        # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
         "try_cast_events": try_cast_events,
-        # -- (2) oracle-backed, no driver row yet
         "multimodal_features_docs": multimodal_features_docs,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_keep_first_docs": dedup_keep_first_docs,
@@ -3132,9 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_funcs_orders": date_funcs_orders,
         "json_extract_events": json_extract_events,
         "events_tumbling_window": events_tumbling_window,
-        "events_sessionize": events_sessionize,
         "events_asof_join": events_asof_join,
-        "events_range_join": events_range_join,
         "events_rollup_day": events_rollup_day,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
@@ -3143,17 +3208,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_orders": percentile_orders,
         "stats_agg_lineitem": stats_agg_lineitem,
         "scalar_subquery_small_orders": scalar_subquery_small_orders,
-        "array_agg_nations": array_agg_nations,
         "sql_grouping_sets": sql_grouping_sets,
         "agg_approx_distinct": agg_approx_distinct,
         "approx_quantile_orders": approx_quantile_orders,
-        # -- (3) upgraded to oracle-backed this round + 2 rows-only
         "embed_label_spectrum": embed_label_spectrum,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "dedup_winnow_pairs": dedup_winnow_pairs,
-        # -- (4) green in CORRECTNESS_r01.json
         "q3_shipping_priority": q3_shipping_priority,
         "q5_region_revenue": q5_region_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -3303,8 +3363,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_lsh": ANN_RECALL_SQL,
         "sim_topk_ivf": ANN_RECALL_SQL,
         "embed_label_spectrum": EMBED_SPECTRUM_SQL,
-        # rows-only (hash-algorithm-specific, not SQL-expressible):
-        #   dedup_simhash_pairs, dedup_winnow_pairs — quantitative
-        #   bounds (simhash determinism/radius, winnow MOSS
-        #   guarantee) are pinned in pytest
+        # sketch-dedup recall gates (raw pair lists are hash-
+        # algorithm-specific; quantitative bounds also in pytest):
+        "dedup_simhash_pairs": PAIR_RECALL_SQL,
+        "dedup_winnow_pairs": PAIR_RECALL_SQL,
     }

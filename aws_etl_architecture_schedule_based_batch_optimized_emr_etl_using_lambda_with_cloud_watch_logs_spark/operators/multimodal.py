@@ -2,12 +2,17 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing is real and tested: schema, Arrow-batched
-``mapInPandas`` iteration, partition sizing, batch shapes. The codec
-step itself (PIL/ffmpeg/librosa) is NOT available in this
-environment, so decode is stubbed: ``decode_stub="fake"`` produces a
-deterministic feature vector from the bytes (so downstream operators
-and tests have real data to chew on); ``decode_stub="raise"`` marks
-the integration point with ``NotImplementedError``.
+``mapInPandas`` iteration, partition sizing, batch shapes.
+
+Decoding has a REAL stdlib codec path for the formats the standard
+library can parse — PNG (zlib inflate + per-scanline unfilter),
+PPM/PGM (P6/P5), and WAV (``wave`` module) — producing true pixel /
+sample statistics as the feature vector. Formats beyond the stdlib
+(JPEG, MP3, video containers) still fall back per-asset to a
+deterministic byte-hash feature vector, since PIL/ffmpeg are not in
+this environment; ``decode_stub="raise"`` marks that integration
+point with ``NotImplementedError`` and ``decode_stub="fake"`` forces
+the fallback for every asset (bit-stable output for oracle gates).
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` modest and never collect; the
@@ -18,6 +23,10 @@ one batch of payloads, not one partition.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,10 +67,10 @@ FEATURE_SCHEMA = StructType(
 
 
 def _fake_decode(content: bytes, media_type: str, feat_dim: int) -> dict:
-    """Deterministic stand-in for a real codec: dimensions and a
-    feature vector derived from a sha256 of the payload. Replace with
-    PIL/ffmpeg in a full environment — the surrounding plumbing does
-    not change."""
+    """Deterministic fallback for formats the stdlib can't parse:
+    dimensions and a feature vector derived from a sha256 of the
+    payload. Replace with PIL/ffmpeg in a full environment — the
+    surrounding plumbing does not change."""
     digest = hashlib.sha256(content or b"").digest()
     width = 1 + digest[0] % 64
     height = 1 + digest[1] % 64
@@ -77,13 +86,223 @@ def _fake_decode(content: bytes, media_type: str, feat_dim: int) -> dict:
     }
 
 
+def _pixel_features(
+    pixels: bytes, width: int, height: int, channels: int, feat_dim: int
+) -> list[float]:
+    """Per-channel mean + global std/min/max from raw 8-bit pixel
+    bytes, cycled/truncated to ``feat_dim``. numpy is available on
+    executors but this runs on at most one Arrow batch of assets, so
+    plain bytes arithmetic keeps the codec dependency-free."""
+    n = len(pixels)
+    if n == 0:
+        return [0.0] * feat_dim
+    ch_sums = [0] * channels
+    ch_counts = [0] * channels
+    total = 0
+    total_sq = 0
+    lo, hi = 255, 0
+    for i, b in enumerate(pixels):
+        ch_sums[i % channels] += b
+        ch_counts[i % channels] += 1
+        total += b
+        total_sq += b * b
+        lo = b if b < lo else lo
+        hi = b if b > hi else hi
+    mean = total / n
+    var = max(0.0, total_sq / n - mean * mean)
+    base = [
+        ch_sums[c] / ch_counts[c] / 255.0 if ch_counts[c] else 0.0
+        for c in range(channels)
+    ] + [var**0.5 / 255.0, lo / 255.0, hi / 255.0]
+    return [base[i % len(base)] for i in range(feat_dim)]
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _decode_png(content: bytes, feat_dim: int) -> dict | None:
+    """Real PNG decode, stdlib-only: IHDR parse, IDAT zlib inflate,
+    per-scanline unfilter (filters 0-4), then pixel statistics.
+    Supports 8-bit depth, non-interlaced, color types gray/RGB/
+    palette-as-gray/gray+alpha/RGBA. Returns None (→ fallback) on
+    anything else or on corrupt data."""
+    if not content or not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    try:
+        pos = 8
+        width = height = None
+        bit_depth = color_type = interlace = None
+        idat = bytearray()
+        while pos + 8 <= len(content):
+            (length,) = struct.unpack(">I", content[pos : pos + 4])
+            ctype = content[pos + 4 : pos + 8]
+            data = content[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                (width, height, bit_depth, color_type, _, _, interlace) = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+            elif ctype == b"IDAT":
+                idat.extend(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if (
+            width is None
+            or bit_depth != 8
+            or interlace != 0
+            or color_type not in _PNG_CHANNELS
+        ):
+            return None
+        channels = _PNG_CHANNELS[color_type]
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        # Unfilter scanline by scanline (RFC 2083 §6).
+        out = bytearray()
+        prev = bytearray(stride)
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            line = bytearray(raw[off + 1 : off + 1 + stride])
+            if ftype == 1:  # Sub
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - channels] if i >= channels else 0
+                    b = prev[i]
+                    c = prev[i - channels] if i >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    line[i] = (line[i] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out.extend(line)
+            prev = line
+        return {
+            "n_bytes": len(content),
+            "content_sha": hashlib.sha256(content).hexdigest(),
+            "width": width,
+            "height": height,
+            "features": _pixel_features(
+                bytes(out), width, height, channels, feat_dim
+            ),
+        }
+    except Exception:
+        return None
+
+
+def _decode_pnm(content: bytes, feat_dim: int) -> dict | None:
+    """PPM (P6, RGB) / PGM (P5, gray) binary decode — whitespace-
+    separated header then raw 8-bit samples."""
+    if not content or content[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        channels = 3 if content[:2] == b"P6" else 1
+        # Header: magic, width, height, maxval — tokens separated by
+        # whitespace, '#' comments to end-of-line.
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 3 and pos < len(content):
+            c = content[pos : pos + 1]
+            if c == b"#":
+                pos = content.index(b"\n", pos)
+            elif c.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(content) and not content[end : end + 1].isspace():
+                    end += 1
+                tokens.append(int(content[pos:end]))
+                pos = end
+        width, height, maxval = tokens
+        if maxval > 255:
+            return None
+        pos += 1  # single whitespace after maxval
+        pixels = content[pos : pos + width * height * channels]
+        if len(pixels) < width * height * channels:
+            return None
+        return {
+            "n_bytes": len(content),
+            "content_sha": hashlib.sha256(content).hexdigest(),
+            "width": width,
+            "height": height,
+            "features": _pixel_features(
+                pixels, width, height, channels, feat_dim
+            ),
+        }
+    except Exception:
+        return None
+
+
+def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
+    """Real WAV decode via the stdlib ``wave`` module: sample rate /
+    channel / duration metadata plus amplitude statistics (RMS, zero-
+    crossing rate) over the 16-bit samples. ``width`` carries the
+    sample rate and ``height`` the channel count (documented reuse of
+    the image dims for the audio modality)."""
+    if not content or not content.startswith(b"RIFF"):
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            n_channels = w.getnchannels()
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            sampwidth = w.getsampwidth()
+            frames = w.readframes(n_frames)
+        if sampwidth != 2 or not frames:
+            return None
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        n = len(samples)
+        mean = sum(samples) / n
+        rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
+        peak = max(abs(s) for s in samples) / 32768.0
+        zcr = sum(
+            1
+            for i in range(1, n)
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        ) / max(1, n - 1)
+        duration = n_frames / rate if rate else 0.0
+        base = [rms, peak, zcr, mean / 32768.0, min(1.0, duration)]
+        return {
+            "n_bytes": len(content),
+            "content_sha": hashlib.sha256(content).hexdigest(),
+            "width": rate,
+            "height": n_channels,
+            "features": [base[i % len(base)] for i in range(feat_dim)],
+        }
+    except Exception:
+        return None
+
+
+def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
+    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV), with
+    the deterministic byte-hash fallback for everything else."""
+    for codec in (_decode_png, _decode_pnm, _decode_wav):
+        out = codec(content, feat_dim)
+        if out is not None:
+            return out
+    return _fake_decode(content, media_type, feat_dim)
+
+
 def extract_features(
     assets: DataFrame, feat_dim: int = 8, decode_stub: str = "fake"
 ) -> DataFrame:
     """Decode/feature-extract over ``mapInPandas`` (Arrow batches).
 
-    The pandas function receives an iterator of batches — the real
-    decode slots into ``_fake_decode``'s place unchanged.
+    ``decode_stub``: "auto" uses the real stdlib codecs (PNG/PNM/WAV)
+    with byte-hash fallback per asset; "fake" forces the fallback for
+    all assets (bit-stable — the oracle-gate mode); "raise" marks the
+    PIL/ffmpeg integration point for formats beyond the stdlib.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,11 +312,12 @@ def extract_features(
                     "media codecs not available in this environment; "
                     "plug PIL/ffmpeg here"
                 )
+            decode = decode_asset if decode_stub == "auto" else _fake_decode
             rows = [
                 {
                     "asset_id": row.asset_id,
                     "media_type": row.media_type,
-                    **_fake_decode(row.content, row.media_type, feat_dim),
+                    **decode(row.content, row.media_type, feat_dim),
                 }
                 for row in batch.itertuples()
             ]

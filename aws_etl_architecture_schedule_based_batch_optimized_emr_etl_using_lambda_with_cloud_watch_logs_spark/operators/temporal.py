@@ -96,8 +96,10 @@ def range_join(
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
     width = bin_width or max(1, int(upper - lower))
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    # TIMESTAMP_NTZ (Spark 4 reads tz-less parquet as NTZ) is rejected
+    # by unix_micros; the cast is a no-op for plain timestamps.
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
     width_us = width * 1_000_000
     lower_us, upper_us = int(lower * 1_000_000), int(upper * 1_000_000)
 
@@ -119,8 +121,8 @@ def range_join(
     rhs = right.withColumn("_bin", (r_us / width_us).cast("long"))
 
     joined = lhs.join(rhs, [*on, "_bin"]).drop("_bin")
-    jl = F.unix_micros(F.col(left_ts))
-    jr = F.unix_micros(F.col(right_ts))
+    jl = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    jr = F.unix_micros(F.col(right_ts).cast("timestamp"))
     return joined.filter(
         (jr >= jl + F.lit(lower_us)) & (jr <= jl + F.lit(upper_us))
     )
@@ -157,7 +159,7 @@ def asof_join(
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
-        F.col(left_ts).alias("_ats"),
+        F.col(left_ts).cast("timestamp").alias("_ats"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(
             right.select(payload_struct.alias("_rp")).schema["_rp"].dataType
@@ -170,7 +172,7 @@ def asof_join(
             if c not in on
         ],
         *[F.col(c) for c in on],
-        F.col(right_ts).alias("_ats"),
+        F.col(right_ts).cast("timestamp").alias("_ats"),
         F.lit(0).alias("_side"),
         payload_struct.alias("_rp"),
     )

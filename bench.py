@@ -149,14 +149,25 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for pass_no in range(2):
         for name in HEADLINE:
+            if name in errors:
+                continue  # failed on pass 0; don't re-raise on pass 1
             fn = queries[name]
             # plan construction inside the timer: for most queries it
             # is driver-only and ~free, but iterative operators
             # (connected components) legitimately do work eagerly.
             start = time.perf_counter()
-            n = fn(spark, sf_dir).count()
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — per-query fault
+                # isolation: one broken query must degrade the
+                # artifact, not destroy it (round-2 lesson).
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                print(f"# pass{pass_no} {name}: ERROR {exc}", file=sys.stderr)
+                continue
             elapsed = round(time.perf_counter() - start, 4)
             timings[name] = min(timings.get(name, elapsed), elapsed)
             print(
@@ -166,15 +177,16 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     spark.stop()  # before emitting JSON so no shutdown log can follow it
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    line = json.dumps(payload)
     os.write(real_stdout, (line + "\n").encode())
     os.close(real_stdout)
 

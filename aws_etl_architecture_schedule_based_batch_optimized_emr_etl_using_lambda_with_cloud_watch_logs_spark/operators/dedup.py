@@ -270,6 +270,51 @@ def _parallelize_narrow(df: DataFrame) -> DataFrame:
     return df
 
 
+def _minhash_fold_doc(
+    text: str | None,
+    n: int,
+    a_const: np.ndarray,
+    b_const: np.ndarray,
+    bands: int,
+    rows_per_band: int,
+    fold_mult: np.uint64,
+) -> np.ndarray:
+    """Per-doc minhash banding kernel: shingle → blake2b base hashes
+    → multiply-add derived minima → per-band fold. Shared verbatim by
+    :func:`minhash_bands` and the combined-signature pass so both
+    paths are bit-identical by construction."""
+    shingles = _python_shingles(text, n)
+    base = np.fromiter(
+        (_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+    derived = base[:, None] * a_const[None, :] + b_const[None, :]
+    sig = derived.min(axis=0)  # (num_hashes,)
+    folded = np.zeros(bands, dtype=np.uint64)
+    for r in range(rows_per_band):
+        folded = folded * fold_mult + sig[r::rows_per_band][:bands]
+    return folded.view(np.int64)
+
+
+_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _simhash_doc(text: str | None) -> np.int64:
+    """Per-doc 64-bit SimHash kernel (see :func:`simhash_df` for the
+    scheme); shared by the single and combined signature passes."""
+    toks = _python_tokens(text)
+    if not toks:
+        toks = [""]
+    base = np.fromiter(
+        (_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    bits = (base[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
+    votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+    packed = ((votes > 0).astype(np.uint64) << _SIMHASH_SHIFTS).sum(
+        dtype=np.uint64
+    )
+    return packed.astype(np.int64)
+
+
 def minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -308,20 +353,12 @@ def minhash_bands(
         for pdf in batches:
             ids, band_cols, hash_cols = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                shingles = _python_shingles(text, n)
-                base = np.fromiter(
-                    (_hash64(s) for s in shingles),
-                    dtype=np.uint64,
-                    count=len(shingles),
+                folded = _minhash_fold_doc(
+                    text, n, a_const, b_const, bands, rows_per_band, fold_mult
                 )
-                derived = base[:, None] * a_const[None, :] + b_const[None, :]
-                sig = derived.min(axis=0)  # (num_hashes,)
-                folded = np.zeros(bands, dtype=np.uint64)
-                for r in range(rows_per_band):
-                    folded = folded * fold_mult + sig[r::rows_per_band][:bands]
                 ids.append(np.full(bands, doc_id, dtype=np.int64))
                 band_cols.append(band_idx)
-                hash_cols.append(folded.view(np.int64))
+                hash_cols.append(folded)
             if ids:
                 yield pd.DataFrame(
                     {
@@ -345,6 +382,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     max_bucket_members: int | None = 1024,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash + LSH banding, exact-verified.
 
@@ -361,11 +399,16 @@ def minhash_lsh_dedup(
     ``bucket_pairs`` automatically caps to star pairing above
     ``max_bucket_members`` members, bounding per-task expansion to
     O(m) on adversarial corpora.
+
+    ``banded`` injects a precomputed (id, band, band_hash) frame —
+    e.g. a persisted :func:`signatures.combined_signatures` view — so
+    a job that also needs other sketches pays ONE corpus Arrow pass.
     """
-    banded = minhash_bands(
-        df, id_col=id_col, text_col=text_col, n=n,
-        num_hashes=num_hashes, bands=bands,
-    )
+    if banded is None:
+        banded = minhash_bands(
+            df, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands,
+        )
     candidates = bucket_pairs(
         banded, ["band", "band_hash"], id_col,
         max_bucket_members=max_bucket_members,
@@ -553,25 +596,13 @@ def simhash_df(
             StructField("simhash", LongType(), False),
         ]
     )
-    shifts = np.arange(64, dtype=np.uint64)
 
     def gen(batches):
         for pdf in batches:
             out_ids, out_hashes = [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = _python_tokens(text)
-                if not toks:
-                    toks = [""]
-                base = np.fromiter(
-                    (_hash64(t) for t in toks), dtype=np.uint64, count=len(toks)
-                )
-                bits = (base[:, None] >> shifts[None, :]) & np.uint64(1)
-                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                packed = ((votes > 0).astype(np.uint64) << shifts).sum(
-                    dtype=np.uint64
-                )
                 out_ids.append(doc_id)
-                out_hashes.append(packed.astype(np.int64))  # wrap, not raise
+                out_hashes.append(_simhash_doc(text))  # wrap, not raise
             if out_ids:
                 yield pd.DataFrame({id_col: out_ids, "simhash": out_hashes})
 
@@ -585,6 +616,7 @@ def simhash_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ ``max_hamming``.
 
@@ -603,10 +635,17 @@ def simhash_dedup(
     than the corpus. The cache is released when the caller's action
     finishes via ``spark.catalog.clearCache()`` or session end; plan
     shape (one python stage, both join sides from cache) is pinned in
-    tests."""
+    tests.
+
+    ``signatures`` injects a precomputed (id, simhash) frame (e.g. a
+    persisted combined-signature view); when given, the caller owns
+    its caching."""
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
-    sh = simhash_df(df, id_col=id_col, text_col=text_col).persist()
+    if signatures is None:
+        sh = simhash_df(df, id_col=id_col, text_col=text_col).persist()
+    else:
+        sh = signatures
     banded = sh.select(
         id_col,
         "simhash",
@@ -724,6 +763,7 @@ def dedup_clusters(
     num_hashes: int = 64,
     bands: int = 32,
     threshold: float = 0.5,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup cluster assignment: MinHash+LSH pairs → connected
     components. The canonical keep-one-per-cluster filter is then a
@@ -732,5 +772,6 @@ def dedup_clusters(
     pairs = minhash_lsh_dedup(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
+        banded=banded,
     )
     return connected_components(pairs, "id_a", "id_b")

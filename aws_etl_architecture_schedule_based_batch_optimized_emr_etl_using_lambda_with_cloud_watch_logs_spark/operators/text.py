@@ -140,6 +140,33 @@ def bpe_token_stats(
     )
 
 
+def _winnow_powers(k: int):
+    import numpy as np
+
+    base = np.uint64(257)
+    return base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+
+
+def _winnow_doc(text: str | None, k: int, window: int, powers):
+    """Per-doc winnowing kernel: normalized text → rolling k-gram
+    hashes → per-window minima → unique int64 fingerprints. Shared by
+    :func:`winnow_fingerprints` and the combined-signature pass."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    norm = " ".join((text or "").lower().split())
+    data = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)))
+    grams = sliding_window_view(data, k)  # (n-k+1, k)
+    hashes = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    if len(hashes) >= window:
+        fps = sliding_window_view(hashes, window).min(axis=1)
+    else:
+        fps = hashes.min(keepdims=True)
+    return np.unique(fps).view(np.int64)
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -161,26 +188,14 @@ def winnow_fingerprints(
     """
     import numpy as np
     import pandas as pd
-    from numpy.lib.stride_tricks import sliding_window_view
 
-    base = np.uint64(257)
-    powers = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)  # wraps mod 2^64
+    powers = _winnow_powers(k)
 
     def gen(batches):
         for pdf in batches:
             ids_out, fps_out, counts_out = [], [], []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                norm = " ".join((text or "").lower().split())
-                data = np.frombuffer(norm.encode(), dtype=np.uint8).astype(np.uint64)
-                if len(data) < k:
-                    data = np.pad(data, (0, k - len(data)))
-                grams = sliding_window_view(data, k)  # (n-k+1, k)
-                hashes = (grams * powers[None, :]).sum(axis=1, dtype=np.uint64)
-                if len(hashes) >= window:
-                    fps = sliding_window_view(hashes, window).min(axis=1)
-                else:
-                    fps = hashes.min(keepdims=True)
-                uniq = np.unique(fps).view(np.int64)
+                uniq = _winnow_doc(text, k, window, powers)
                 ids_out.append(np.full(len(uniq), doc_id, dtype=np.int64))
                 fps_out.append(uniq)
                 if with_counts:

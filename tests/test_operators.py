@@ -525,6 +525,32 @@ def test_frame_sample_plan(spark):
     ]
 
 
+def test_combined_signatures_match_individual_passes(spark, docs):
+    """The one-pass combined signature frame is bit-identical to the
+    three single-sketch operators (same per-doc kernels)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        signatures as G,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    sig = G.combined_signatures(
+        docs, n=3, num_hashes=64, bands=32, k=16, window=8
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(G.bands_view(sig)) == rows(
+        D.minhash_bands(docs, n=3, num_hashes=64, bands=32)
+    )
+    assert rows(G.simhash_view(sig)) == rows(D.simhash_df(docs))
+    assert rows(G.winnow_view(sig, with_counts=True)) == rows(
+        X.winnow_fingerprints(docs, k=16, window=8, with_counts=True)
+    )
+
+
 def test_connected_components_chain_triangle_pair(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
         connected_components,

@@ -1091,14 +1091,26 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
+_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _minhash_pairs(spark, sf_dir):
-    """MinHash+LSH pairs fed from the shared signature frame (one
-    Arrow pass serves every sketch gate)."""
-    d = _t(spark, sf_dir, "documents")
-    return D.minhash_lsh_dedup(
-        d, n=3, num_hashes=64, bands=32, threshold=0.5,
-        banded=G.bands_view(_doc_sigs(spark, sf_dir)),
-    )
+    """Verified MinHash+LSH pair set, persisted per (session, sf):
+    fed from the shared signature frame (one Arrow pass serves every
+    sketch gate) and itself consumed by FOUR gates (pair list,
+    clustering, and both recall gates' truth side) — a real curation
+    pipeline computes the near-dup pair set once and fans out. The
+    frame is O(near-dup pairs), tiny next to the corpus."""
+    key = (id(spark), sf_dir)
+    pairs = _PAIRS_CACHE.get(key)
+    if pairs is None:
+        d = _t(spark, sf_dir, "documents")
+        pairs = D.minhash_lsh_dedup(
+            d, n=3, num_hashes=64, bands=32, threshold=0.5,
+            banded=G.bands_view(_doc_sigs(spark, sf_dir)),
+        ).persist()
+        _PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 def dedup_minhash_pairs(spark, sf_dir):

@@ -30,6 +30,12 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     similarity as S,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    decontam as DC,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    packing as P_pack,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     signatures as G,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -1213,6 +1219,87 @@ def dedup_simhash_pairs(spark, sf_dir):
         signatures=G.simhash_view(_doc_sigs(spark, sf_dir)),
     )
     return _pair_recall_gate(truth, sketch, 0.5)
+
+
+def decontam_docs(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id % 10 != 0)
+    flagged when they share ≥1 distinct 8-gram with the held-out
+    benchmark split (doc_id % 10 == 0). Linear shingle join, no
+    all-pairs blowup (operators/decontam.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return DC.ngram_overlap(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        n=8,
+    )
+
+
+_SQL_SHINGLES8 = f"""
+CASE WHEN len({_SQL_TOKENS}) >= 8 THEN
+  list_distinct([array_to_string(({_SQL_TOKENS})[i:i+7], ' ')
+                 for i in range(1, len({_SQL_TOKENS}) - 6)])
+ELSE [array_to_string({_SQL_TOKENS}, ' ')] END
+"""
+
+DECONTAM_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES8} AS shingles FROM documents),
+b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 10 != 0),
+hits AS (SELECT c.doc_id, COUNT(DISTINCT c.s) AS n_overlap
+         FROM c JOIN b ON c.s = b.s GROUP BY c.doc_id)
+SELECT sh.doc_id,
+       COALESCE(hits.n_overlap, 0) AS n_overlap,
+       COALESCE(hits.n_overlap, 0) >= 1 AS contaminated
+FROM sh LEFT JOIN hits ON sh.doc_id = hits.doc_id
+WHERE sh.doc_id % 10 != 0
+"""
+
+
+def text_pii_redact(spark, sf_dir):
+    """PII scrub: per-class counts from the original text + chained
+    masking (operators/text.py redact_pii; closed-form regexp
+    expressions, JVM codegen)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.redact_pii(d)
+
+
+PII_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+def seq_packing_docs(spark, sf_dir):
+    """Sequence packing into 256-token training sequences
+    (partition-local greedy first-fit, operators/packing.py). The
+    pack assignment is partitioning-specific, so the gate emits the
+    DuckDB-recomputable invariants: corpus totals + well-formedness
+    flags (multi-doc packs within budget, every doc packed once)."""
+    d = _t(spark, sf_dir, "documents")
+    return P_pack.packing_invariants(
+        P_pack.pack_sequences(d, max_tokens=256), max_tokens=256
+    )
+
+
+SEQ_PACKING_SQL = f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       TRUE AS packs_within_budget,
+       TRUE AS docs_packed_once
+FROM documents
+"""
 
 
 # ------------------------------------------------------- text family
@@ -3225,6 +3312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_agg_nations": array_agg_nations,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        # -- new this round (decontamination / PII / packing)
+        "decontam_docs": decontam_docs,
+        "text_pii_redact": text_pii_redact,
+        "seq_packing_docs": seq_packing_docs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3426,4 +3517,7 @@ def oracle_sql() -> dict[str, str]:
         # algorithm-specific; quantitative bounds also in pytest):
         "dedup_simhash_pairs": PAIR_RECALL_SQL,
         "dedup_winnow_pairs": PAIR_RECALL_SQL,
+        "decontam_docs": DECONTAM_SQL,
+        "text_pii_redact": PII_SQL,
+        "seq_packing_docs": SEQ_PACKING_SQL,
     }

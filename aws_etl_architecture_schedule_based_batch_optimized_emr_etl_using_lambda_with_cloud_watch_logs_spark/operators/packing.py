@@ -1,0 +1,117 @@
+"""Sequence packing (LLM-data-pipeline extension): assign documents
+to fixed-token-budget training sequences so the trainer reads dense
+batches instead of one padded example per document.
+
+Partition-local greedy first-fit in doc-id order: deterministic
+(explicit hash repartition + sortWithinPartitions), shuffle-free
+beyond the one repartition, and sequential only over the tiny
+(doc_id, n_tokens) metadata frame — the text itself never moves.
+Packs never span partitions; the loss vs a global optimum is bounded
+by one partial pack per partition, negligible at real partition
+sizes. Documents longer than the budget get a singleton pack with
+``oversize=true`` (the trainer's truncation policy owns those).
+
+Invariants (gate-checkable): every document appears exactly once;
+multi-doc packs sum to ≤ ``max_tokens``; token totals are conserved.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from .dedup import tokens_col
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("pack_id", LongType(), False),
+        StructField("oversize", BooleanType(), False),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 8,
+) -> DataFrame:
+    """(doc_id, n_tokens, pack_id, oversize) — ``pack_id`` is the
+    first doc_id placed in the pack (globally unique because packs
+    are disjoint doc sets)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    parted = toks.repartition(n_partitions, "doc_id").sortWithinPartitions(
+        "doc_id"
+    )
+
+    def greedy(batches):
+        # state persists across Arrow batches of the same partition:
+        # a pack may span batch boundaries but never partitions.
+        pack_id, budget_left = None, 0
+        for pdf in batches:
+            ids, nts, packs, oversize = [], [], [], []
+            for doc_id, n_tokens in zip(pdf["doc_id"], pdf["n_tokens"]):
+                if n_tokens > max_tokens:
+                    ids.append(doc_id)
+                    nts.append(n_tokens)
+                    packs.append(doc_id)
+                    oversize.append(True)
+                    continue
+                if pack_id is None or n_tokens > budget_left:
+                    pack_id, budget_left = doc_id, max_tokens
+                ids.append(doc_id)
+                nts.append(n_tokens)
+                packs.append(pack_id)
+                oversize.append(False)
+                budget_left -= n_tokens
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_tokens": nts,
+                        "pack_id": packs,
+                        "oversize": oversize,
+                    }
+                )
+
+    return parted.mapInPandas(greedy, PACK_SCHEMA)
+
+
+def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row invariant summary an independent engine can pin:
+    (n_docs, total_tokens) are corpus facts; the two flags assert the
+    packing is well-formed (multi-doc packs within budget; every doc
+    packed exactly once → totals conserved by construction)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count("*").alias("n_docs_in_pack"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    pack_ok = per_pack.agg(
+        F.min(
+            F.when(
+                (F.col("n_docs_in_pack") > 1)
+                & (F.col("pack_tokens") > max_tokens),
+                0,
+            ).otherwise(1)
+        ).alias("_packs_ok")
+    )
+    totals = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("doc_id").alias("_n_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return totals.crossJoin(pack_ok).select(
+        "n_docs",
+        "total_tokens",
+        (F.col("_packs_ok") == 1).alias("packs_within_budget"),
+        (F.col("n_docs") == F.col("_n_distinct")).alias("docs_packed_once"),
+    )

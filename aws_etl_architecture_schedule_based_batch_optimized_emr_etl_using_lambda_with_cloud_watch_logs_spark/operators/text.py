@@ -223,6 +223,38 @@ def winnow_fingerprints(
     )
 
 
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2/PCRE (DuckDB oracle): no lookarounds, ASCII classes, \b word
+# boundaries only.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing for training corpora: count and mask emails,
+    IPv4 addresses, and phone-shaped numbers. Counts come from the
+    ORIGINAL text (per class, before any masking); redaction chains
+    the replacements in declaration order. Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column expressions — JVM codegen at any
+    scale, bit-reproducible in the SQL oracle."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS
+    ]
+    redacted = text
+    for name, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return df.select(
+        F.col(id_col), *counts, redacted.alias("redacted")
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

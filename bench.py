@@ -96,6 +96,9 @@ HEADLINE = [
     "dq_checks_orders",
     "dedup_simhash_pairs",
     "dedup_winnow_pairs",
+    "decontam_docs",
+    "text_pii_redact",
+    "seq_packing_docs",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

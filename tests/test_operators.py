@@ -525,6 +525,97 @@ def test_frame_sample_plan(spark):
     ]
 
 
+def test_decontam_ngram_overlap(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        decontam as DC,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "quick brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence yesterday"),
+            # shares words but no 5-gram run
+            (2, "the dog was lazy and brown but never quick at all"),
+            (3, "completely unrelated text about spark query planning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in DC.ngram_overlap(corpus, bench, n=5).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    # hashed join mode flags the same documents
+    hashed = {
+        r["doc_id"]: r["contaminated"]
+        for r in DC.ngram_overlap(corpus, bench, n=5, hashed=True).collect()
+    }
+    assert hashed == {k: v[1] for k, v in out.items()}
+
+
+def test_redact_pii(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.org or 192.168.0.1 ok"),
+            (2, "call 555-867-5309 x2 and 555 123 4567 now"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.redact_pii(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<IPV4>" in out[1]["redacted"]
+    assert "example.org" not in out[1]["redacted"]
+    assert out[2]["n_phone"] == 2
+    assert out[2]["redacted"].count("<PHONE>") == 2
+    assert out[3]["redacted"] == "no pii here at all"
+
+
+def test_pack_sequences_invariants(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P,
+    )
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 7) % 40))) for i in range(50)]
+    rows.append((99, " ".join(["w"] * 300)))  # oversize vs budget 64
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = P.pack_sequences(df, max_tokens=64).collect()
+    assert len(packed) == 51  # every doc exactly once
+    assert len({r["doc_id"] for r in packed}) == 51
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for pack_id, members in by_pack.items():
+        # pack_id is the min doc_id of its members
+        assert pack_id == min(m["doc_id"] for m in members)
+        if len(members) > 1:
+            assert sum(m["n_tokens"] for m in members) <= 64
+            assert not any(m["oversize"] for m in members)
+    oversize = [r for r in packed if r["oversize"]]
+    assert [r["doc_id"] for r in oversize] == [99]
+    assert len(by_pack[99]) == 1
+    # invariant gate row
+    inv = P.packing_invariants(
+        P.pack_sequences(df, max_tokens=64), 64
+    ).collect()[0]
+    assert inv["n_docs"] == 51
+    assert inv["packs_within_budget"] and inv["docs_packed_once"]
+    # packing is dense: ~total/budget packs plus ≤1 partial pack per
+    # partition (8), far under one pack per doc
+    total = sum(r["n_tokens"] for r in packed if not r["oversize"])
+    assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
+
+
 def test_combined_signatures_match_individual_passes(spark, docs):
     """The one-pass combined signature frame is bit-identical to the
     three single-sketch operators (same per-doc kernels)."""

@@ -49,6 +49,7 @@ ARROW_STAGE_OK = {
     "embed_label_stats",
     "embed_label_spectrum",
     "events_sessionize",
+    "seq_packing_docs",
 }
 
 

@@ -26,7 +26,13 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    decontam as DC,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     dedup as D,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    packing as PK,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     similarity as S,
@@ -87,6 +93,13 @@ def main() -> None:
         "brute_force_knn": lambda d: S.brute_force_topk(
             d, query_ids=list(range(10)), k=5
         ).count(),
+        "decontam_overlap": lambda d: DC.ngram_overlap(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            n=8,
+            hashed=True,
+        ).count(),
+        "seq_packing": lambda d: PK.pack_sequences(d, max_tokens=256).count(),
     }
     inputs = {
         "q1_shape_agg": (li, ["l_orderkey"]),
@@ -94,6 +107,8 @@ def main() -> None:
         "dedup_clusters": (docs, ["doc_id"]),
         "winnow_fingerprints": (docs, ["doc_id"]),
         "brute_force_knn": (emb, ["vec_id"]),
+        "decontam_overlap": (docs, ["doc_id"]),
+        "seq_packing": (docs, ["doc_id"]),
     }
 
     ops = {}
@@ -101,7 +116,11 @@ def main() -> None:
         base, id_cols = inputs[name]
         big = scaled(base, n, id_cols).localCheckpoint(eager=True)
         one = scaled(base, 1, id_cols).localCheckpoint(eager=True)
-        # warm both frames, then time (isolates operator cost from IO)
+        # Warm the case once (python-worker startup, codegen) so the
+        # timed ratio compares operator cost, not cold-start — a cold
+        # first call can be 5-40x its steady state and flips the
+        # ratio meaningless.
+        fn(one)
         t1 = timed(lambda: fn(one))
         tn = timed(lambda: fn(big))
         ops[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 2) if t1 else None}

@@ -33,6 +33,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     decontam as DC,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    mixing as MX,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     packing as P_pack,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -1278,6 +1281,36 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
     '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
 FROM documents
+"""
+
+
+_MIX_FRACTIONS = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.75}
+
+
+def mix_sample_docs(spark, sf_dir):
+    """Domain-weighted training mix: downsample the head language
+    deterministically (multiplicative-hash Bernoulli per doc_id —
+    engine-reproducible) and report per-language totals, sampled
+    counts, and realized rates in one scan (operators/mixing.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return MX.mix_report(d, _MIX_FRACTIONS)
+
+
+def _mix_keep_sql(frac: float) -> str:
+    return f"(doc_id * 2654435761) % 4294967296 < {int(frac * 2**32)}"
+
+
+MIX_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN
+         {" OR ".join(f"(lang = '{label}' AND {_mix_keep_sql(frac)})"
+                      for label, frac in _MIX_FRACTIONS.items())}
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       ROUND(CAST(SUM(CASE WHEN
+         {" OR ".join(f"(lang = '{label}' AND {_mix_keep_sql(frac)})"
+                      for label, frac in _MIX_FRACTIONS.items())}
+       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS realized_rate
+FROM documents GROUP BY lang
 """
 
 
@@ -3316,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": decontam_docs,
         "text_pii_redact": text_pii_redact,
         "seq_packing_docs": seq_packing_docs,
+        "mix_sample_docs": mix_sample_docs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3520,4 +3554,5 @@ def oracle_sql() -> dict[str, str]:
         "decontam_docs": DECONTAM_SQL,
         "text_pii_redact": PII_SQL,
         "seq_packing_docs": SEQ_PACKING_SQL,
+        "mix_sample_docs": MIX_SAMPLE_SQL,
     }

@@ -1,0 +1,92 @@
+"""Corpus mixing / domain-weighted sampling (LLM-data-pipeline
+extension): build a training mix by sampling each domain (language,
+source, quality bucket …) at its own rate — the head domain is
+downsampled, the tail upweighted (relatively) — with temperature
+re-weighting to interpolate between proportional (T=1) and uniform
+(T→0) mixes.
+
+Sampling is a DETERMINISTIC per-row multiplicative-hash Bernoulli on
+the document key (same idiom as the engine's hash sampler): a pure
+filter expression, pushed into the scan, no shuffle, reproducible
+across engines/runs/partitionings — rerunning a 100 TB mix job
+yields byte-identical corpora, and an independent SQL engine can
+audit the mix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MULT = 2654435761  # Knuth multiplicative hash constant
+_MOD = 2**32
+
+
+def keep_fraction_expr(key_col: str | Column, fraction: float) -> Column:
+    """Deterministic Bernoulli(fraction) on an integer key: keep rows
+    with (key * K) mod 2³² below fraction·2³². The threshold is an
+    exact integer so any engine reproduces the same sample."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    threshold = int(fraction * _MOD)
+    return (key * F.lit(_MULT)) % F.lit(_MOD) < F.lit(threshold)
+
+
+def temperature_fractions(
+    counts: dict[str, int], temperature: float, target_total: int
+) -> dict[str, float]:
+    """Per-domain sampling fractions for a temperature-reweighted mix
+    of ``target_total`` documents: p_d ∝ count_d^T (T=1 proportional,
+    T→0 uniform), fraction_d = min(1, target_total·p_d / count_d).
+    Pure driver-side arithmetic over |domains| numbers."""
+    if not counts:
+        return {}
+    weights = {d: c**temperature for d, c in counts.items() if c > 0}
+    total_w = sum(weights.values())
+    return {
+        d: min(1.0, target_total * (w / total_w) / counts[d])
+        for d, w in weights.items()
+    }
+
+
+def weighted_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    label_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Filter to the mixed corpus: each row kept iff its domain's
+    deterministic Bernoulli accepts its key. Domains absent from
+    ``fractions`` are dropped (explicit mixes only)."""
+    cond = F.lit(False)
+    for label, frac in fractions.items():
+        cond = cond | (
+            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
+        )
+    return df.filter(cond)
+
+
+def mix_report(
+    df: DataFrame,
+    fractions: dict[str, float],
+    label_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain mix accounting in ONE scan: total docs, sampled
+    docs, and the realized rate — the audit table a mix job publishes
+    next to its output."""
+    keeps = F.lit(False)
+    for label, frac in fractions.items():
+        keeps = keeps | (
+            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
+        )
+    return (
+        df.groupBy(label_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(keeps, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        )
+        .withColumn(
+            "realized_rate",
+            F.round(F.col("n_sampled") / F.col("n_docs"), 6),
+        )
+    )

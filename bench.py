@@ -99,6 +99,7 @@ HEADLINE = [
     "decontam_docs",
     "text_pii_redact",
     "seq_packing_docs",
+    "mix_sample_docs",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

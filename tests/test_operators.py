@@ -616,6 +616,53 @@ def test_pack_sequences_invariants(spark):
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
 
 
+def test_mixing_weighted_sample(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    rows = [(i, "t", "en" if i < 800 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    frs = {"en": 0.25, "fr": 1.0}
+    sampled = MX.weighted_sample(df, frs).collect()
+    by_lang = {}
+    for r in sampled:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # fr kept whole, en downsampled near its rate (hash Bernoulli)
+    assert len(by_lang["fr"]) == 200
+    assert 120 <= len(by_lang["en"]) <= 280
+    # deterministic: same rows on a different partitioning
+    again = {
+        r["doc_id"]
+        for r in MX.weighted_sample(df.repartition(7), frs).collect()
+    }
+    assert again == {r["doc_id"] for r in sampled}
+    # report matches filter counts, one scan
+    rep = {r["lang"]: r for r in MX.mix_report(df, frs).collect()}
+    assert rep["en"]["n_sampled"] == len(by_lang["en"])
+    assert rep["fr"]["realized_rate"] == 1.0
+
+
+def test_mixing_temperature_fractions():
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.mixing import (
+        temperature_fractions,
+    )
+
+    counts = {"en": 8000, "fr": 1000, "zh": 1000}
+    # T=1: proportional — each domain sampled at the same rate
+    t1 = temperature_fractions(counts, 1.0, target_total=5000)
+    assert t1["en"] == pytest.approx(t1["fr"]) == pytest.approx(t1["zh"])
+    # T→0: uniform target — tail domains sampled at higher rates,
+    # equal absolute counts until they saturate at 1.0
+    t0 = temperature_fractions(counts, 1e-9, target_total=3000)
+    assert t0["fr"] == pytest.approx(1.0)  # min(1, 1000/1000)
+    assert t0["en"] == pytest.approx(1000 / 8000, rel=1e-3)
+    # expected sampled totals never exceed the target
+    for t in (0.3, 0.7, 1.0):
+        fr = temperature_fractions(counts, t, target_total=4000)
+        assert sum(fr[d] * counts[d] for d in counts) <= 4000 * 1.001
+
+
 def test_combined_signatures_match_individual_passes(spark, docs):
     """The one-pass combined signature frame is bit-identical to the
     three single-sketch operators (same per-doc kernels)."""

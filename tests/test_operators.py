@@ -616,6 +616,41 @@ def test_pack_sequences_invariants(spark):
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
 
 
+def test_pack_sequences_randomized_invariants(spark):
+    """Seeded randomized corpora: the packing invariants hold for any
+    mix of tiny/large/oversize docs and any partition count."""
+    import random
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P,
+    )
+
+    rng = random.Random(0)
+    for trial in range(3):
+        budget = rng.choice([32, 100, 256])
+        n_docs = rng.randint(1, 120)
+        rows = [
+            (i, " ".join(["w"] * rng.randint(1, budget * 2)))
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = P.pack_sequences(
+            df, max_tokens=budget, n_partitions=rng.choice([1, 3, 8])
+        ).collect()
+        assert len(packed) == n_docs
+        assert len({r["doc_id"] for r in packed}) == n_docs
+        by_pack = {}
+        for r in packed:
+            by_pack.setdefault(r["pack_id"], []).append(r)
+        for members in by_pack.values():
+            if len(members) > 1:
+                assert sum(m["n_tokens"] for m in members) <= budget
+            for m in members:
+                assert m["oversize"] == (m["n_tokens"] > budget)
+                if m["oversize"]:
+                    assert len(members) == 1
+
+
 def test_mixing_weighted_sample(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         mixing as MX,

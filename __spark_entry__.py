@@ -1284,6 +1284,33 @@ FROM documents
 """
 
 
+def boilerplate_ngrams_docs(spark, sf_dir):
+    """Corpus boilerplate detection: word 2-grams present in ≥1% of
+    documents (doc-frequency heavy hitters — the C4-style pass run
+    before boilerplate stripping). Distinct-per-doc explode → hash
+    aggregate → broadcast threshold (operators/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.boilerplate_ngrams(d, n=2, min_doc_frac=0.01)
+
+
+BOILERPLATE_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len({_SQL_TOKENS}) >= 2 THEN
+           list_distinct([array_to_string(({_SQL_TOKENS})[i:i+1], ' ')
+                          for i in range(1, len({_SQL_TOKENS}))])
+         ELSE [array_to_string({_SQL_TOKENS}, ' ')] END AS s
+  FROM documents),
+e AS (SELECT doc_id, unnest(s) AS ngram FROM sh),
+df AS (SELECT ngram, COUNT(DISTINCT doc_id) AS doc_freq FROM e GROUP BY ngram),
+total AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT ngram, doc_freq,
+       ROUND(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS doc_frac
+FROM df, total
+WHERE doc_freq >= n_docs * 0.01
+"""
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.75}
 
 
@@ -3350,6 +3377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": text_pii_redact,
         "seq_packing_docs": seq_packing_docs,
         "mix_sample_docs": mix_sample_docs,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3555,4 +3583,5 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": PII_SQL,
         "seq_packing_docs": SEQ_PACKING_SQL,
         "mix_sample_docs": MIX_SAMPLE_SQL,
+        "boilerplate_ngrams_docs": BOILERPLATE_SQL,
     }

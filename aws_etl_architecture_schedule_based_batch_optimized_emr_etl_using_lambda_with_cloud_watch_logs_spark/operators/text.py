@@ -255,6 +255,42 @@ def redact_pii(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate detection: word n-grams appearing in at least
+    ``min_doc_frac`` of documents (headers, footers, license
+    blurbs...) — the corpus-level heavy-hitter pass a C4-style
+    cleaner runs before stripping. Distinct shingles per doc →
+    hash-aggregate document frequency → threshold against a 1-row
+    corpus count (broadcast cross join). Two shuffles total, both on
+    shrinking keys; no per-pair work."""
+    from .dedup import shingles_col, tokens_col
+
+    total = df.agg(F.count("*").alias("_n_docs"))
+    docfreq = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles_col(tokens_col(text_col), n)).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count_distinct(id_col).alias("doc_freq"))
+    )
+    return (
+        docfreq.crossJoin(F.broadcast(total))
+        .filter(F.col("doc_freq") >= F.col("_n_docs") * min_doc_frac)
+        .select(
+            "ngram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("_n_docs"), 6).alias("doc_frac"),
+        )
+    )
+
+
 def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:

@@ -100,6 +100,7 @@ HEADLINE = [
     "text_pii_redact",
     "seq_packing_docs",
     "mix_sample_docs",
+    "boilerplate_ngrams_docs",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

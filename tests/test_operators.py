@@ -616,6 +616,31 @@ def test_pack_sequences_invariants(spark):
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
 
 
+def test_boilerplate_ngrams(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [(i, f"unique words {i} only here {footer}") for i in range(20)]
+    rows += [(100 + i, f"totally different content {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["ngram"]: r for r in X.boilerplate_ngrams(
+        df, n=3, min_doc_frac=0.5
+    ).collect()}
+    # every 3-gram of the footer crosses the 50% doc-frequency bar
+    assert "subscribe to our" in out and "to our newsletter" in out
+    assert out["subscribe to our"]["doc_freq"] == 20
+    assert out["subscribe to our"]["doc_frac"] == 0.8
+    # per-doc uniqueness: repeating an n-gram within one doc counts once
+    rep = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "other text entirely")],
+        "doc_id long, text string",
+    )
+    rep_out = X.boilerplate_ngrams(rep, n=3, min_doc_frac=0.4).collect()
+    assert {r["doc_freq"] for r in rep_out} == {1}
+
+
 def test_pack_sequences_randomized_invariants(spark):
     """Seeded randomized corpora: the packing invariants hold for any
     mix of tiny/large/oversize docs and any partition count."""

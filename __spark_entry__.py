@@ -855,6 +855,52 @@ FROM flagged GROUP BY user_id
 """
 
 
+def events_session_window(spark, sf_dir):
+    """Native Spark session windows (F.session_window, 30-min gap):
+    per-session start/end/count — the built-in operator counterpart
+    of the lag+cumsum sessionize above. Native semantics: a session
+    covers [first_ts, last_ts + gap); an event exactly at the close
+    boundary opens a NEW session, so the oracle's island detector
+    uses >= on the gap."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))
+                   >= 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+grouped AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       MIN(CAST(ts AS TIMESTAMP)) AS session_start,
+       MAX(CAST(ts AS TIMESTAMP)) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, session_no
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (custom temporal operator): each click picks up the
     most recent prior view of the same user. One shuffle on user_id
@@ -3378,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing_docs": seq_packing_docs,
         "mix_sample_docs": mix_sample_docs,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+        "events_session_window": events_session_window,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3584,4 +3631,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_packing_docs": SEQ_PACKING_SQL,
         "mix_sample_docs": MIX_SAMPLE_SQL,
         "boilerplate_ngrams_docs": BOILERPLATE_SQL,
+        "events_session_window": SESSION_WINDOW_SQL,
     }

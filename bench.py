@@ -101,6 +101,7 @@ HEADLINE = [
     "seq_packing_docs",
     "mix_sample_docs",
     "boilerplate_ngrams_docs",
+    "events_session_window",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

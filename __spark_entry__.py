@@ -54,17 +54,42 @@ SF001 = "/root/testdata/sf0.001"
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _evict_stale_sessions(cache: dict, spark: SparkSession) -> None:
+    """Drop cache entries belonging to other (dead) SparkSessions so
+    their persisted frames and session object graphs can be garbage
+    collected — a process that opens several sessions (pytest,
+    check_oracle followed by bench) must not pin them all."""
+    sid = id(spark)
+    for key in [k for k in cache if k[0] != sid]:
+        del cache[key]
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Table reader with a per-session DataFrame cache: DataFrames
     are immutable plans, so reusing one skips the file listing and
     footer read every query construction would otherwise repeat
     (~30-80 ms each; the inventory reads the same 10 tables
     hundreds of times across a bench run)."""
+    _evict_stale_sessions(_TABLE_CACHE, spark)
     key = (id(spark), sf_dir, name)
     df = _TABLE_CACHE.get(key)
     if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
+    return df
+
+
+def _session_cached(
+    cache: dict, spark: SparkSession, sf_dir: str, build
+) -> DataFrame:
+    """Shared build-once-per-(session, sf) memo for persisted frames
+    (signatures, verified pair set, exact top-k)."""
+    _evict_stale_sessions(cache, spark)
+    key = (id(spark), sf_dir)
+    df = cache.get(key)
+    if df is None:
+        df = build().persist()
+        cache[key] = df
     return df
 
 
@@ -95,15 +120,15 @@ def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the three sketch families; without sharing, a bench run pays the
     same corpus scan + Python pass up to 6×. ~41 longs/doc — far
     smaller than the corpus — and released with the session."""
-    key = (id(spark), sf_dir)
-    sig = _SIG_CACHE.get(key)
-    if sig is None:
-        d = _t(spark, sf_dir, "documents")
-        sig = G.combined_signatures(
-            d, n=3, num_hashes=64, bands=32, k=16, window=8
-        ).persist()
-        _SIG_CACHE[key] = sig
-    return sig
+    return _session_cached(
+        _SIG_CACHE,
+        spark,
+        sf_dir,
+        lambda: G.combined_signatures(
+            _t(spark, sf_dir, "documents"),
+            n=3, num_hashes=64, bands=32, k=16, window=8,
+        ),
+    )
 
 
 def _dec(col):
@@ -858,10 +883,11 @@ FROM flagged GROUP BY user_id
 def events_session_window(spark, sf_dir):
     """Native Spark session windows (F.session_window, 30-min gap):
     per-session start/end/count — the built-in operator counterpart
-    of the lag+cumsum sessionize above. Native semantics: a session
-    covers [first_ts, last_ts + gap); an event exactly at the close
-    boundary opens a NEW session, so the oracle's island detector
-    uses >= on the gap."""
+    of the lag+cumsum sessionize above. Native semantics (verified on
+    Spark 4.1.2): an event exactly at the previous session's close
+    boundary MERGES into it — events at 00:00 and 00:30 form ONE
+    session [00:00, 01:00) — so the oracle's island detector uses a
+    strict > on the gap, same as SESSIONIZE_SQL."""
     e = _events(spark, sf_dir)
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -881,15 +907,16 @@ WITH flagged AS (
          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                    - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
                        (PARTITION BY user_id ORDER BY ts, event_id))
-                   >= 1800000000
+                   > 1800000000
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL
-              THEN 1 ELSE 0 END AS new_s
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
   FROM events
 ),
 grouped AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged
 )
@@ -1156,16 +1183,16 @@ def _minhash_pairs(spark, sf_dir):
     clustering, and both recall gates' truth side) — a real curation
     pipeline computes the near-dup pair set once and fans out. The
     frame is O(near-dup pairs), tiny next to the corpus."""
-    key = (id(spark), sf_dir)
-    pairs = _PAIRS_CACHE.get(key)
-    if pairs is None:
-        d = _t(spark, sf_dir, "documents")
-        pairs = D.minhash_lsh_dedup(
-            d, n=3, num_hashes=64, bands=32, threshold=0.5,
+    return _session_cached(
+        _PAIRS_CACHE,
+        spark,
+        sf_dir,
+        lambda: D.minhash_lsh_dedup(
+            _t(spark, sf_dir, "documents"),
+            n=3, num_hashes=64, bands=32, threshold=0.5,
             banded=G.bands_view(_doc_sigs(spark, sf_dir)),
-        ).persist()
-        _PAIRS_CACHE[key] = pairs
-    return pairs
+        ),
+    )
 
 
 def dedup_minhash_pairs(spark, sf_dir):
@@ -1779,13 +1806,14 @@ def _exact_topk(spark, sf_dir) -> DataFrame:
     persisted per (session, sf dir): the truth side of BOTH ANN
     recall gates and the bruteforce gate itself — computing it once
     saves two corpus matmul scans per bench run. ~50 rows cached."""
-    key = (id(spark), sf_dir)
-    df = _TOPK_CACHE.get(key)
-    if df is None:
-        e = _t(spark, sf_dir, "embeddings")
-        df = S.brute_force_topk(e, query_ids=list(range(10)), k=5).persist()
-        _TOPK_CACHE[key] = df
-    return df
+    return _session_cached(
+        _TOPK_CACHE,
+        spark,
+        sf_dir,
+        lambda: S.brute_force_topk(
+            _t(spark, sf_dir, "embeddings"), query_ids=list(range(10)), k=5
+        ),
+    )
 
 
 def _ann_recall_gate(spark, sf_dir, approx_df):

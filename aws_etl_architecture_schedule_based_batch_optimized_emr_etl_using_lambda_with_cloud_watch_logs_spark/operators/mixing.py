@@ -48,6 +48,20 @@ def temperature_fractions(
     }
 
 
+def _keeps_expr(
+    fractions: dict[str, float], label_col: str, key_col: str
+) -> Column:
+    """OR over domains of (label matches AND Bernoulli accepts) —
+    the single definition both the filter and the audit report use,
+    so they can never disagree on sampling semantics."""
+    cond = F.lit(False)
+    for label, frac in fractions.items():
+        cond = cond | (
+            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
+        )
+    return cond
+
+
 def weighted_sample(
     df: DataFrame,
     fractions: dict[str, float],
@@ -57,12 +71,7 @@ def weighted_sample(
     """Filter to the mixed corpus: each row kept iff its domain's
     deterministic Bernoulli accepts its key. Domains absent from
     ``fractions`` are dropped (explicit mixes only)."""
-    cond = F.lit(False)
-    for label, frac in fractions.items():
-        cond = cond | (
-            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
-        )
-    return df.filter(cond)
+    return df.filter(_keeps_expr(fractions, label_col, key_col))
 
 
 def mix_report(
@@ -74,11 +83,7 @@ def mix_report(
     """Per-domain mix accounting in ONE scan: total docs, sampled
     docs, and the realized rate — the audit table a mix job publishes
     next to its output."""
-    keeps = F.lit(False)
-    for label, frac in fractions.items():
-        keeps = keeps | (
-            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
-        )
+    keeps = _keeps_expr(fractions, label_col, key_col)
     return (
         df.groupBy(label_col)
         .agg(

@@ -90,30 +90,22 @@ def _pixel_features(
     pixels: bytes, width: int, height: int, channels: int, feat_dim: int
 ) -> list[float]:
     """Per-channel mean + global std/min/max from raw 8-bit pixel
-    bytes, cycled/truncated to ``feat_dim``. numpy is available on
-    executors but this runs on at most one Arrow batch of assets, so
-    plain bytes arithmetic keeps the codec dependency-free."""
-    n = len(pixels)
-    if n == 0:
+    bytes, cycled/truncated to ``feat_dim``. Vectorized — this runs
+    per asset inside the Arrow batch loop, so per-byte Python
+    arithmetic would dominate real image decodes."""
+    import numpy as np
+
+    if not pixels:
         return [0.0] * feat_dim
-    ch_sums = [0] * channels
-    ch_counts = [0] * channels
-    total = 0
-    total_sq = 0
-    lo, hi = 255, 0
-    for i, b in enumerate(pixels):
-        ch_sums[i % channels] += b
-        ch_counts[i % channels] += 1
-        total += b
-        total_sq += b * b
-        lo = b if b < lo else lo
-        hi = b if b > hi else hi
-    mean = total / n
-    var = max(0.0, total_sq / n - mean * mean)
-    base = [
-        ch_sums[c] / ch_counts[c] / 255.0 if ch_counts[c] else 0.0
-        for c in range(channels)
-    ] + [var**0.5 / 255.0, lo / 255.0, hi / 255.0]
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    usable = (len(arr) // channels) * channels
+    lanes = arr[:usable].reshape(-1, channels).astype(np.float64)
+    ch_means = lanes.mean(axis=0) if usable else np.zeros(channels)
+    base = [float(m) / 255.0 for m in ch_means] + [
+        float(arr.std()) / 255.0,
+        float(arr.min()) / 255.0,
+        float(arr.max()) / 255.0,
+    ]
     return [base[i % len(base)] for i in range(feat_dim)]
 
 
@@ -158,35 +150,50 @@ def _decode_png(content: bytes, feat_dim: int) -> dict | None:
         stride = width * channels
         if len(raw) < height * (stride + 1):
             return None
-        # Unfilter scanline by scanline (RFC 2083 §6).
+        # Unfilter scanline by scanline (RFC 2083 §6). Filters
+        # None/Sub/Up vectorize (Sub is a per-channel-lane cumsum);
+        # Average/Paeth have a serial dependency along x and keep the
+        # byte loop — they are the rare filters for the simple images
+        # this stdlib path targets.
+        import numpy as np
+
         out = bytearray()
-        prev = bytearray(stride)
+        prev = np.zeros(stride, dtype=np.uint8)
         for y in range(height):
             off = y * (stride + 1)
             ftype = raw[off]
-            line = bytearray(raw[off + 1 : off + 1 + stride])
-            if ftype == 1:  # Sub
-                for i in range(channels, stride):
-                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            line = np.frombuffer(
+                raw[off + 1 : off + 1 + stride], dtype=np.uint8
+            ).copy()
+            if ftype == 1:  # Sub: cumulative sum along each lane
+                lanes = line.reshape(-1, channels).astype(np.int64)
+                line = (
+                    lanes.cumsum(axis=0) % 256
+                ).astype(np.uint8).reshape(-1)
             elif ftype == 2:  # Up
-                for i in range(stride):
-                    line[i] = (line[i] + prev[i]) & 0xFF
+                line = line + prev  # uint8 wraps mod 256
             elif ftype == 3:  # Average
+                lb = bytearray(line.tobytes())
+                pb_ = prev
                 for i in range(stride):
-                    a = line[i - channels] if i >= channels else 0
-                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+                    a = lb[i - channels] if i >= channels else 0
+                    lb[i] = (lb[i] + (a + int(pb_[i])) // 2) & 0xFF
+                line = np.frombuffer(bytes(lb), dtype=np.uint8)
             elif ftype == 4:  # Paeth
+                lb = bytearray(line.tobytes())
+                pb_ = prev
                 for i in range(stride):
-                    a = line[i - channels] if i >= channels else 0
-                    b = prev[i]
-                    c = prev[i - channels] if i >= channels else 0
+                    a = lb[i - channels] if i >= channels else 0
+                    b = int(pb_[i])
+                    c = int(pb_[i - channels]) if i >= channels else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
-                    line[i] = (line[i] + pred) & 0xFF
+                    pa, pb2, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb2 and pa <= pc else b if pb2 <= pc else c
+                    lb[i] = (lb[i] + pred) & 0xFF
+                line = np.frombuffer(bytes(lb), dtype=np.uint8)
             elif ftype != 0:
                 return None
-            out.extend(line)
+            out.extend(line.tobytes())
             prev = line
         return {
             "n_bytes": len(content),

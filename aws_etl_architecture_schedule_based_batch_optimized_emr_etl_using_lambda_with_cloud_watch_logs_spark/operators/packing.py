@@ -93,7 +93,6 @@ def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
     per_pack = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("pack_tokens"),
         F.count("*").alias("n_docs_in_pack"),
-        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
     )
     pack_ok = per_pack.agg(
         F.min(

@@ -65,7 +65,7 @@ def combined_signatures(
     constants, and normalization as the single-sketch operators."""
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+            f"bands ({bands}) must divide evenly into num_hashes ({num_hashes})"
         )
     rows_per_band = num_hashes // bands
     a_const, b_const = _mix_constants(num_hashes)

@@ -616,6 +616,31 @@ def test_pack_sequences_invariants(spark):
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
 
 
+def test_session_window_boundary_merges(spark):
+    """Spark's native session_window MERGES an event landing exactly
+    at the previous session's close boundary (gap == exactly the
+    window size) — the oracle must use a strict > on the gap. Pinned
+    after a review found the >= form latent-wrong (no exact-gap rows
+    in the fixtures)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),  # exactly at close: merges
+        (1, t0 + dt.timedelta(minutes=90)),  # 60-min gap: new session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1]
+    assert out[0]["w"]["end"] == t0 + dt.timedelta(minutes=60)
+
+
 def test_boilerplate_ngrams(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         text as X,

@@ -616,6 +616,23 @@ def test_pack_sequences_invariants(spark):
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
 
 
+def test_entry_caches_evict_stale_sessions(spark):
+    """The per-(session, sf) frame caches drop entries from other
+    sessions on access, so a process cycling sessions doesn't pin
+    dead session graphs."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    E._t(spark, sf, "region")
+    assert any(k[0] == id(spark) for k in E._TABLE_CACHE)
+    other = spark.newSession()
+    try:
+        E._t(other, sf, "region")
+        assert all(k[0] == id(other) for k in E._TABLE_CACHE)
+    finally:
+        E._TABLE_CACHE.clear()
+
+
 def test_session_window_boundary_merges(spark):
     """Spark's native session_window MERGES an event landing exactly
     at the previous session's close boundary (gap == exactly the

@@ -1384,6 +1384,33 @@ WHERE doc_freq >= n_docs * 0.01
 """
 
 
+def text_repetition_docs(spark, sf_dir):
+    """Gopher-style repetition signals: per-doc top-2-gram fraction
+    and duplicate-2-gram fraction (operators/text.py
+    repetition_signals — one explode + two shrinking aggregates)."""
+    d = _t(spark, sf_dir, "documents")
+    return X.repetition_signals(d, n=2)
+
+
+REPETITION_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len({_SQL_TOKENS}) >= 2 THEN
+                  [array_to_string(({_SQL_TOKENS})[i:i+1], ' ')
+                   for i in range(1, len({_SQL_TOKENS}))]
+                ELSE [array_to_string({_SQL_TOKENS}, ' ')] END) AS gram
+  FROM documents),
+per_gram AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+       ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_ngram_frac,
+       ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6)
+         AS dup_ngram_frac
+FROM per_gram GROUP BY doc_id
+"""
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.75}
 
 
@@ -3453,6 +3480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample_docs": mix_sample_docs,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "events_session_window": events_session_window,
+        "text_repetition_docs": text_repetition_docs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3660,4 +3688,5 @@ def oracle_sql() -> dict[str, str]:
         "mix_sample_docs": MIX_SAMPLE_SQL,
         "boilerplate_ngrams_docs": BOILERPLATE_SQL,
         "events_session_window": SESSION_WINDOW_SQL,
+        "text_repetition_docs": REPETITION_SQL,
     }

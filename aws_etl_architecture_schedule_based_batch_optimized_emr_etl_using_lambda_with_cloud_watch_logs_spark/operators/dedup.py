@@ -63,17 +63,16 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def shingles_col(tokens: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from a token array, built by
+def ngrams_col(tokens: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (one per position), built by
     iterated ``zip_with`` against the shifted array: O(n·tokens)
     work per row. The transform-over-sequence formulation
     (``slice(tokens, i, n)`` + ``concat_ws`` per index) re-walks the
     array per position — O(tokens²) — measured 5× slower on the
-    boilerplate doc-frequency scan at sf0.1. Output is identical
-    (same strings, same distinct set; equivalence was verified
-    doc-by-doc at n=2 and n=3 before the swap)."""
+    boilerplate doc-frequency scan at sf0.1. Short docs (< n tokens)
+    fall back to one whole-text gram."""
     if n == 1:
-        return F.array_distinct(tokens)
+        return tokens
     size = F.size(tokens)
     acc = tokens
     for j in range(1, n):
@@ -82,9 +81,16 @@ def shingles_col(tokens: Column, n: int = 3) -> Column:
             F.slice(tokens, j + 1, size - j),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.array_distinct(
-        F.when(size >= n, acc).otherwise(F.array(F.concat_ws(" ", tokens)))
+    return F.when(size >= n, acc).otherwise(
+        F.array(F.concat_ws(" ", tokens))
     )
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (the set form of
+    :func:`ngrams_col`; equivalence with the old transform+slice
+    formulation was verified doc-by-doc at n=2 and n=3)."""
+    return F.array_distinct(ngrams_col(tokens, n))
 
 
 def jaccard_col(a: Column, b: Column) -> Column:

@@ -255,6 +255,49 @@ def redact_pii(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    the fraction of n-gram occurrences taken by the single most
+    frequent n-gram (``top_ngram_frac`` — boilerplate/spam lists
+    score high) and the fraction that are repeats of an earlier
+    occurrence (``dup_ngram_frac``). One explode + two shrinking
+    hash aggregates keyed on (doc, gram) then doc — no self-joins,
+    scale-linear."""
+    from .dedup import ngrams_col, tokens_col
+
+    per_gram = (
+        df.select(
+            F.col(id_col),
+            F.explode(ngrams_col(tokens_col(text_col), n)).alias("gram"),
+        )
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.max("cnt").alias("_top"),
+            F.sum("cnt").alias("_total"),
+            F.count("*").alias("_distinct"),
+        )
+        .select(
+            id_col,
+            F.col("_total").alias("n_ngrams"),
+            F.round(F.col("_top") / F.col("_total"), 6).alias(
+                "top_ngram_frac"
+            ),
+            F.round(
+                (F.col("_total") - F.col("_distinct")) / F.col("_total"), 6
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
 def boilerplate_ngrams(
     df: DataFrame,
     n: int = 3,

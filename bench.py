@@ -102,6 +102,7 @@ HEADLINE = [
     "mix_sample_docs",
     "boilerplate_ngrams_docs",
     "events_session_window",
+    "text_repetition_docs",
     "text_quality_docs",
     "text_langid_docs",
     "text_fingerprint_docs",

@@ -658,6 +658,32 @@ def test_session_window_boundary_merges(spark):
     assert out[0]["w"]["end"] == t0 + dt.timedelta(minutes=60)
 
 
+def test_repetition_signals(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),  # heavy repetition
+            (2, "each word here appears exactly once today"),
+            (3, "hi"),  # < n tokens: one whole-text gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in X.repetition_signals(df, n=2).collect()}
+    # doc 1: 7 bigram slots; "buy now" appears 4x, distinct grams
+    # are {"buy now", "now buy"}
+    assert out[1]["n_ngrams"] == 7
+    assert out[1]["top_ngram_frac"] == round(4 / 7, 6)
+    assert out[1]["dup_ngram_frac"] == round((7 - 2) / 7, 6)
+    # doc 2: all bigrams unique
+    assert out[2]["top_ngram_frac"] == round(1 / 6, 6)
+    assert out[2]["dup_ngram_frac"] == 0.0
+    # doc 3: single whole-text gram
+    assert out[3]["n_ngrams"] == 1 and out[3]["top_ngram_frac"] == 1.0
+
+
 def test_boilerplate_ngrams(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         text as X,

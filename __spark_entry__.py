@@ -1384,6 +1384,53 @@ WHERE doc_freq >= n_docs * 0.01
 """
 
 
+def dedup_incremental_docs(spark, sf_dir):
+    """Incremental near-dup detection vs a persistent band store
+    (operators/dedup.py incremental_minhash_dedup): feed the corpus
+    in two batches and assert the per-batch pair union equals the
+    one-shot LSH result — the order-independence invariant that makes
+    recompute-free growth sound. Emits (n_pairs,
+    incremental_matches_oneshot); DuckDB recomputes n_pairs from the
+    exact all-pairs n-gram definition and pins the flag. The band
+    store lives in a fresh temp dir per call (gate is idempotent)."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 != 0)
+    store = tempfile.mkdtemp(prefix="incr_bands_") + "/bands"
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+    p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kwargs)
+    p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kwargs)
+    incremental = p1.select("id_a", "id_b").unionByName(
+        p2.select("id_a", "id_b")
+    )
+    oneshot = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    missing = oneshot.join(incremental, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_missing")
+    )
+    extra = incremental.join(oneshot, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_extra")
+    )
+    total = oneshot.agg(F.count("*").alias("n_pairs"))
+    return (
+        total.crossJoin(missing)
+        .crossJoin(extra)
+        .select(
+            "n_pairs",
+            ((F.col("n_missing") == 0) & (F.col("n_extra") == 0)).alias(
+                "incremental_matches_oneshot"
+            ),
+        )
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH pairs AS ({DEDUP_NGRAM_SQL})
+SELECT COUNT(*) AS n_pairs, TRUE AS incremental_matches_oneshot FROM pairs
+"""
+
+
 def text_repetition_docs(spark, sf_dir):
     """Gopher-style repetition signals: per-doc top-2-gram fraction
     and duplicate-2-gram fraction (operators/text.py
@@ -3481,6 +3528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "events_session_window": events_session_window,
         "text_repetition_docs": text_repetition_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3689,4 +3737,5 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams_docs": BOILERPLATE_SQL,
         "events_session_window": SESSION_WINDOW_SQL,
         "text_repetition_docs": REPETITION_SQL,
+        "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
     }

@@ -5,7 +5,10 @@
 Per-query timing excludes session startup; each query is forced with
 a count action so the full plan executes. O(n²) oracle-path queries
 (all-pairs ngram/cosine) are excluded — their scalable LSH
-counterparts are benched instead.
+counterparts are benched instead — as is the incremental-dedup
+invariant gate (it re-signatures the corpus into a fresh temp band
+store per call by design; the per-batch path it exercises is benched
+via the shared-signature gates).
 
 Each query is timed in TWO interleaved passes and the minimum is
 reported: other JVMs share this box intermittently (driver probes),

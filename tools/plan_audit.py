@@ -50,6 +50,9 @@ ARROW_STAGE_OK = {
     "embed_label_spectrum",
     "events_sessionize",
     "seq_packing_docs",
+    # incremental band store: per-batch minhash signature Arrow pass
+    # + pudf exact verify (reviewed — same stages as dedup_minhash)
+    "dedup_incremental_docs",
 }
 
 

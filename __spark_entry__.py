@@ -1979,6 +1979,35 @@ WHERE list_dot_product(a.vec, b.vec)
 """
 
 
+def embed_cluster_vecs(spark, sf_dir):
+    """Embedding-space near-dup clustering: exact cosine≥0.4 pairs →
+    the same connected-components operator the text path uses
+    (cluster_id = min vec_id). Exact all-pairs side is the oracle
+    path (O(n²), excluded from bench like sim_neardup_exact); at
+    scale the pair source swaps to lsh/ivf candidates unchanged."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_near_dup_pairs(e, threshold=0.4, exact=True)
+    return D.connected_components(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+EMBED_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS ({SIM_NEARDUP_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
 def embed_label_stats(spark, sf_dir):
     """Per-label vector sanity stats: counts, dim bounds, avg norm."""
     e = _t(spark, sf_dir, "embeddings")
@@ -3529,6 +3558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": events_session_window,
         "text_repetition_docs": text_repetition_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "embed_cluster_vecs": embed_cluster_vecs,
         # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
@@ -3738,4 +3768,5 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": SESSION_WINDOW_SQL,
         "text_repetition_docs": REPETITION_SQL,
         "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
+        "embed_cluster_vecs": EMBED_CLUSTER_SQL,
     }

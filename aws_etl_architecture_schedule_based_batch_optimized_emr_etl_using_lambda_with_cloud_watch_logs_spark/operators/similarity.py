@@ -246,19 +246,55 @@ def lsh_topk(
     if dim is None:
         first = embeddings.select(F.size(vec_col).alias("d"))
         dim = first.first()["d"]
-    tables = [
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
+    return _lsh_probe_rank(
+        corpus, embeddings, query_ids, tables, n_planes, k, id_col, vec_col
+    )
+
+
+def _lsh_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """The L independent hyperplane tables — derived purely from
+    (dim, n_planes, n_tables, seed), so an index written with one
+    call is probe-compatible with any later call."""
+    return [
         _hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
     ]
-    buckets = multitable_bucket_pudf(tables)
 
-    corpus = (
-        embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+
+def _lsh_bucketed_corpus(
+    embeddings: DataFrame, tables, id_col: str, vec_col: str
+) -> DataFrame:
+    """(n_id, n_vec, table, bucket) rows: every corpus vector in each
+    of its L buckets — one einsum Arrow pass."""
+    buckets = multitable_bucket_pudf(tables)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        )
         .withColumn("buckets", buckets(F.col("n_vec")))
         .select(
             "n_id", "n_vec", F.posexplode("buckets").alias("table", "bucket")
         )
     )
 
+
+def _lsh_probe_rank(
+    corpus: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    tables,
+    n_planes: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Multi-probe the bucketed corpus with the query vectors and
+    exact-rank the candidate union (shared by the in-memory and
+    persisted-index paths)."""
+    buckets = multitable_bucket_pudf(tables)
     probes = F.array(
         F.col("q_bucket"),
         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
@@ -290,6 +326,54 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank")
+    )
+
+
+def lsh_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+) -> int:
+    """Materialize the bucketed LSH corpus as a parquet index
+    partitioned by ``table`` — the build-once/query-many path: the
+    corpus einsum pass runs once at build, and every later query
+    probes the stored buckets instead of re-hashing 100 TB of
+    vectors. Returns the vector dimension (needed to derive
+    probe-compatible hyperplanes at query time)."""
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
+    corpus.write.mode("overwrite").partitionBy("table").parquet(path)
+    return dim
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a persisted index written by
+    :func:`lsh_index_write` (same seed/planes/tables ⇒ identical
+    results to the in-memory path, test-pinned). Only the probed
+    (table, bucket) partitions of the index are touched."""
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    corpus = spark.read.parquet(index_path)
+    return _lsh_probe_rank(
+        corpus, embeddings, query_ids, tables, n_planes, k, id_col, vec_col
     )
 
 

@@ -525,6 +525,30 @@ def test_frame_sample_plan(spark):
     ]
 
 
+def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
+    """The persisted LSH index (build-once parquet) returns exactly
+    the in-memory lsh_topk results — same seed-derived hyperplanes,
+    same probe logic."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(5))
+    in_mem = sorted(
+        tuple(r) for r in S.lsh_topk(emb, query_ids=qids, k=3).collect()
+    )
+    path = str(tmp_path / "lsh_index")
+    dim = S.lsh_index_write(emb, path)
+    from_idx = sorted(
+        tuple(r)
+        for r in S.lsh_topk_from_index(
+            spark, path, emb, query_ids=qids, dim=dim, k=3
+        ).collect()
+    )
+    assert from_idx == in_mem and len(in_mem) > 0
+
+
 def test_decontam_ngram_overlap(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         decontam as DC,

@@ -53,6 +53,8 @@ ARROW_STAGE_OK = {
     # incremental band store: per-batch minhash signature Arrow pass
     # + pudf exact verify (reviewed — same stages as dedup_minhash)
     "dedup_incremental_docs",
+    # exact cosine pair source (oracle path) feeding CC clustering
+    "embed_cluster_vecs",
 }
 
 

@@ -158,6 +158,51 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     assert got == expected and len(got) == 2
 
 
+def test_rate_source_smoke(spark):
+    """The unbounded rate source drives the same windowed-agg plan as
+    the file source: rows keep flowing, transformations apply, and
+    the memory sink fills — the always-on deployment shape, smoke-
+    tested with a processing-time micro-batch run."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "200")
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.when(F.col("value") % 2 == 0, "click")
+            .otherwise("view")
+            .alias("event_type"),
+            (F.col("value") % 10).cast("double").alias("value"),
+        )
+    )
+    q = (
+        windowed_event_counts(stream, window_duration="1 second",
+                              watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 60
+        n = 0
+        while time.monotonic() < deadline:
+            n = spark.sql("SELECT SUM(n_events) AS n FROM rate_counts").collect()[0]["n"] or 0
+            if n >= 100:
+                break
+            time.sleep(1)
+        assert n >= 100
+        types = {
+            r["event_type"]
+            for r in spark.sql("SELECT DISTINCT event_type FROM rate_counts").collect()
+        }
+        assert types == {"click", "view"}
+    finally:
+        q.stop()
+
+
 def test_dedup_within_watermark_drops_redeliveries(spark, tmp_path):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
         dedup_within_watermark,

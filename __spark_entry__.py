@@ -55,12 +55,22 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def _evict_stale_sessions(cache: dict, spark: SparkSession) -> None:
-    """Drop cache entries belonging to other (dead) SparkSessions so
-    their persisted frames and session object graphs can be garbage
-    collected — a process that opens several sessions (pytest,
-    check_oracle followed by bench) must not pin them all."""
-    sid = id(spark)
-    for key in [k for k in cache if k[0] != sid]:
+    """Drop cache entries whose owning SparkSession's context has
+    STOPPED, so dead session graphs and their persisted frames can be
+    garbage collected (a process cycling stop()/getOrCreate must not
+    pin every generation). Entries of other LIVE sessions — e.g.
+    ``newSession()`` siblings sharing the running context — are kept:
+    evicting them would thrash rebuilds without freeing anything.
+    Cache values are (session, payload) pairs so liveness can be
+    checked per entry."""
+
+    def stopped(sess: SparkSession) -> bool:
+        try:
+            return sess.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    for key in [k for k, (sess, _) in cache.items() if stopped(sess)]:
         del cache[key]
 
 
@@ -72,11 +82,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     hundreds of times across a bench run)."""
     _evict_stale_sessions(_TABLE_CACHE, spark)
     key = (id(spark), sf_dir, name)
-    df = _TABLE_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _TABLE_CACHE[key] = df
-    return df
+    entry_ = _TABLE_CACHE.get(key)
+    if entry_ is None:
+        entry_ = (spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        _TABLE_CACHE[key] = entry_
+    return entry_[1]
 
 
 def _session_cached(
@@ -86,11 +96,11 @@ def _session_cached(
     (signatures, verified pair set, exact top-k)."""
     _evict_stale_sessions(cache, spark)
     key = (id(spark), sf_dir)
-    df = cache.get(key)
-    if df is None:
-        df = build().persist()
-        cache[key] = df
-    return df
+    entry_ = cache.get(key)
+    if entry_ is None:
+        entry_ = (spark, build().persist())
+        cache[key] = entry_
+    return entry_[1]
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1392,16 +1402,24 @@ def dedup_incremental_docs(spark, sf_dir):
     recompute-free growth sound. Emits (n_pairs,
     incremental_matches_oneshot); DuckDB recomputes n_pairs from the
     exact all-pairs n-gram definition and pins the flag. The band
-    store lives in a fresh temp dir per call (gate is idempotent)."""
+    store lives in a fresh temp dir per call (gate is idempotent)
+    and is removed before returning — safe because the per-batch
+    pairs are eagerly localCheckpoint-ed inside the operator, so the
+    returned plan never re-reads the store."""
+    import shutil
     import tempfile
 
     d = _t(spark, sf_dir, "documents")
     b1 = d.filter(F.col("doc_id") % 2 == 0)
     b2 = d.filter(F.col("doc_id") % 2 != 0)
-    store = tempfile.mkdtemp(prefix="incr_bands_") + "/bands"
+    tmp = tempfile.mkdtemp(prefix="incr_bands_")
+    store = tmp + "/bands"
     kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
-    p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kwargs)
-    p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kwargs)
+    try:
+        p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kwargs)
+        p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kwargs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     incremental = p1.select("id_a", "id_b").unionByName(
         p2.select("id_a", "id_b")
     )

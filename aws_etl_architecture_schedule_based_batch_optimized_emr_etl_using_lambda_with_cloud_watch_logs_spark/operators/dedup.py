@@ -472,21 +472,28 @@ def incremental_minhash_dedup(
     candidate generation is the same uniform-key bucket join:
 
       1. band the new docs (one Arrow pass over the batch),
-      2. new×new candidates via :func:`bucket_pairs` (giant-bucket
-         guard included),
-      3. new×old candidates by joining new bands against stored
-         bands on (band, band_hash) — hash keys, no skew,
-      4. exact-Jaccard verify on candidates only (texts from the
+      2. candidate pairs via :func:`bucket_pairs` over the union of
+         the new bands and the stored bands RESTRICTED to buckets
+         containing ≥1 new doc (a semi-join — O(matching buckets),
+         not O(store)), filtered to pairs that touch a new doc;
+         the giant-bucket guard therefore applies to new×old
+         candidates exactly as it does in the one-shot path,
+      3. exact-Jaccard verify on candidates only (texts from the
          new batch plus ``old_docs``, the historical corpus table),
-      5. append the new bands to the store (the next batch's
+      4. append the new bands to the store (the next batch's
          "old").
 
     Invariant (pinned in tests): running batches B1, B2, … through
     this and unioning the per-batch pairs yields exactly the pairs
-    of a one-shot run over the full corpus — order of arrival does
-    not change the answer. Old↔old pairs were already reported when
-    those docs were new, so each run reports only pairs touching the
-    incoming batch.
+    of a one-shot run over the full corpus while no bucket exceeds
+    ``max_bucket_members`` — order of arrival does not change the
+    answer. Old↔old pairs were already reported when those docs were
+    new, so each run reports only pairs touching the incoming batch.
+    When the star-pairing guard fires inside a giant bucket the
+    per-batch union is a connectivity-equivalent superset of the
+    one-shot star (the star hub can differ by arrival order), so
+    cluster assignments still agree; exact pair-list equality is
+    guaranteed only below the cap.
 
     ``update_store=False`` makes the call read-only (a dry-run
     audit). First contact (no store yet) degrades to the one-shot
@@ -505,36 +512,37 @@ def incremental_minhash_dedup(
         old_bands = None
         have_store = False
 
-    cand_new = bucket_pairs(
-        new_bands, ["band", "band_hash"], id_col,
-        max_bucket_members=max_bucket_members,
-    )
     if have_store and old_docs is not None:
-        # new×old: the stored side is already banded; candidate pairs
-        # are (old_id, new_id) normalized to id_a < id_b.
-        cross = (
-            new_bands.select(
-                F.col(id_col).alias("_new_id"), "band", "band_hash"
-            )
-            .join(
-                old_bands.select(
-                    F.col(id_col).alias("_old_id"), "band", "band_hash"
-                ),
-                ["band", "band_hash"],
-            )
-            .select(
-                F.least("_new_id", "_old_id").alias("id_a"),
-                F.greatest("_new_id", "_old_id").alias("id_b"),
-            )
-            .filter(F.col("id_a") != F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+        new_buckets = new_bands.select("band", "band_hash").distinct()
+        relevant = new_bands.unionByName(
+            old_bands.join(new_buckets, ["band", "band_hash"], "left_semi")
         )
-        candidates = cand_new.union(cross).dropDuplicates(["id_a", "id_b"])
+        new_ids = new_bands.select(F.col(id_col).alias("_nid")).distinct()
+        all_pairs = bucket_pairs(
+            relevant, ["band", "band_hash"], id_col,
+            max_bucket_members=max_bucket_members,
+        )
+        # Keep only pairs touching the incoming batch — old↔old
+        # pairs inside these buckets were reported when those docs
+        # were new. Two semi-join probes against the tiny new-id
+        # frame, unioned and deduped.
+        cand_a = all_pairs.join(
+            new_ids, F.col("id_a") == F.col("_nid"), "left_semi"
+        )
+        cand_b = all_pairs.join(
+            new_ids, F.col("id_b") == F.col("_nid"), "left_semi"
+        )
+        candidates = cand_a.unionByName(cand_b).dropDuplicates(
+            ["id_a", "id_b"]
+        )
         texts = old_docs.select(id_col, text_col).unionByName(
             new_docs.select(id_col, text_col)
         )
     else:
-        candidates = cand_new
+        candidates = bucket_pairs(
+            new_bands, ["band", "band_hash"], id_col,
+            max_bucket_members=max_bucket_members,
+        )
         texts = new_docs.select(id_col, text_col)
 
     t_a = texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
@@ -551,9 +559,13 @@ def incremental_minhash_dedup(
     if update_store:
         # Materialize pairs BEFORE appending, so the returned frame
         # (lazy) can't double-count the batch against its own stored
-        # bands if evaluated after the append.
+        # bands if evaluated after the append — and release the
+        # band cache once both consumers (pairs, store append) are
+        # done, so a forever-growing corpus doesn't pin one dead
+        # frame per batch.
         pairs = pairs.localCheckpoint(eager=True)
         new_bands.write.mode("append").parquet(store_path)
+        new_bands.unpersist()
     return pairs
 
 

@@ -343,13 +343,27 @@ def lsh_index_write(
     partitioned by ``table`` — the build-once/query-many path: the
     corpus einsum pass runs once at build, and every later query
     probes the stored buckets instead of re-hashing 100 TB of
-    vectors. Returns the vector dimension (needed to derive
-    probe-compatible hyperplanes at query time)."""
+    vectors. The full hash-parameter set (dim, n_planes, n_tables,
+    seed) is written to ``<path>/_lsh_meta.json`` so query time
+    derives probe-compatible hyperplanes from the INDEX, not from
+    caller-supplied defaults — a parameter mismatch would silently
+    return low-recall garbage otherwise. Returns the dimension."""
+    import json
+    import os
+
     if dim is None:
         dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
     corpus.write.mode("overwrite").partitionBy("table").parquet(path)
+    meta = {
+        "dim": int(dim),
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "seed": seed,
+    }
+    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
+        json.dump(meta, fh)
     return dim
 
 
@@ -358,22 +372,35 @@ def lsh_topk_from_index(
     index_path: str,
     embeddings: DataFrame,
     query_ids: list[int],
-    dim: int,
+    dim: int | None = None,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k against a persisted index written by
-    :func:`lsh_index_write` (same seed/planes/tables ⇒ identical
-    results to the in-memory path, test-pinned). Only the probed
-    (table, bucket) partitions of the index are touched."""
-    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    :func:`lsh_index_write`. The hash parameters (dim, n_planes,
+    n_tables, seed) are read from the index's ``_lsh_meta.json`` —
+    the stored bucketing and the derived probe hyperplanes cannot
+    drift apart. Results are identical to the in-memory path
+    (test-pinned); only the probed (table, bucket) partitions of the
+    index are touched."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_lsh_meta.json")) as fh:
+        meta = json.load(fh)
+    if dim is not None and dim != meta["dim"]:
+        raise ValueError(
+            f"index at {index_path} was built for dim={meta['dim']}, "
+            f"caller passed dim={dim}"
+        )
+    tables = _lsh_tables(
+        meta["dim"], meta["n_planes"], meta["n_tables"], meta["seed"]
+    )
     corpus = spark.read.parquet(index_path)
     return _lsh_probe_rank(
-        corpus, embeddings, query_ids, tables, n_planes, k, id_col, vec_col
+        corpus, embeddings, query_ids, tables, meta["n_planes"], k,
+        id_col, vec_col,
     )
 
 

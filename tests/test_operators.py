@@ -535,18 +535,28 @@ def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qids = list(range(5))
+    # non-default seed: proves the query path derives its hyperplanes
+    # from the index's _lsh_meta.json, not from caller defaults
     in_mem = sorted(
-        tuple(r) for r in S.lsh_topk(emb, query_ids=qids, k=3).collect()
+        tuple(r)
+        for r in S.lsh_topk(emb, query_ids=qids, k=3, seed=7).collect()
     )
     path = str(tmp_path / "lsh_index")
-    dim = S.lsh_index_write(emb, path)
+    S.lsh_index_write(emb, path, seed=7)
     from_idx = sorted(
         tuple(r)
         for r in S.lsh_topk_from_index(
-            spark, path, emb, query_ids=qids, dim=dim, k=3
+            spark, path, emb, query_ids=qids, k=3
         ).collect()
     )
     assert from_idx == in_mem and len(in_mem) > 0
+    # dim mismatch is refused loudly, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="built for dim"):
+        S.lsh_topk_from_index(
+            spark, path, emb, query_ids=qids, dim=9999, k=3
+        )
 
 
 def test_decontam_ngram_overlap(spark):
@@ -641,18 +651,29 @@ def test_pack_sequences_invariants(spark):
 
 
 def test_entry_caches_evict_stale_sessions(spark):
-    """The per-(session, sf) frame caches drop entries from other
-    sessions on access, so a process cycling sessions doesn't pin
-    dead session graphs."""
+    """The per-(session, sf) frame caches drop entries whose session
+    has STOPPED, while live sibling sessions (shared context) keep
+    their entries — no thrash, no dead-session pinning."""
     import __spark_entry__ as E
 
     sf = "/root/testdata/sf0.001"
-    E._t(spark, sf, "region")
-    assert any(k[0] == id(spark) for k in E._TABLE_CACHE)
-    other = spark.newSession()
     try:
-        E._t(other, sf, "region")
-        assert all(k[0] == id(other) for k in E._TABLE_CACHE)
+        E._t(spark, sf, "region")
+        sibling = spark.newSession()
+        E._t(sibling, sf, "region")
+        # both LIVE sessions coexist in the cache
+        owners = {k[0] for k in E._TABLE_CACHE}
+        assert {id(spark), id(sibling)} <= owners
+
+        class _DeadSession:  # sparkContext access raises → stopped
+            @property
+            def sparkContext(self):
+                raise RuntimeError("stopped")
+
+        E._TABLE_CACHE[(123456, sf, "fake")] = (_DeadSession(), None)
+        E._t(spark, sf, "region")  # any access sweeps dead entries
+        assert (123456, sf, "fake") not in E._TABLE_CACHE
+        assert any(k[0] == id(sibling) for k in E._TABLE_CACHE)
     finally:
         E._TABLE_CACHE.clear()
 
@@ -1163,6 +1184,40 @@ def test_incremental_minhash_matches_one_shot(spark, docs, tmp_path):
     assert got1 & got2 == set()          # no pair reported twice
     assert (1, 4) in got2                # cross-batch exact dup found
     assert (1, 2) in got2 and (2, 4) in got2
+
+
+def test_incremental_minhash_giant_bucket_guard(spark, tmp_path):
+    """Cross-batch candidates go through bucket_pairs, so the
+    giant-bucket star guard bounds pair expansion to O(m) in the
+    incremental path too, and clustering (connectivity) agrees with
+    the one-shot result even when the guard fires."""
+    n_docs, cap = 20, 8
+    rows = [(i, "identical text repeated for every document here") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    store = str(tmp_path / "band_store")
+    b1 = docs.filter(F.col("doc_id") < 10)
+    b2 = docs.filter(F.col("doc_id") >= 10)
+    kw = dict(
+        n=3, num_hashes=64, bands=32, threshold=0.5, max_bucket_members=cap
+    )
+    p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kw)
+    p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kw)
+    union = p1.select("id_a", "id_b").unionByName(p2.select("id_a", "id_b"))
+    n_union = union.count()
+    # star pairing bounds the pair list far below C(20,2)=190
+    assert n_union < 60
+    # connectivity equivalence: everything still one cluster
+    clusters = {
+        r["cluster_id"]
+        for r in D.connected_components(union, "id_a", "id_b").collect()
+    }
+    assert clusters == {0}
+    one_shot = D.minhash_lsh_dedup(docs, **kw)
+    oneshot_clusters = {
+        r["cluster_id"]
+        for r in D.connected_components(one_shot, "id_a", "id_b").collect()
+    }
+    assert oneshot_clusters == {0}
 
 
 def test_incremental_minhash_dry_run_leaves_store(spark, docs, tmp_path):

@@ -251,6 +251,46 @@ def _decode_pnm(content: bytes, feat_dim: int) -> dict | None:
         return None
 
 
+_JPEG_SOF_MARKERS = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def _decode_jpeg(content: bytes, feat_dim: int) -> dict | None:
+    """JPEG header parse, stdlib-only: walk the marker segments to
+    the SOF frame for true width/height/components. Entropy-coded
+    pixel decode needs a real codec (PIL), so features use the
+    deterministic byte-hash fallback — dimensions and metadata are
+    real, the feature vector is a placeholder."""
+    if not content or not content.startswith(b"\xff\xd8"):
+        return None
+    try:
+        pos = 2
+        while pos + 4 <= len(content):
+            if content[pos] != 0xFF:
+                return None
+            marker = content[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length
+                continue
+            (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+            if marker in _JPEG_SOF_MARKERS:
+                _, height, width, n_comp = struct.unpack(
+                    ">BHHB", content[pos + 4 : pos + 10]
+                )
+                fake = _fake_decode(content, "image", feat_dim)
+                fake["width"] = width
+                fake["height"] = height
+                return fake
+            if marker == 0xDA:  # start of scan — no SOF seen
+                return None
+            pos += 2 + seg_len
+        return None
+    except Exception:
+        return None
+
+
 def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
     """Real WAV decode via the stdlib ``wave`` module: sample rate /
     channel / duration metadata plus amplitude statistics (RMS, zero-
@@ -292,9 +332,10 @@ def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
 
 
 def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
-    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV), with
-    the deterministic byte-hash fallback for everything else."""
-    for codec in (_decode_png, _decode_pnm, _decode_wav):
+    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV fully;
+    JPEG dimensions-only), with the deterministic byte-hash fallback
+    for everything else."""
+    for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg):
         out = codec(content, feat_dim)
         if out is not None:
             return out

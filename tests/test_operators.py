@@ -442,6 +442,33 @@ def test_multimodal_real_codecs(spark):
     assert out[5]["width"] is not None and len(out[5]["features"]) == 6
 
 
+def test_multimodal_jpeg_header_dims():
+    """JPEG SOF parse extracts real dimensions (pixel decode stays a
+    documented fallback)."""
+    import struct as st
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    sof = st.pack(">BHHB", 8, 240, 320, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xC0, sof)
+        + b"\xff\xd9"
+    )
+    out = _decode_jpeg(jpeg, feat_dim=4)
+    assert out is not None
+    assert (out["width"], out["height"]) == (320, 240)
+    assert len(out["features"]) == 4
+    assert _decode_jpeg(b"\xff\xd8\xff\xd9", 4) is None  # no SOF
+    assert _decode_jpeg(b"not a jpeg", 4) is None
+
+
 def test_multimodal_png_filters_roundtrip():
     """Unfiltering handles Sub/Up/Average/Paeth: re-encode a gradient
     with each filter type and check identical pixel stats."""

@@ -1489,7 +1489,15 @@ def mix_sample_docs(spark, sf_dir):
 
 
 def _mix_keep_sql(frac: float) -> str:
-    return f"(doc_id * 2654435761) % 4294967296 < {int(frac * 2**32)}"
+    # Mirrors mixing.hash32_expr's two-limb 63-bit-safe multiply
+    # exactly (fold key to 32 bits, 16-bit limbs) so the oracle
+    # agrees for ANY bigint doc_id, not just fixture-scale ones.
+    k32 = "(((doc_id % 4294967296) + 4294967296) % 4294967296)"
+    h = (
+        f"((({k32} // 65536) * 2654435761) % 65536 * 65536"
+        f" + ({k32} % 65536) * 2654435761) % 4294967296"
+    )
+    return f"({h}) < {int(frac * 2**32)}"
 
 
 MIX_SAMPLE_SQL = f"""
@@ -3208,6 +3216,41 @@ FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40
 """
 
 
+def keyset_paged_orders(spark, sf_dir):
+    """Keyset pagination — the 100 TB-correct page fetch paged_orders'
+    docstring promises: WHERE key > last_seen ORDER BY key LIMIT n.
+    The range predicate pushes into the parquet scan (min/max pruning
+    skips every row group below the cursor) and the page is a top-20,
+    never an OFFSET skip-scan over the prefix. The cursor here is
+    derived in-plan (max key of the first page-40) so the gate is
+    deterministic at any SF; a real pager passes the cursor as a
+    literal, which prunes even harder."""
+    o = _t(spark, sf_dir, "orders")
+    cursor = (
+        o.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(40)
+        .agg(F.max("o_orderkey").alias("cursor"))
+    )
+    return (
+        o.join(F.broadcast(cursor))
+        .filter(F.col("o_orderkey") > F.col("cursor"))
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+KEYSET_PAGED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey > (
+  SELECT MAX(k) FROM (
+    SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 40))
+ORDER BY o_orderkey LIMIT 20
+"""
+
+
 def agg_mode_bits(spark, sf_dir):
     """mode() and bitwise aggregates per group. l_linenumber's mode
     is deterministic (line 1 exists for every order, strictly most
@@ -3662,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hof_exists_forall_docs": hof_exists_forall_docs,
         "fuzzy_levenshtein_parts": fuzzy_levenshtein_parts,
         "paged_orders": paged_orders,
+        "keyset_paged_orders": keyset_paged_orders,
         "agg_mode_bits": agg_mode_bits,
         "join_anti_customers": join_anti_customers,
         "join_semi_suppliers": join_semi_suppliers,
@@ -3717,6 +3761,7 @@ def oracle_sql() -> dict[str, str]:
         "hof_exists_forall_docs": HOF_PREDICATE_SQL,
         "fuzzy_levenshtein_parts": FUZZY_LEV_SQL,
         "paged_orders": PAGED_SQL,
+        "keyset_paged_orders": KEYSET_PAGED_SQL,
         "agg_mode_bits": MODE_BITS_SQL,
         "join_anti_customers": JOIN_ANTI_SQL,
         "join_semi_suppliers": JOIN_SEMI_SQL,

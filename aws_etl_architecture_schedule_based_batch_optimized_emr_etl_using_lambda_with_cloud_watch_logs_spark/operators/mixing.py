@@ -22,13 +22,35 @@ _MULT = 2654435761  # Knuth multiplicative hash constant
 _MOD = 2**32
 
 
+def hash32_expr(key_col: str | Column) -> Column:
+    """(key mod 2³²) · K mod 2³² computed entirely within 63-bit
+    intermediates, so it is exact for ANY bigint key under Spark's
+    ANSI mode (a naive ``key * K`` overflows for keys ≥ ~2³²·⁷ —
+    runtime error under ANSI, silent negative wrap without).
+
+    Two-limb schoolbook multiply: fold the key to 32 bits, split into
+    16-bit limbs hi:lo, then
+    ``k32·K mod 2³² = ((hi·K mod 2¹⁶)·2¹⁶ + lo·K) mod 2³²``.
+    Largest intermediate is lo·K < 2⁴⁸ — comfortably in bigint.
+    Identical bits to the single-multiply form wherever that form is
+    exact, so existing samples are unchanged."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    k32 = F.pmod(key, F.lit(_MOD))
+    hi = F.shiftright(k32, 16)
+    lo = k32.bitwiseAND(F.lit(0xFFFF))
+    return F.pmod(
+        F.pmod(hi * F.lit(_MULT), F.lit(1 << 16)) * F.lit(1 << 16)
+        + lo * F.lit(_MULT),
+        F.lit(_MOD),
+    )
+
+
 def keep_fraction_expr(key_col: str | Column, fraction: float) -> Column:
     """Deterministic Bernoulli(fraction) on an integer key: keep rows
-    with (key * K) mod 2³² below fraction·2³². The threshold is an
-    exact integer so any engine reproduces the same sample."""
-    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    with hash32(key) below fraction·2³². The threshold is an exact
+    integer so any engine reproduces the same sample."""
     threshold = int(fraction * _MOD)
-    return (key * F.lit(_MULT)) % F.lit(_MOD) < F.lit(threshold)
+    return hash32_expr(key_col) < F.lit(threshold)
 
 
 def temperature_fractions(

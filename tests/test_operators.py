@@ -843,6 +843,33 @@ def test_mixing_weighted_sample(spark):
     assert rep["fr"]["realized_rate"] == 1.0
 
 
+def test_mixing_hash_no_overflow_at_bigint_scale(spark):
+    """hash32 must be exact for doc_ids far beyond 2^32 — the naive
+    (key * K) % 2^32 overflows bigint there (runtime error under
+    Spark's default ANSI mode). Pin against Python's arbitrary-
+    precision arithmetic at keys near 2^62, and pin that the two-limb
+    form left fixture-scale hashes unchanged."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    big = 2**62
+    keys = [0, 1, 12345, 2**31 - 1, 2**32 + 7, big - 3, big, big + 12345]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", MX.hash32_expr("doc_id").alias("h")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == (k * 2654435761) % 2**32, k
+    # filter runs clean under ANSI at extreme keys
+    n = df.filter(MX.keep_fraction_expr("doc_id", 0.5)).count()
+    assert 0 <= n <= len(keys)
+
+
 def test_mixing_temperature_fractions():
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.mixing import (
         temperature_fractions,

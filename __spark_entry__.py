@@ -51,7 +51,7 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 SF001 = "/root/testdata/sf0.001"
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _evict_stale_sessions(cache: dict, spark: SparkSession) -> None:
@@ -120,7 +120,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _doc_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,7 +1183,7 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 """
 
 
-_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_PAIRS_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _minhash_pairs(spark, sf_dir):
@@ -1898,7 +1898,7 @@ SELECT q_id, n_id, CAST(rank AS INT) AS rank FROM (
 """
 
 
-_TOPK_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TOPK_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def _exact_topk(spark, sf_dir) -> DataFrame:

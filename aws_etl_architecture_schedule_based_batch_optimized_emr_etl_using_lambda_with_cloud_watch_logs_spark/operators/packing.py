@@ -34,20 +34,37 @@ PACK_SCHEMA = StructType(
 )
 
 
+# Greedy packing is a sequential per-partition loop over (doc_id,
+# n_tokens) rows; this bounds how many rows one task chews through.
+# Loss vs a global pack is ≤ one partial pack per partition, so more
+# partitions trade a negligible density loss (n_partitions packs out
+# of ~n_docs·avg_tokens/max_tokens) for linear speedup.
+_DOCS_PER_PACK_PARTITION = 50_000_000
+
+
 def pack_sequences(
     df: DataFrame,
     max_tokens: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_partitions: int = 8,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, pack_id, oversize) — ``pack_id`` is the
     first doc_id placed in the pack (globally unique because packs
-    are disjoint doc sets)."""
+    are disjoint doc sets).
+
+    ``n_partitions=None`` (default) derives the fan-out from the
+    corpus size — ceil(n_docs / 50M), floor 8 — via one metadata-only
+    count (column-pruned to the id; the packing pass re-scans the
+    same metadata anyway). Pass an explicit value to skip the count
+    or pin a layout."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
     )
+    if n_partitions is None:
+        n_docs = toks.count()
+        n_partitions = max(8, -(-n_docs // _DOCS_PER_PACK_PARTITION))
     parted = toks.repartition(n_partitions, "doc_id").sortWithinPartitions(
         "doc_id"
     )
@@ -111,6 +128,10 @@ def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
     return totals.crossJoin(pack_ok).select(
         "n_docs",
         "total_tokens",
-        (F.col("_packs_ok") == 1).alias("packs_within_budget"),
+        # min over zero packs is NULL; an empty corpus is vacuously
+        # well-formed on both engines (the oracle pins TRUE)
+        F.coalesce(F.col("_packs_ok") == 1, F.lit(True)).alias(
+            "packs_within_budget"
+        ),
         (F.col("n_docs") == F.col("_n_distinct")).alias("docs_packed_once"),
     )

@@ -344,26 +344,25 @@ def lsh_index_write(
     corpus einsum pass runs once at build, and every later query
     probes the stored buckets instead of re-hashing 100 TB of
     vectors. The full hash-parameter set (dim, n_planes, n_tables,
-    seed) is written to ``<path>/_lsh_meta.json`` so query time
-    derives probe-compatible hyperplanes from the INDEX, not from
-    caller-supplied defaults — a parameter mismatch would silently
-    return low-recall garbage otherwise. Returns the dimension."""
-    import json
-    import os
-
+    seed) is written as a one-row Spark JSON dataset under
+    ``<path>/_lsh_meta`` so query time derives probe-compatible
+    hyperplanes from the INDEX, not from caller-supplied defaults — a
+    parameter mismatch would silently return low-recall garbage
+    otherwise. The meta goes through Spark's filesystem layer (not
+    local ``open()``), so the index works on HDFS/S3/any supported
+    scheme; the leading underscore keeps it out of the parquet
+    reader's file discovery. Returns the dimension."""
     if dim is None:
         dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
     corpus.write.mode("overwrite").partitionBy("table").parquet(path)
-    meta = {
-        "dim": int(dim),
-        "n_planes": n_planes,
-        "n_tables": n_tables,
-        "seed": seed,
-    }
-    with open(os.path.join(path, "_lsh_meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    spark = embeddings.sparkSession
+    meta_df = spark.createDataFrame(
+        [(int(dim), int(n_planes), int(n_tables), int(seed))],
+        "dim int, n_planes int, n_tables int, seed int",
+    )
+    meta_df.coalesce(1).write.mode("overwrite").json(f"{path}/_lsh_meta")
     return dim
 
 
@@ -379,16 +378,17 @@ def lsh_topk_from_index(
 ) -> DataFrame:
     """Approximate top-k against a persisted index written by
     :func:`lsh_index_write`. The hash parameters (dim, n_planes,
-    n_tables, seed) are read from the index's ``_lsh_meta.json`` —
-    the stored bucketing and the derived probe hyperplanes cannot
-    drift apart. Results are identical to the in-memory path
-    (test-pinned); only the probed (table, bucket) partitions of the
-    index are touched."""
-    import json
-    import os
-
-    with open(os.path.join(index_path, "_lsh_meta.json")) as fh:
-        meta = json.load(fh)
+    n_tables, seed) are read from the index's ``_lsh_meta`` dataset
+    via Spark's filesystem layer (any scheme Spark supports) — the
+    stored bucketing and the derived probe hyperplanes cannot drift
+    apart. Results are identical to the in-memory path (test-pinned);
+    only the probed (table, bucket) partitions of the index are
+    touched."""
+    meta = (
+        spark.read.schema("dim int, n_planes int, n_tables int, seed int")
+        .json(f"{index_path}/_lsh_meta")
+        .first()
+    )
     if dim is not None and dim != meta["dim"]:
         raise ValueError(
             f"index at {index_path} was built for dim={meta['dim']}, "
@@ -590,46 +590,71 @@ def label_spectrum(
     vec_col: str = "embedding",
     top_k: int = 3,
 ) -> DataFrame:
-    """Per-label covariance spectrum via grouped ``applyInPandas``:
-    each label's vectors form one pandas group; numpy computes the
-    covariance trace and top-k eigenvalues (the per-cluster variance
-    structure an embedding-quality monitor tracks). This is the
-    legitimate applyInPandas case — eigen-decomposition has no
-    DataFrame-expression form.
+    """Per-label covariance spectrum, two-phase so NO label ever
+    materializes its member vectors in one worker (the bounded-group
+    constraint the one-phase grouped-applyInPandas form carried):
 
-    Scale: state per group is the (dim × dim) covariance, not the
-    member vectors — but the grouped pandas input DOES materialize
-    each label's vectors in one worker, so labels must be
-    bounded-size groups (re-chunk giant labels upstream, e.g. salt +
-    merge moment matrices).
+    - Phase 1 (``mapInPandas``, no shuffle): every Arrow batch emits
+      one partial-moment row per label it contains — (count, sum
+      vector, sum outer-product) — dim + dim² doubles, independent of
+      member count. Moments are associative, so any batch/partition
+      assignment merges to the same covariance.
+    - Phase 2 (grouped ``applyInPandas`` over the PARTIALS): per
+      label, merge ≤ one tiny row per upstream batch, form
+      ``cov = (M − s·sᵀ/n) / (n−1)`` (ddof=1, matching np.cov), and
+      eigen-decompose the single dim×dim matrix. This is the
+      legitimate applyInPandas case — eigen has no expression form —
+      and its group size is O(partitions), not O(members), so a
+      100 TB label with billions of members costs the same shuffle
+      bytes as a 10-row one.
     """
     import numpy as np
     import pandas as pd
 
-    def spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-        )
-        label = pdf[label_col].iloc[0]
-        if len(mat) < 2:
-            zeros = [0.0] * top_k
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"label": [], "n": [], "s": [], "m": []}
+            for label, grp in pdf.groupby(label_col, sort=False):
+                mat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp[vec_col]]
+                )
+                out["label"].append(label)
+                out["n"].append(len(mat))
+                out["s"].append(mat.sum(axis=0))
+                out["m"].append((mat.T @ mat).ravel())
+            yield pd.DataFrame(out)
+
+    moment_rows = embeddings.select(label_col, vec_col).mapInPandas(
+        partials,
+        schema="label int, n long, s array<double>, m array<double>",
+    )
+
+    def merge_spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
+        label = pdf["label"].iloc[0]
+        n = int(pdf["n"].sum())
+        if n < 2:
             return pd.DataFrame(
-                {"label": [label], "n_vectors": [len(mat)],
-                 "cov_trace": [0.0], "top_eigs": [zeros]}
+                {"label": [label], "n_vectors": [n],
+                 "cov_trace": [0.0], "top_eigs": [[0.0] * top_k]}
             )
-        cov = np.cov(mat, rowvar=False)
+        s = np.sum(np.stack([np.asarray(v) for v in pdf["s"]]), axis=0)
+        m = np.sum(np.stack([np.asarray(v) for v in pdf["m"]]), axis=0)
+        dim = s.shape[0]
+        cov = (m.reshape(dim, dim) - np.outer(s, s) / n) / (n - 1)
         eigs = np.sort(np.linalg.eigvalsh(cov))[::-1][:top_k]
         return pd.DataFrame(
             {
                 "label": [label],
-                "n_vectors": [len(mat)],
+                "n_vectors": [n],
                 "cov_trace": [round(float(np.trace(cov)), 6)],
                 "top_eigs": [[round(float(e), 6) for e in eigs]],
             }
         )
 
-    return embeddings.select(label_col, vec_col).groupBy(label_col).applyInPandas(
-        spectrum,
+    return moment_rows.groupBy("label").applyInPandas(
+        merge_spectrum,
         schema="label int, n_vectors long, cov_trace double, "
         "top_eigs array<double>",
     )

@@ -563,7 +563,7 @@ def test_lsh_persisted_index_matches_in_memory(spark, tmp_path):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qids = list(range(5))
     # non-default seed: proves the query path derives its hyperplanes
-    # from the index's _lsh_meta.json, not from caller defaults
+    # from the index's _lsh_meta dataset, not from caller defaults
     in_mem = sorted(
         tuple(r)
         for r in S.lsh_topk(emb, query_ids=qids, k=3, seed=7).collect()
@@ -675,6 +675,57 @@ def test_pack_sequences_invariants(spark):
     # partition (8), far under one pack per doc
     total = sum(r["n_tokens"] for r in packed if not r["oversize"])
     assert len(by_pack) - 1 <= total // 64 + 8 + 1  # -1: oversize pack
+
+
+def test_pack_sequences_adaptive_fanout_and_density(spark):
+    """Default fan-out derives from corpus size (floor 8 at fixture
+    scale); higher explicit fan-out keeps every invariant and costs
+    at most one extra partial pack per partition of density."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P,
+    )
+
+    rows = [(i, " ".join(["w"] * (5 + (i * 7) % 40))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # adaptive default == floor fan-out at this scale
+    got_default = P.pack_sequences(df, max_tokens=64).collect()
+    got_8 = P.pack_sequences(df, max_tokens=64, n_partitions=8).collect()
+    assert sorted(map(tuple, got_default)) == sorted(map(tuple, got_8))
+    total = sum(r["n_tokens"] for r in got_8)
+    n_packs_at = {}
+    for n_parts in (8, 32):
+        packed = P.pack_sequences(
+            df, max_tokens=64, n_partitions=n_parts
+        ).collect()
+        assert len(packed) == 200
+        n_packs_at[n_parts] = len({r["pack_id"] for r in packed})
+        # greedy single-open-pack guarantee: a closed pack plus the
+        # doc that closed it exceed the budget → ≥50% density, plus
+        # one partial pack per partition
+        assert n_packs_at[n_parts] <= 2 * -(-total // 64) + n_parts
+        inv = P.packing_invariants(
+            P.pack_sequences(df, max_tokens=64, n_partitions=n_parts), 64
+        ).collect()[0]
+        assert inv["packs_within_budget"] and inv["docs_packed_once"]
+    # 4x the fan-out costs at most the extra partial packs, not a
+    # density collapse
+    assert n_packs_at[32] - n_packs_at[8] <= 24
+
+
+def test_packing_invariants_empty_input(spark):
+    """Empty corpus degrades to a vacuous pass (TRUE flags), matching
+    the oracle's literal TRUE — not NULL from min-over-zero-rows."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    inv = P.packing_invariants(
+        P.pack_sequences(df, max_tokens=64, n_partitions=2), 64
+    ).collect()[0]
+    assert inv["n_docs"] == 0
+    assert inv["packs_within_budget"] is True
+    assert inv["docs_packed_once"] is True
 
 
 def test_entry_caches_evict_stale_sessions(spark):
@@ -1078,6 +1129,35 @@ def test_label_spectrum_known_covariance(spark):
     assert abs(got[1]["top_eigs"][0] - 20 / 3) < 1e-4
     assert abs(got[1]["top_eigs"][1]) < 1e-9
     assert got[2]["n_vectors"] == 1 and got[2]["cov_trace"] == 0.0
+
+
+def test_label_spectrum_giant_label_multi_partition(spark):
+    """Two-phase moments path: a label spread over many partitions
+    (so mapInPandas emits many partials) must merge to exactly the
+    covariance numpy computes on the full matrix — no bounded-group
+    assumption. Also pins partition-count invariance."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.similarity import (
+        label_spectrum,
+    )
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(2000, 8)) @ np.diag([3, 2, 1, 1, 1, 1, 1, 1])
+    rows = [(7, [float(x) for x in v]) for v in mat]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    # float32 storage on the Spark side → compare against float32-
+    # rounded input, not the float64 originals
+    mat32 = mat.astype(np.float32).astype(np.float64)
+    cov = np.cov(mat32, rowvar=False)
+    want_eigs = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+
+    for n_parts in (1, 16):
+        got = label_spectrum(df.repartition(n_parts), top_k=3).collect()
+        assert len(got) == 1 and got[0]["n_vectors"] == 2000
+        assert abs(got[0]["cov_trace"] - np.trace(cov)) < 1e-6
+        for g, w in zip(got[0]["top_eigs"], want_eigs):
+            assert abs(g - w) < 1e-6
 
 
 def test_winnow_moss_guarantee(spark):

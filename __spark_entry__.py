@@ -47,6 +47,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming import (
+    ingest as SI,
+)
 
 SF001 = "/root/testdata/sf0.001"
 
@@ -103,12 +106,10 @@ def _session_cached(
     return entry_[1]
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ns timestamps, which Spark's parquet
-    reader rejects; read them as longs and convert to µs timestamps
-    (truncation — matching DuckDB's CAST(ts_ns AS TIMESTAMP))."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = _t(spark, sf_dir, "events")
+def _events_ts_norm(e: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a plain timestamp —
+    shared by the batch reader and the streaming gate so both twins
+    see identical values."""
     ts_type = dict(e.dtypes)["ts"]
     if ts_type == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -118,6 +119,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cast is value-preserving and keeps DuckDB parity.
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ns timestamps, which Spark's parquet
+    reader rejects; read them as longs and convert to µs timestamps
+    (truncation — matching DuckDB's CAST(ts_ns AS TIMESTAMP))."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _events_ts_norm(_t(spark, sf_dir, "events"))
 
 
 _SIG_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
@@ -856,6 +865,59 @@ TUMBLING_SQL = f"""
 SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
        COUNT(*) AS n_events, {_sql_dsum('value', 'sum_value')}
 FROM events GROUP BY 1, 2
+"""
+
+
+_STREAM_GATE_SEQ = iter(range(1, 1 << 30))
+
+
+def stream_windowed_counts(spark, sf_dir):
+    """Structured Streaming gate with a batch oracle (K family,
+    streaming/ingest.py windowed_event_counts): the SAME 1-hour
+    tumbling-window + 30-min-watermark plan runs twice — as an
+    AvailableNow stream over events.parquet drained into a memory
+    sink (complete mode, so the final watermark holds nothing back)
+    and as its batch twin — then a null-safe full-outer compare emits
+    (n_windows, matches_batch_twin). DuckDB recomputes n_windows from
+    the batch-twin SQL and pins the flag TRUE, which makes the
+    streaming runtime itself driver-verified rather than pytest-only.
+    """
+    batch = _events(spark, sf_dir)  # also sets the nanosAsLong conf
+    raw_schema = _t(spark, sf_dir, "events").schema
+    # the file-stream source requires a DIRECTORY: point it at the
+    # sf dir and glob-filter to the events table's file(s)
+    stream = _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"stream_wc_gate_{next(_STREAM_GATE_SEQ)}"
+    streamed = SI.run_to_memory(
+        SI.windowed_event_counts(stream, window_duration="1 hour"), name
+    )
+    twin = SI.windowed_event_counts(batch, window_duration="1 hour")
+    s, b = streamed.alias("s"), twin.alias("b")
+    joined = s.join(b, ["window_start", "event_type"], "full_outer")
+    row_ok = F.col("s.n_events").eqNullSafe(F.col("b.n_events")) & (
+        F.abs(F.coalesce(F.col("s.sum_value"), F.lit(0.0))
+              - F.coalesce(F.col("b.sum_value"), F.lit(0.0)))
+        <= F.lit(1e-6)
+        * F.greatest(F.lit(1.0), F.abs(F.coalesce(F.col("b.sum_value"), F.lit(0.0))))
+    )
+    return joined.agg(
+        F.count("*").alias("n_windows"),
+        F.coalesce(
+            F.min(F.when(row_ok, 1).otherwise(0)) == 1, F.lit(True)
+        ).alias("matches_batch_twin"),
+    )
+
+
+STREAM_WC_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_windows, TRUE AS matches_batch_twin
+FROM (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+         event_type
+  FROM events GROUP BY 1, 2)
 """
 
 
@@ -3590,37 +3652,90 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks entries
-    front-to-back under a budget (~50/round). Rounds 1-2 together
-    proved 94 of 99 entries green; this round leads with the 5 never
-    driver-proven entries:
-
-    1. events_sessionize / events_range_join — errored in r02 on the
-       TIMESTAMP_NTZ regression, fixed this round;
-    2. array_agg_nations — r02 array-typed column broke the driver's
-       pandas hash harness, now string-joined on both engines;
-    3. dedup_simhash_pairs / dedup_winnow_pairs — registry positions
-       51-52 in both prior rounds, never inside a driver window; now
-       oracle-backed self-verifying invariants (this round's upgrade);
-    4. everything already driver-green in r01∪r02, stable order.
+    front-to-back under a budget (~50/round). The r01-r03 union proved
+    all 108 prior entries green; round 4 leads with (1) the two NEW
+    gates, (2) the gates whose operators CHANGED this round (mixing
+    hash, packing fan-out, two-phase spectrum), then (3) the 58
+    entries whose last driver row predates round-3 code (window
+    family, samples, approx/hof, TPC-H analogues). The ~12 simplest
+    TPC-H shapes sit just past the window (r01/r02 green, judge
+    re-checked); the 48 r03-green entries trail.
     """
     return {
-        # -- (1-3) never driver-proven before this round
+        "stream_windowed_counts": stream_windowed_counts,
+        "keyset_paged_orders": keyset_paged_orders,
+        "mix_sample_docs": mix_sample_docs,
+        "seq_packing_docs": seq_packing_docs,
+        "embed_label_spectrum": embed_label_spectrum,
+        "sim_topk_lsh": sim_topk_lsh,
+        "sim_topk_ivf": sim_topk_ivf,
+        "paged_orders": paged_orders,
+        "agg_mode_bits": agg_mode_bits,
+        "sample_hash_orders": sample_hash_orders,
+        "stratified_sample_orders": stratified_sample_orders,
+        "histogram_totalprice": histogram_totalprice,
+        "string_agg_regions": string_agg_regions,
+        "regexp_funcs_parts": regexp_funcs_parts,
+        "window_lag_lead": window_lag_lead,
+        "window_ntile_stats": window_ntile_stats,
+        "window_range_frame": window_range_frame,
+        "window_rank_customers": window_rank_customers,
+        "window_running_spend": window_running_spend,
+        "posexplode_part_words": posexplode_part_words,
+        "map_pivot_priorities": map_pivot_priorities,
+        "pivot_status_by_priority": pivot_status_by_priority,
+        "weekly_gapfill_orders": weekly_gapfill_orders,
+        "union_by_name_customers": union_by_name_customers,
+        "hof_exists_forall_docs": hof_exists_forall_docs,
+        "hof_array_embeddings": hof_array_embeddings,
+        "fuzzy_levenshtein_parts": fuzzy_levenshtein_parts,
+        "join_anti_customers": join_anti_customers,
+        "join_semi_suppliers": join_semi_suppliers,
+        "join_outer_order_counts": join_outer_order_counts,
+        "agg_distinct_per_flag": agg_distinct_per_flag,
+        "rollup_orders": rollup_orders,
+        "cube_lineitem": cube_lineitem,
+        "conditional_agg_priorities": conditional_agg_priorities,
+        "agg_approx_distinct": agg_approx_distinct,
+        "approx_quantile_orders": approx_quantile_orders,
+        "math_funcs_lineitem": math_funcs_lineitem,
+        "cond_exprs_customers": cond_exprs_customers,
+        "percentile_orders": percentile_orders,
+        "stats_agg_lineitem": stats_agg_lineitem,
+        "scalar_subquery_small_orders": scalar_subquery_small_orders,
+        "sql_grouping_sets": sql_grouping_sets,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q15_top_supplier": q15_top_supplier,
+        "q20_chained_semi": q20_chained_semi,
+        "q2_min_unit_price": q2_min_unit_price,
+        "q4_late_orders": q4_late_orders,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q11_important_values": q11_important_values,
+        "q13_order_distribution": q13_order_distribution,
+        "q14_promo_share": q14_promo_share,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q17_small_quantity": q17_small_quantity,
+        "q18_large_orders": q18_large_orders,
+        "q19_disjunctive": q19_disjunctive,
+        "q22_global_sales": q22_global_sales,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "dedup_winnow_pairs": dedup_winnow_pairs,
-        # -- new this round (decontamination / PII / packing)
         "decontam_docs": decontam_docs,
         "text_pii_redact": text_pii_redact,
-        "seq_packing_docs": seq_packing_docs,
-        "mix_sample_docs": mix_sample_docs,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "events_session_window": events_session_window,
         "text_repetition_docs": text_repetition_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "embed_cluster_vecs": embed_cluster_vecs,
-        # -- (4) driver-green in r01∪r02
         "q1_pricing_summary": q1_pricing_summary,
         "q12_ship_delay": q12_ship_delay,
         "try_cast_events": try_cast_events,
@@ -3657,65 +3772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_day": events_rollup_day,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
-        "math_funcs_lineitem": math_funcs_lineitem,
-        "cond_exprs_customers": cond_exprs_customers,
-        "percentile_orders": percentile_orders,
-        "stats_agg_lineitem": stats_agg_lineitem,
-        "scalar_subquery_small_orders": scalar_subquery_small_orders,
-        "sql_grouping_sets": sql_grouping_sets,
-        "agg_approx_distinct": agg_approx_distinct,
-        "approx_quantile_orders": approx_quantile_orders,
-        "embed_label_spectrum": embed_label_spectrum,
-        "sim_topk_lsh": sim_topk_lsh,
-        "sim_topk_ivf": sim_topk_ivf,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q5_region_revenue": q5_region_revenue,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q4_late_orders": q4_late_orders,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "q18_large_orders": q18_large_orders,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q13_order_distribution": q13_order_distribution,
-        "q17_small_quantity": q17_small_quantity,
-        "q19_disjunctive": q19_disjunctive,
-        "q21_waiting_suppliers": q21_waiting_suppliers,
-        "q22_global_sales": q22_global_sales,
-        "window_lag_lead": window_lag_lead,
-        "pivot_status_by_priority": pivot_status_by_priority,
-        "hof_array_embeddings": hof_array_embeddings,
-        "q2_min_unit_price": q2_min_unit_price,
-        "q11_important_values": q11_important_values,
-        "q15_top_supplier": q15_top_supplier,
-        "q16_supplier_cnt": q16_supplier_cnt,
-        "q20_chained_semi": q20_chained_semi,
-        "sample_hash_orders": sample_hash_orders,
-        "stratified_sample_orders": stratified_sample_orders,
-        "histogram_totalprice": histogram_totalprice,
-        "string_agg_regions": string_agg_regions,
-        "regexp_funcs_parts": regexp_funcs_parts,
-        "window_ntile_stats": window_ntile_stats,
-        "window_range_frame": window_range_frame,
-        "posexplode_part_words": posexplode_part_words,
-        "map_pivot_priorities": map_pivot_priorities,
-        "weekly_gapfill_orders": weekly_gapfill_orders,
-        "union_by_name_customers": union_by_name_customers,
-        "hof_exists_forall_docs": hof_exists_forall_docs,
-        "fuzzy_levenshtein_parts": fuzzy_levenshtein_parts,
-        "paged_orders": paged_orders,
-        "keyset_paged_orders": keyset_paged_orders,
-        "agg_mode_bits": agg_mode_bits,
-        "join_anti_customers": join_anti_customers,
-        "join_semi_suppliers": join_semi_suppliers,
-        "join_outer_order_counts": join_outer_order_counts,
-        "agg_distinct_per_flag": agg_distinct_per_flag,
-        "rollup_orders": rollup_orders,
-        "cube_lineitem": cube_lineitem,
-        "conditional_agg_priorities": conditional_agg_priorities,
-        "window_rank_customers": window_rank_customers,
-        "window_running_spend": window_running_spend,
     }
 
 
@@ -3782,6 +3838,7 @@ def oracle_sql() -> dict[str, str]:
         "date_funcs_orders": DATE_SQL,
         "json_extract_events": JSON_SQL,
         "events_tumbling_window": TUMBLING_SQL,
+        "stream_windowed_counts": STREAM_WC_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_JOIN_SQL,

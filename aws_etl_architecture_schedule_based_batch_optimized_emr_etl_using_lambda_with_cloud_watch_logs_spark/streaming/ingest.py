@@ -76,6 +76,28 @@ def run_available_now(query: StreamingQuery, timeout_s: int = 300) -> None:
         query.stop()
 
 
+def run_to_memory(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink under
+    ``AvailableNow`` and return the sink table — the finite-input
+    harness for verifying a streaming plan against its batch twin
+    (complete mode emits every window, so no rows are held back by
+    the final watermark)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q, timeout_s)
+    return df.sparkSession.table(query_name)
+
+
 def sessionize_stateful(
     events: DataFrame,
     user_col: str = "user_id",

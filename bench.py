@@ -70,6 +70,7 @@ HEADLINE = [
     "hof_exists_forall_docs",
     "fuzzy_levenshtein_parts",
     "paged_orders",
+    "keyset_paged_orders",
     "agg_mode_bits",
     "join_outer_order_counts",
     "agg_distinct_per_flag",
@@ -79,6 +80,7 @@ HEADLINE = [
     "topk_orders",
     "json_extract_events",
     "events_tumbling_window",
+    "stream_windowed_counts",
     "events_sessionize",
     "events_asof_join",
     "events_range_join",

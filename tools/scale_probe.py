@@ -111,6 +111,45 @@ def main() -> None:
         "seq_packing": (docs, ["doc_id"]),
     }
 
+    # Round-3 operators with lifecycle state (a band store / a
+    # persisted index) get bespoke harnesses: the timed portion is
+    # the steady-state per-batch / per-probe path — the thing that
+    # repeats at 100 TB — with the build done once outside the timer.
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="scale_probe_")
+
+    def incremental_batch(d, tag: str):
+        """Arrow pass over ONLY the 10% new batch; store access is a
+        bucket semi-join. Ratio tracks batch+matching-bucket size."""
+        store = f"{work}/bands_{tag}"
+        old = d.filter(F.col("doc_id") % 10 != 0)
+        new = d.filter(F.col("doc_id") % 10 == 0)
+        D.incremental_minhash_dedup(
+            old, store, old_docs=None, update_store=True
+        ).count()  # seed the store (untimed by caller's warm call)
+        return lambda: D.incremental_minhash_dedup(
+            new, store, update_store=False
+        ).count()
+
+    def index_probe(e, tag: str):
+        """Probe the persisted LSH index; the einsum build pass is
+        paid once at build, probes touch matching buckets only."""
+        path = f"{work}/lsh_{tag}"
+        S.lsh_index_write(e, path)
+        return lambda: S.lsh_topk_from_index(
+            e.sparkSession, path, e, query_ids=list(range(10)), k=5
+        ).count()
+
+    def embed_cluster(e):
+        return D.connected_components(
+            S.cosine_near_dup_pairs(e, threshold=0.9)
+        ).count()
+
+    cases["embed_cluster"] = embed_cluster
+    inputs["embed_cluster"] = (emb, ["vec_id"])
+
     ops = {}
     for name, fn in cases.items():
         base, id_cols = inputs[name]
@@ -127,6 +166,26 @@ def main() -> None:
         print(f"{name:22} 1x={t1:7.2f}s {n}x={tn:7.2f}s ratio={ops[name]['ratio']}",
               file=sys.stderr)
 
+    # stateful cases: build (store/index) once per size outside the
+    # timer; time only the repeating per-batch / per-probe path
+    stateful = {
+        "incremental_dedup_batch": (docs, ["doc_id"], incremental_batch),
+        "lsh_index_probe": (emb, ["vec_id"], index_probe),
+    }
+    for name, (base, id_cols, build) in stateful.items():
+        one = scaled(base, 1, id_cols).localCheckpoint(eager=True)
+        big = scaled(base, n, id_cols).localCheckpoint(eager=True)
+        f1 = build(one, f"{name}_1")
+        fn_big = build(big, f"{name}_N")
+        f1()
+        fn_big()
+        t1 = timed(f1)
+        tn = timed(fn_big)
+        ops[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 2) if t1 else None}
+        print(f"{name:22} 1x={t1:7.2f}s {n}x={tn:7.2f}s ratio={ops[name]['ratio']}",
+              file=sys.stderr)
+
+    shutil.rmtree(work, ignore_errors=True)
     spark.stop()
     print(json.dumps({"sf_dir": sf_dir, "scale": n, "ops": ops}))
 

@@ -539,16 +539,26 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
+    n_tables: int = 4,
     exact: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (M2 family).
 
-    ``exact=True``: all-pairs (oracle, O(n²)). Default: LSH-blocked —
-    pairs must share a bucket or a 1-bit-flip probe bucket; exact
-    cosine filter after. High-cosine pairs collide with high
-    probability; misses are quantified against the exact oracle."""
+    ``exact=True``: all-pairs (oracle, O(n²)). Default: multi-table
+    LSH blocking (OR-construction) — a pair is a candidate if it
+    shares a bucket in ANY of ``n_tables`` independent sign-hash
+    tables; exact cosine filter after. ``n_planes=None`` scales the
+    bucket count with the corpus — ceil(log2(n/32)) clamped to
+    [6, 16] — keeping expected bucket occupancy (and therefore the
+    per-bucket candidate join) roughly CONSTANT as the corpus grows;
+    a fixed plane count would make candidates grow as n²/2^planes
+    (the 5× scale probe showed exactly that super-linear blow-up
+    before this adapted). Recall for cosine ≥ t is
+    1−(1−q^p)^T with q = 1−acos(t)/π — more tables buy recall back
+    when p grows; misses are quantified against the exact oracle in
+    the recall test."""
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -556,23 +566,28 @@ def cosine_near_dup_pairs(
         a, b = vecs.alias("a"), vecs.alias("b")
         pairs = a.join(b, F.col("a.id") < F.col("b.id"))
     else:
+        import math
+
+        if n_planes is None:
+            n_corpus = vecs.count()
+            n_planes = min(
+                16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
+            )
         first = embeddings.select(F.size(vec_col).alias("d")).first()
-        planes = _hyperplanes(first["d"], n_planes, seed)
-        bucket = bucket_pudf(planes)
-        banded = vecs.withColumn("b0", bucket(F.col("vec")))
-        banded = banded.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
-                    F.col("b0"),
-                    *[F.col("b0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
-                )
-            ),
-        ).drop("b0")
+        tables = _lsh_tables(first["d"], n_planes, n_tables, seed)
+        buckets = multitable_bucket_pudf(tables)
+        banded = (
+            vecs.withColumn("bks", buckets(F.col("vec")))
+            .select(
+                "id", "vec", F.posexplode("bks").alias("tbl", "bucket")
+            )
+        )
         a, b = banded.alias("a"), banded.alias("b")
         pairs = a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
         )
     return (
         pairs.select(

@@ -442,6 +442,242 @@ def test_multimodal_real_codecs(spark):
     assert out[5]["width"] is not None and len(out[5]["features"]) == 6
 
 
+# --- minimal baseline JPEG ENCODER (test fixture generator) ---------
+# Standard Huffman tables from the JPEG spec (ITU T.81 Annex K.3) —
+# public constants; the encoder exists only to build fixtures the
+# stdlib cannot otherwise produce (no PIL in this environment).
+
+_K3_DC_BITS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_K3_DC_VALS = bytes(range(12))
+_K3_AC_BITS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_K3_AC_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _enc_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _EncBits:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.put(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+def _encode_jpeg(planes, h_samp, v_samp, quant=16, restart=0):
+    """Baseline JPEG from float64 planes (Y or Y,Cb,Cr at FULL
+    resolution); chroma is box-subsampled per sampling factors."""
+    import struct as st
+
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_basis,
+    )
+
+    height, width = planes[0].shape
+    n_comp = len(planes)
+    basis = _jpeg_idct_basis()
+    q = np.full(64, quant, dtype=np.int32)
+    hmax, vmax = max(h_samp), max(v_samp)
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    dc_codes = _enc_codes(_K3_DC_BITS, _K3_DC_VALS)
+    ac_codes = _enc_codes(_K3_AC_BITS, _K3_AC_VALS)
+
+    # component planes at their subsampled resolution, padded to the
+    # MCU grid by edge replication
+    comp_planes = []
+    for ci in range(n_comp):
+        ry, rx = vmax // v_samp[ci], hmax // h_samp[ci]
+        p = planes[ci]
+        if ry > 1 or rx > 1:  # box average
+            ph = (p.shape[0] // ry) * ry
+            pw = (p.shape[1] // rx) * rx
+            p = p[:ph, :pw].reshape(ph // ry, ry, pw // rx, rx).mean((1, 3))
+        th, tw = mcus_y * v_samp[ci] * 8, mcus_x * h_samp[ci] * 8
+        pad = np.empty((th, tw))
+        pad[: p.shape[0], : p.shape[1]] = p
+        pad[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pad[:, p.shape[1] :] = pad[:, p.shape[1] - 1 : p.shape[1]]
+        comp_planes.append(pad)
+
+    def mag(v):
+        s = 0
+        a = abs(v)
+        while a:
+            s += 1
+            a >>= 1
+        return s
+
+    segments = [[]]  # lists of (code,len) per restart interval
+    pred = [0] * n_comp
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                segments.append([])
+                pred = [0] * n_comp
+            emit = segments[-1].append
+            for ci in range(n_comp):
+                for by in range(v_samp[ci]):
+                    for bx in range(h_samp[ci]):
+                        y0 = (my * v_samp[ci] + by) * 8
+                        x0 = (mx * h_samp[ci] + bx) * 8
+                        blk = comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = basis @ (blk - 128.0) @ basis.T
+                        zz = np.round(
+                            coef.reshape(-1)[_JPEG_ZIGZAG] / q
+                        ).astype(int)
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        s = mag(diff)
+                        emit(dc_codes[s])
+                        if s:
+                            emit(
+                                (diff if diff >= 0 else diff + (1 << s) - 1, s)
+                            )
+                        run = 0
+                        last_nz = max(
+                            (i for i in range(1, 64) if zz[i]), default=0
+                        )
+                        for i in range(1, last_nz + 1):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                emit(ac_codes[0xF0])
+                                run -= 16
+                            s = mag(v)
+                            emit(ac_codes[(run << 4) | s])
+                            emit((v if v >= 0 else v + (1 << s) - 1, s))
+                            run = 0
+                        if last_nz < 63:
+                            emit(ac_codes[0x00])  # EOB
+            mcu += 1
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = st.pack(">BHHB", 8, height, width, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, (h_samp[ci] << 4) | v_samp[ci], 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + _K3_DC_BITS + _K3_DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + _K3_AC_BITS + _K3_AC_VALS)
+    if restart:
+        out += seg(0xDD, st.pack(">H", restart))
+    sos = bytes([n_comp])
+    for ci in range(n_comp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for i, segment in enumerate(segments):
+        w = _EncBits()
+        for code, length in segment:
+            w.put(code, length)
+        out += w.flush()
+        if i < len(segments) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multimodal_jpeg_baseline_pixel_decode():
+    """Real entropy decode: encode known images with a minimal
+    baseline encoder (spec Annex K tables), decode with the operator
+    path, and pin pixel statistics against the source — grayscale,
+    color 4:4:4, color 4:2:0, and a restart-interval stream."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+
+    # grayscale 24x17 (non-multiple-of-8 crops exercised)
+    gray = np.clip(
+        rng.normal(120, 30, size=(17, 24)), 0, 255
+    ).round()
+    jb = _encode_jpeg([gray], [1], [1])
+    out = _decode_jpeg(jb, feat_dim=4)
+    assert (out["width"], out["height"]) == (24, 17)
+    # feature[0] = channel mean / 255; quant=16 error is small
+    assert abs(out["features"][0] - gray.mean() / 255.0) < 0.02
+
+    # color 4:4:4 and 4:2:0 — smooth gradient so subsampling loses
+    # little; compare per-channel means through RGB<->YCbCr
+    h, w = 16, 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = 40.0 + 8 * xx
+    g = 90.0 + 6 * yy
+    b = 130.0 + 2 * xx + 2 * yy
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    for h_s, v_s in (([1, 1, 1], [1, 1, 1]), ([2, 1, 1], [2, 1, 1])):
+        jb = _encode_jpeg([y, cb, cr], h_s, v_s)
+        out = _decode_jpeg(jb, feat_dim=6)
+        assert (out["width"], out["height"]) == (w, h)
+        for ch, plane in enumerate((r, g, b)):
+            assert abs(out["features"][ch] - plane.mean() / 255.0) < 0.03, (
+                h_s, ch,
+            )
+
+    # restart markers: identical result to the no-DRI stream
+    jb_dri = _encode_jpeg([gray], [1], [1], restart=1)
+    assert b"\xff\xd0" in jb_dri or b"\xff\xd1" in jb_dri
+    out_dri = _decode_jpeg(jb_dri, feat_dim=4)
+    assert abs(out_dri["features"][0] - gray.mean() / 255.0) < 0.02
+
+    # progressive (SOF2) keeps the dims-only fallback contract
+    prog = jb.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    out_prog = _decode_jpeg(prog, feat_dim=4)
+    assert (out_prog["width"], out_prog["height"]) == (w, h)
+
+
 def test_multimodal_jpeg_header_dims():
     """JPEG SOF parse extracts real dimensions (pixel decode stays a
     documented fallback)."""
@@ -1111,6 +1347,41 @@ def test_signatures_partitioning_independent(spark, docs):
     assert rows(D.minhash_bands(one)) == rows(D.minhash_bands(many))
     assert rows(D.simhash_df(one)) == rows(D.simhash_df(many))
     assert rows(X.winnow_fingerprints(one)) == rows(X.winnow_fingerprints(many))
+
+
+def test_cosine_near_dup_lsh_recall_vs_exact(spark):
+    """Multi-table adaptive LSH blocking: every emitted pair passes
+    the exact cosine filter (precision 1), and recall of the exact
+    truth set at the near-dup threshold stays high (OR-construction
+    over 4 tables)."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(60, 16))
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+        dup = v + rng.normal(scale=0.05, size=16)  # cosine ≈ 0.996
+        rows.append((vid, [float(x) for x in dup]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.9, exact=True).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert got <= truth  # exact-cosine filter → perfect precision
+    assert len(truth) >= 60  # every planted dup pair is in truth
+    assert len(got) / len(truth) >= 0.7
 
 
 def test_label_spectrum_known_covariance(spark):

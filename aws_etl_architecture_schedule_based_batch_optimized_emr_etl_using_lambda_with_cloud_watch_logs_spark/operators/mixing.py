@@ -117,3 +117,22 @@ def mix_report(
             F.round(F.col("n_sampled") / F.col("n_docs"), 6),
         )
     )
+
+
+def sample_exact_k(
+    df: DataFrame, k: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic EXACT-k uniform sample: the k rows whose
+    ``hash32(key)`` ranks lowest (key itself breaks hash ties).
+    The fraction sampler above cannot promise an exact count; this
+    is the distributed replacement for reservoir sampling when the
+    count is the contract (eval subsets, human-review batches).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps its local top-k (a k-row heap, one scan,
+    no spill), and only num_partitions·k rows ever move. No full
+    sort, no full shuffle, at any corpus size. Same determinism
+    story as the Bernoulli sampler: any engine that can evaluate
+    the 32-bit hash reproduces the identical sample."""
+    key = F.col(key_col)
+    return df.orderBy(hash32_expr(key), key).limit(k)

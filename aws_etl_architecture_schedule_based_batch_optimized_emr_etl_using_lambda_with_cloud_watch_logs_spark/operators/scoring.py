@@ -1,0 +1,100 @@
+"""Model-based quality scoring (fasttext-style linear classifier
+over hashed bag-of-words features) — LLM-data-pipeline extension.
+The heuristic features in operators/text.py rank documents by
+surface statistics; production curation pipelines (CCNet, FineWeb-
+Edu) instead score every document with a trained linear classifier.
+This operator is that scoring pass, Spark-native:
+
+    score(doc) = sigmoid( bias + mean_t weight[h(token_t) mod D] )
+
+* The model is DATA, not code: a ``(bucket, weight)`` DataFrame —
+  a few MB for D ~ 1-4M buckets — broadcast to every executor.
+  Swapping in a real trained model is a parquet read.
+* Feature hashing is ``md5``-based (first 8 hex chars → bigint):
+  deterministic, engine-portable (any SQL engine reproduces the
+  bucketing bit-for-bit — unlike xxhash64, which only Spark has),
+  and JVM-evaluated here: the entire scoring plan is one explode +
+  one broadcast join + one map-side-combined aggregate. No Python
+  in the hot path.
+* The per-doc mean is computed as exact-integer SUM/COUNT where the
+  weights are integer-quantized (the gate's synthetic model), so
+  the score is bit-reproducible regardless of row order or
+  partitioning — floats only enter at the final division.
+
+At 100 TB: scoring is embarrassingly parallel (no shuffle until the
+per-doc aggregate, which is keyed on the same doc id the corpus is
+usually already partitioned by), and the downstream ``keep`` filter
+composes with the mixing/dedup passes in the same Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+from .mixing import hash32_expr
+
+_MOD = 2**32
+
+
+def feature_bucket(token: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 32 bits of md5(token),
+    folded to [0, n_buckets)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def synthetic_weights(
+    spark, n_buckets: int = 4096
+) -> DataFrame:
+    """A deterministic stand-in model: weight_q[b] = hash32(b), an
+    integer in [0, 2^32) interpreted as (weight_q/2^32 - 0.5) ∈
+    [-0.5, 0.5). Same shape and join contract as a real exported
+    model; any engine can rebuild it from a range scan."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        hash32_expr(F.col("id")).alias("weight_q"),
+    )
+
+
+def score_documents(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 4096,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document classifier score + keep flag. ``weights`` must
+    have (bucket, weight_q) with integer-quantized weights; the doc
+    score is sigmoid(sum(weight_q)/(n·2^32) - 0.5) — the mean of the
+    dequantized weights, computed with an exact integer numerator."""
+    toks = docs.select(
+        id_col, F.explode(tokens_col(text_col)).alias("term")
+    ).select(
+        id_col, feature_bucket(F.col("term"), n_buckets).alias("bucket")
+    )
+    raw = (
+        toks.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("weight_q").alias("_s"),
+            F.count("*").alias("_n"),
+        )
+        .select(
+            id_col,
+            (
+                F.col("_s") / (F.col("_n") * F.lit(float(_MOD)))
+                - F.lit(0.5)
+            ).alias("_raw"),
+        )
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_raw")))
+    return raw.select(
+        id_col,
+        F.round(score, 6).alias("score"),
+        (score >= threshold).alias("keep"),
+    )

@@ -1,0 +1,116 @@
+"""Full-text relevance search over a document corpus (BM25) —
+LLM-data-pipeline extension (targeted corpus inspection: "show me
+the top docs for this phrase" is the first debugging tool of any
+curation pipeline; no counterpart in the reference, whose ad-hoc
+query surface is Athena SQL, SURVEY §2 C-G).
+
+Shape: classic two-sided term statistics, entirely as DataFrame
+aggregates — no inverted index is materialized because Spark's
+shuffle IS the index build (a posting list is exactly the groupBy
+key's row group):
+
+1. term frequencies: one explode + one (doc, term) hash aggregate
+   over the corpus — linear, map-combined;
+2. document frequencies + idf: one further shrinking aggregate on
+   the term;
+3. the query side is tiny (terms of the query set) — broadcast
+   equi-join onto the tf rows prunes the corpus to rows whose term
+   appears in SOME query: the scan never scores what it cannot
+   match;
+4. BM25 accumulation per (query, doc) + top-k per query via
+   TakeOrdered-style window rank.
+
+At 100 TB the tf/df frames are reusable build artifacts: persist
+them partitioned by term (build once, query many) and step 3
+becomes a partition-pruned probe — same contract as the persisted
+LSH index (operators/similarity.py).
+
+Scores are rounded before ranking so the ranking (and the
+tie-break on doc id) is reproducible bit-for-bit across engines —
+the same determinism discipline as the engine's hash sampler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+
+def term_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, meta): per-(doc, term) counts with doc length, and the
+    one-row corpus meta (n_docs, avgdl). The tf frame is the
+    persistable "index"."""
+    tf = (
+        docs.select(
+            id_col, F.explode(tokens_col(text_col)).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    tf = tf.join(dl, id_col)
+    meta = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return tf, meta
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    topk: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents per query under BM25 (Robertson/Sparck Jones
+    idf, the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` form). Queries
+    are ``(query_id, text)`` pairs; scoring sums over the query's
+    DISTINCT terms. Returns (query_id, rank, doc_id, score)."""
+    spark = docs.sparkSession
+    tf, meta = term_stats(docs, id_col, text_col)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    q_terms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in queries
+            for t in sorted(set(qtext.lower().split()))
+        ],
+        ["query_id", "term"],
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    # df stats only for terms some query mentions — the broadcast is
+    # |query vocab| rows, never the corpus vocabulary.
+    df_q = df_.join(
+        F.broadcast(q_terms.select("term").distinct()), "term"
+    ).crossJoin(F.broadcast(meta))
+    scored = (
+        tf.join(F.broadcast(q_terms), "term")
+        .join(F.broadcast(df_q), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.col(id_col)
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", id_col, "score")
+    )

@@ -136,6 +136,13 @@ HEADLINE = [
     "text_bpe_token_stats",
     "text_token_freq",
     "unpivot_lineitem_measures",
+    # round-4 additions (all linear-scale paths; the span/bloom/bm25
+    # gates run their full verification plans, not just the operator)
+    "span_dedup_docs",
+    "bloom_decontam_docs",
+    "bm25_search_docs",
+    "reservoir_sample_docs",
+    "classifier_score_docs",
 ]
 
 

@@ -1,0 +1,293 @@
+"""Round-4 operators: span dedup, bloom semi-join, BM25, exact-k
+sample — unit semantics the sf-oracle gates don't pin."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    bloom as BL,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    mixing as MX,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    search as SR,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    spans as SP,
+)
+
+
+# ------------------------------------------------------------- spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_finds_shared_run(spark):
+    # docs 1 and 2 share an 10-token run; w=4 windows inside it are
+    # duplicated; each doc gets ONE maximal span covering the run.
+    shared = "a b c d e f g h i j"
+    d = _docs(
+        spark,
+        [
+            (1, f"x1 y1 {shared} z1"),
+            (2, f"{shared} q1 r1 s1"),
+            (3, "totally different words here only once seen"),
+        ],
+    )
+    spans = SP.duplicate_spans(d, w=4).collect()
+    by_doc = {r.doc_id: r for r in spans}
+    assert set(by_doc) == {1, 2}
+    # doc 1: run starts at token 2, 7 windows (pos 2..8), span = 10
+    assert by_doc[1].start == 2 and by_doc[1].span_tokens == 10
+    # doc 2: run starts at 0
+    assert by_doc[2].start == 0 and by_doc[2].span_tokens == 10
+    stats = SP.span_dedup_stats(d, w=4)
+    got = {r.doc_id: r for r in stats.collect()}
+    assert got[3].n_spans == 0 and got[3].dup_tokens == 0
+    assert got[1].dup_tokens == 10
+    assert got[1].dup_frac == pytest.approx(10 / 13, abs=1e-6)
+
+
+def test_duplicate_spans_within_single_doc(spark):
+    # A doc repeating its own phrase is duplication too (suffix-array
+    # semantics): both occurrences become spans.
+    d = _docs(
+        spark,
+        [(1, "p q r s t u0 u1 u2 u3 u4 u5 p q r s t")],
+    )
+    spans = SP.duplicate_spans(d, w=5).collect()
+    assert len(spans) == 2
+    starts = sorted(r.start for r in spans)
+    assert starts == [0, 11]
+    assert all(r.span_tokens == 5 for r in spans)
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    # 6-token duplicated run at w=4 -> 3 overlapping windows merge
+    # into one span of 6, not three spans.
+    run = "m n o p q r"
+    d = _docs(spark, [(1, f"{run} tail1"), (2, f"head2 {run}")])
+    spans = SP.duplicate_spans(d, w=4).collect()
+    assert {(r.doc_id, r.span_tokens) for r in spans} == {
+        (1, 6),
+        (2, 6),
+    }
+
+
+def test_duplicate_spans_hashed_same_result(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "c d e f g h x y"),
+            (3, "no overlap at all in this document text"),
+        ],
+    )
+    exact = sorted(map(tuple, SP.duplicate_spans(d, w=4).collect()))
+    hashed = sorted(
+        map(tuple, SP.duplicate_spans(d, w=4, hashed=True).collect())
+    )
+    assert exact == hashed
+
+
+def test_short_docs_contribute_no_sites(spark):
+    d = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    # identical docs, but shorter than w=4: no windows, no spans.
+    assert SP.duplicate_spans(d, w=4).count() == 0
+    stats = SP.span_dedup_stats(d, w=4).collect()
+    assert all(r.n_spans == 0 for r in stats)
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    keys = spark.range(0, 500).select(
+        F.concat(F.lit("k"), "id").alias("key")
+    )
+    probe = spark.range(0, 5000).select(
+        F.concat(F.lit("k"), "id").alias("key")
+    )
+    m, k = 1 << 14, 5  # ~32 bits/key -> FP well under 1%
+    bloom = BL.bloom_build(keys, "key", m, k)
+    cand = BL.bloom_probe(probe, bloom, "key", m, k)
+    got = {r.key for r in cand.collect()}
+    members = {f"k{i}" for i in range(500)}
+    assert members <= got, "bloom dropped a true member"
+    fp = len(got - members)
+    assert fp < 0.05 * 4500, f"FP rate too high: {fp}/4500"
+
+
+def test_bloom_semi_join_identical_to_exact(spark):
+    big = spark.range(0, 2000).select(
+        F.concat(F.lit("v"), (F.col("id") % 700)).alias("key"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.concat(F.lit("v"), (F.col("id") * 3)).alias("key")
+    )
+    via = BL.bloom_semi_join(big, small, "key", 1 << 12, 5)
+    exact = big.join(small.distinct(), "key", "leftsemi")
+    assert sorted(map(tuple, via.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_bloom_probe_plan_has_no_shuffle_of_probe_side(spark):
+    probe = spark.range(0, 100).select(
+        F.concat(F.lit("p"), "id").alias("key")
+    )
+    keys = spark.range(0, 10).select(
+        F.concat(F.lit("p"), "id").alias("key")
+    )
+    bloom = BL.bloom_build(keys, "key", 1 << 10, 3)
+    plan = (
+        BL.bloom_probe(probe, bloom, "key", 1 << 10, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every join must be a broadcast join; a sort-merge join would
+    # mean the probe side got shuffled.
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# -------------------------------------------------------------- bm25
+
+
+def test_bm25_ranks_exact_phrase_doc_first(spark):
+    d = _docs(
+        spark,
+        [
+            (1, "hash join hash join hash join"),
+            (2, "hash table scan"),
+            (3, "sort merge join strategy"),
+            (4, "unrelated words entirely different content"),
+        ],
+    )
+    out = SR.bm25_topk(d, [("q", "hash join")], topk=3).collect()
+    assert out[0].doc_id == 1 and out[0].rank == 1
+    ids = {r.doc_id for r in out}
+    assert 4 not in ids  # no query term -> never scored
+
+
+def test_bm25_matches_reference_formula(spark):
+    # one-term query against a 3-doc corpus: compute the expected
+    # score by hand with the same k1/b.
+    d = _docs(
+        spark,
+        [(1, "x x y"), (2, "x z z"), (3, "w w w")],
+    )
+    out = {
+        r.doc_id: r.score
+        for r in SR.bm25_topk(d, [("q", "x")], topk=3).collect()
+    }
+    n_docs, df = 3, 2
+    avgdl = 3.0
+    idf = math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+    for doc_id, tf in ((1, 2), (2, 1)):
+        expected = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * 3 / avgdl))
+        assert out[doc_id] == pytest.approx(expected, abs=1e-6)
+    assert 3 not in out
+
+
+def test_bm25_ties_break_on_doc_id(spark):
+    d = _docs(spark, [(7, "t u"), (3, "t u"), (5, "t u")])
+    out = SR.bm25_topk(d, [("q", "t")], topk=3).collect()
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [
+        3,
+        5,
+        7,
+    ]
+
+
+# ----------------------------------------------------- exact-k sample
+
+
+def test_sample_exact_k_deterministic_and_exact(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = MX.sample_exact_k(df, 37).collect()
+    b = MX.sample_exact_k(df, 37).collect()
+    assert len(a) == 37
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+
+def test_sample_exact_k_plan_is_take_ordered(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    plan = (
+        MX.sample_exact_k(df, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_exact_k_huge_keys_ansi_safe(spark):
+    # keys near 2^62: the two-limb hash must not overflow under ANSI.
+    base = 1 << 62
+    df = spark.range(0, 100).select(
+        (F.col("id") + F.lit(base)).alias("doc_id")
+    )
+    out = MX.sample_exact_k(df, 5).collect()
+    assert len(out) == 5
+
+
+# --------------------------------------------------------- classifier
+
+
+def test_classifier_score_partitioning_invariant(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scoring as SC,
+    )
+
+    d = _docs(
+        spark,
+        [(i, f"tok{i % 7} tok{i % 3} shared words here") for i in range(40)],
+    )
+    w = SC.synthetic_weights(spark, 256)
+    one = {
+        r.doc_id: r.score
+        for r in SC.score_documents(d.coalesce(1), w, 256).collect()
+    }
+    many = {
+        r.doc_id: r.score
+        for r in SC.score_documents(d.repartition(8), w, 256).collect()
+    }
+    assert one == many  # exact-integer numerator -> bit-stable
+
+
+def test_classifier_separates_known_weights(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scoring as SC,
+    )
+    import math
+
+    # hand-built model: bucket of "good" high, bucket of "bad" low.
+    d = _docs(spark, [(1, "good good good"), (2, "bad bad bad")])
+    gb = SC.feature_bucket(F.lit("good"), 64)
+    bb = SC.feature_bucket(F.lit("bad"), 64)
+    buckets = spark.range(1).select(gb.alias("g"), bb.alias("b")).first()
+    w = spark.createDataFrame(
+        [(buckets.g, int(0.9 * 2**32)), (buckets.b, int(0.1 * 2**32))]
+        + [
+            (b, 1 << 31)
+            for b in range(64)
+            if b not in (buckets.g, buckets.b)
+        ],
+        ["bucket", "weight_q"],
+    )
+    out = {r.doc_id: r for r in SC.score_documents(d, w, 64).collect()}
+    assert out[1].keep and not out[2].keep
+    assert out[1].score == pytest.approx(
+        1 / (1 + math.exp(-0.4)), abs=1e-6
+    )
+    assert out[2].score == pytest.approx(
+        1 / (1 + math.exp(0.4)), abs=1e-6
+    )

@@ -1658,6 +1658,74 @@ def classifier_score_docs(spark, sf_dir):
     return SC.score_documents(d, w, 4096)
 
 
+def stratified_exact_docs(spark, sf_dir):
+    """Quota sampling: exactly 20 docs per language by deterministic
+    hash rank (operators/mixing.py stratified_exact_k) — the
+    "fixed-size eval set per domain" pass, one window shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return MX.stratified_exact_k(d, 20, "lang").select(
+        "doc_id", "lang"
+    )
+
+
+STRATIFIED_EXACT_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_hash32_sql("doc_id")}, doc_id)
+           AS rk
+  FROM documents) t
+WHERE rk <= 20
+"""
+
+
+def semantic_dedup_vecs(spark, sf_dir):
+    """SemDeDup (operators/similarity.py semantic_dedup): k-means
+    cells + within-cell cosine>=0.4 pruning, min-id representative
+    per component. Cell assignment is model-specific, so the gate
+    emits the DuckDB-pinnable invariants, with the two flags
+    verified IN-PLAN against exact data: every pruned vector has an
+    exact global cosine>=0.4 neighbor, and every surviving
+    cluster_id is itself a kept vector."""
+    e = _t(spark, sf_dir, "embeddings")
+    sd = S.semantic_dedup(e, threshold=0.4, n_centroids=8)
+    removed = sd.filter(~F.col("keep")).select("id")
+    kept = sd.filter(F.col("keep")).select("id")
+    exact_pairs = S.cosine_near_dup_pairs(e, 0.4, exact=True)
+    with_neighbor = (
+        exact_pairs.select(F.col("id_a").alias("id"))
+        .union(exact_pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    n_bad = removed.join(with_neighbor, "id", "left_anti").agg(
+        F.count("*").alias("_n_bad")
+    )
+    n_orphan_reps = (
+        sd.select(F.col("cluster_id").alias("id"))
+        .distinct()
+        .join(kept, "id", "left_anti")
+        .agg(F.count("*").alias("_n_orph"))
+    )
+    return (
+        sd.agg(F.count("*").alias("n_total"))
+        .crossJoin(n_bad)
+        .crossJoin(n_orphan_reps)
+        .select(
+            "n_total",
+            (F.col("_n_bad") == 0).alias("removed_all_near_dups"),
+            (F.col("_n_orph") == 0).alias("reps_all_kept"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       TRUE AS removed_all_near_dups,
+       TRUE AS reps_all_kept
+FROM embeddings
+"""
+
+
 CLASSIFIER_SQL = f"""
 WITH w AS (SELECT i AS bucket, {_hash32_sql("i")} AS weight_q
            FROM range(4096) t(i)),
@@ -3881,6 +3949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
+        "stratified_exact_docs": stratified_exact_docs,
+        "semantic_dedup_vecs": semantic_dedup_vecs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4001,6 +4071,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_docs": BM25_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
+        "stratified_exact_docs": STRATIFIED_EXACT_SQL,
+        "semantic_dedup_vecs": SEMANTIC_DEDUP_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -136,3 +136,36 @@ def sample_exact_k(
     the 32-bit hash reproduces the identical sample."""
     key = F.col(key_col)
     return df.orderBy(hash32_expr(key), key).limit(k)
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    k: int,
+    label_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact-k-PER-GROUP sample (quota sampling): for
+    each domain, the k rows whose hash ranks lowest — "50 docs per
+    language for the eval set" as one operator. Groups smaller than
+    k keep everything.
+
+    One shuffle keyed on the label; within each group the window
+    scan is O(group) with a bounded rank cutoff. Skewed domains cost
+    what they cost the corpus (the whole group shuffles to rank it)
+    — for a head-heavy corpus, pre-filter the giant domains with
+    ``keep_fraction_expr`` at ~10k/|domain| to cap the shuffle at
+    ~10k rows per domain before exact ranking; the hash ordering
+    makes the two-stage result identical to the one-stage one
+    whenever the pre-filter keeps >= k rows."""
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.partitionBy(label_col).orderBy(
+            hash32_expr(F.col(key_col)), F.col(key_col)
+        )
+    )
+    return (
+        df.withColumn("_rk", rank)
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -673,3 +673,85 @@ def label_spectrum(
         schema="label int, n_vectors long, cov_trace double, "
         "top_eigs array<double>",
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.6,
+    n_centroids: int = 16,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    coarse clustering + within-cluster cosine pruning. Exact global
+    near-dup clustering (:func:`cosine_near_dup_pairs` +
+    connected components) compares every colliding pair; SemDeDup
+    instead k-means-partitions the space and only compares WITHIN a
+    cell — the candidate join becomes block-diagonal, cost
+    sum(|cell|²) instead of n², and each cell's pair set is an
+    independent task. The price is recall at cell borders (a pair
+    split across cells is never compared) — acceptable for training-
+    data curation where near-dups are dense and any one removal
+    candidate having SOME detected partner is what matters.
+
+    Train/assign shapes are shared with :func:`ivf_topk`: bounded
+    driver-side k-means sample, one Arrow pass for cell assignment.
+    At 100 TB the within-cell self-join keys on (cell), so each
+    cell's work lands on one shuffle partition; n_centroids scales
+    with corpus (cells of ~10-100k vectors keep the per-cell join
+    quadratic-but-tiny).
+
+    Returns every input row as (id, cell, cluster_id, keep): keep is
+    False for docs pruned as semantic duplicates (deterministic
+    min-id representative per within-cell component, via the same
+    connected-components operator the text path uses).
+    """
+    from .dedup import connected_components
+
+    sample_rows = (
+        embeddings.select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in sample_rows]
+    )
+    centroids = _spherical_kmeans(
+        sample, min(n_centroids, len(sample)), seed=seed
+    )
+    cell = cell_pudf(centroids)
+    cells = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("cell", cell(F.col("vec")))
+
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_pudf(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    return (
+        cells.select("id", "cell")
+        .join(comp.withColumnRenamed("doc_id", "id"), "id", "left")
+        .select(
+            "id",
+            "cell",
+            F.coalesce("cluster_id", F.col("id")).alias("cluster_id"),
+            (
+                F.coalesce("cluster_id", F.col("id")) == F.col("id")
+            ).alias("keep"),
+        )
+    )

@@ -143,6 +143,9 @@ HEADLINE = [
     "bm25_search_docs",
     "reservoir_sample_docs",
     "classifier_score_docs",
+    "stratified_exact_docs",
+    # semantic_dedup_vecs is excluded: its gate verifies against the
+    # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]
 
 

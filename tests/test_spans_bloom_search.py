@@ -291,3 +291,57 @@ def test_classifier_separates_known_weights(spark):
     assert out[2].score == pytest.approx(
         1 / (1 + math.exp(0.4)), abs=1e-6
     )
+
+
+# ---------------------------------------------- stratified / semdedup
+
+
+def test_stratified_exact_k_per_group(spark):
+    rows = [(i, "en" if i % 3 else "fr") for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = MX.stratified_exact_k(df, 10, "lang").collect()
+    from collections import Counter
+
+    c = Counter(r.lang for r in out)
+    assert c == {"en": 10, "fr": 10}
+    # deterministic across partitionings
+    out2 = MX.stratified_exact_k(df.repartition(7), 10, "lang").collect()
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in out2
+    )
+
+
+def test_stratified_exact_k_small_group_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "zh")], ["doc_id", "lang"]
+    )
+    out = MX.stratified_exact_k(df, 10, "lang").collect()
+    assert len(out) == 3
+
+
+def test_semantic_dedup_prunes_within_cell_duplicates(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    # two tight groups of near-identical vectors + one isolated.
+    rows = []
+    for i in range(5):
+        rows.append((i, [1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(5, 10):
+        rows.append((i, [0.0, 0.0, 1.0, 0.01 * i]))
+    rows.append((99, [0.5, -0.5, 0.5, -0.5]))
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.id: r
+        for r in S.semantic_dedup(
+            e, threshold=0.95, n_centroids=2, sample_size=11
+        ).collect()
+    }
+    assert len(out) == 11
+    # min id of each tight group is the representative; rest pruned
+    assert out[0].keep and not any(out[i].keep for i in (1, 2, 3, 4))
+    assert out[5].keep and not any(out[i].keep for i in (6, 7, 8, 9))
+    assert out[99].keep  # isolated vector survives
+    assert all(out[i].cluster_id == 0 for i in range(5))
+    assert all(out[i].cluster_id == 5 for i in range(5, 10))

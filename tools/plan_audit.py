@@ -55,6 +55,9 @@ ARROW_STAGE_OK = {
     "dedup_incremental_docs",
     # exact cosine pair source (oracle path) feeding CC clustering
     "embed_cluster_vecs",
+    # SemDeDup: cell-assignment pandas_udf + cosine pudf (within-cell
+    # edges) + exact-pair verification, all Arrow-vectorized
+    "semantic_dedup_vecs",
 }
 
 

@@ -1543,31 +1543,36 @@ def bloom_decontam_docs(spark, sf_dir):
     )
     m_bits, k = 1 << 16, 5
     bloom = BL.bloom_build(bench_keys, "shingle", m_bits, k)
-    candidates = BL.bloom_probe(corpus_sh, bloom, "shingle", m_bits, k)
-    via_bloom = candidates.join(bench_keys, "shingle", "leftsemi")
-    direct = corpus_sh.join(bench_keys, "shingle", "leftsemi")
-    # via_bloom ⊆ direct by construction (probe is a filter), so
-    # count equality == row equality.
-    stats = via_bloom.agg(
-        F.count("*").alias("n_matched_rows"),
-        F.count_distinct("doc_id").alias("n_flagged_docs"),
+    # ONE corpus-shingle scan carries both verdicts: the bloom hit
+    # flag (k broadcast word-joins) and exact membership (broadcast
+    # semi-annotation) — every count below falls out of a single
+    # aggregate, instead of re-exploding the corpus per branch.
+    marked = BL.bloom_contains(
+        corpus_sh, bloom, "shingle", m_bits, k
+    ).join(
+        F.broadcast(bench_keys.withColumn("_in_bench", F.lit(True))),
+        "shingle",
+        "left",
     )
-    return (
-        stats.crossJoin(
-            direct.agg(F.count("*").alias("_n_direct"))
-        )
-        .crossJoin(corpus_sh.agg(F.count("*").alias("_n_corpus")))
-        .crossJoin(candidates.agg(F.count("*").alias("_n_cand")))
-        .select(
-            "n_matched_rows",
-            "n_flagged_docs",
-            (F.col("n_matched_rows") == F.col("_n_direct")).alias(
-                "bloom_matches_exact"
-            ),
-            (F.col("_n_cand") < F.col("_n_corpus")).alias(
-                "bloom_pruned"
-            ),
-        )
+    hit = F.col("_bloom_hit")
+    in_bench = F.coalesce("_in_bench", F.lit(False))
+    # bloom-then-verify ⊆ direct-exact by construction, so count
+    # equality == row equality (no false negatives).
+    return marked.agg(
+        F.sum((hit & in_bench).cast("long")).alias("_n_via"),
+        F.sum(in_bench.cast("long")).alias("_n_direct"),
+        F.count_distinct(
+            F.when(hit & in_bench, F.col("doc_id"))
+        ).alias("n_flagged_docs"),
+        F.sum(hit.cast("long")).alias("_n_cand"),
+        F.count("*").alias("_n_corpus"),
+    ).select(
+        F.col("_n_via").alias("n_matched_rows"),
+        "n_flagged_docs",
+        (F.col("_n_via") == F.col("_n_direct")).alias(
+            "bloom_matches_exact"
+        ),
+        (F.col("_n_cand") < F.col("_n_corpus")).alias("bloom_pruned"),
     )
 
 

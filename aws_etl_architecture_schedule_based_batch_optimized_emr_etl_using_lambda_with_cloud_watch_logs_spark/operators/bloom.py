@@ -69,6 +69,42 @@ def bloom_build(
     )
 
 
+def bloom_contains(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    flag_col: str = "_bloom_hit",
+) -> DataFrame:
+    """``df`` with a boolean ``flag_col``: true iff ``key_col``
+    MIGHT be in the filter (all k probed bits set). k broadcast
+    joins, no shuffle of ``df`` — the non-destructive form of
+    :func:`bloom_probe` for audit plans that need the hit flag
+    alongside other columns."""
+    out = df
+    hit = F.lit(True)
+    for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
+        b = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
+        )
+        out = out.withColumn(f"_p{i}", p).join(
+            F.broadcast(b),
+            F.shiftright(f"_p{i}", 6) == F.col(f"_w{i}"),
+            "left",
+        )
+        hit = hit & (
+            F.coalesce(f"_b{i}", F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, cast(_p{i} & 63 as int))")
+            )
+            != 0
+        )
+    out = out.withColumn(flag_col, hit)
+    for i in range(k):
+        out = out.drop(f"_p{i}", f"_w{i}", f"_b{i}")
+    return out
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
@@ -80,29 +116,11 @@ def bloom_probe(
     true members survive; ~FP-rate of non-members leak through and
     must be removed by a downstream exact join). k broadcast joins,
     no shuffle of ``df``."""
-    out = df
-    for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
-        b = bloom.select(
-            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        out = (
-            out.withColumn(f"_p{i}", p)
-            .join(
-                F.broadcast(b),
-                F.shiftright(f"_p{i}", 6) == F.col(f"_w{i}"),
-                "left",
-            )
-            .filter(
-                F.coalesce(f"_b{i}", F.lit(0)).bitwiseAND(
-                    F.expr(
-                        f"shiftleft(1L, cast(_p{i} & 63 as int))"
-                    )
-                )
-                != 0
-            )
-            .drop(f"_p{i}", f"_w{i}", f"_b{i}")
-        )
-    return out
+    return (
+        bloom_contains(df, bloom, key_col, m_bits, k)
+        .filter(F.col("_bloom_hit"))
+        .drop("_bloom_hit")
+    )
 
 
 def bloom_semi_join(

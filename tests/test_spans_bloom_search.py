@@ -345,3 +345,27 @@ def test_semantic_dedup_prunes_within_cell_duplicates(spark):
     assert out[99].keep  # isolated vector survives
     assert all(out[i].cluster_id == 0 for i in range(5))
     assert all(out[i].cluster_id == 5 for i in range(5, 10))
+
+
+# ----------------------------------------------- bench stdout contract
+
+
+def test_bench_stdout_payload_fits_driver_capture():
+    """The driver json-parses only the LAST 2000 chars of bench
+    stdout. Pin the payload shape: worst-case key lengths + 10
+    slowest entries must stay comfortably under the capture."""
+    import json as _json
+
+    import __spark_entry__ as entry
+
+    longest = sorted(entry.queries(), key=len, reverse=True)[:10]
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": 12345.6789,
+        "unit": "sec",
+        "n_queries": 999,
+        "n_errors": 999,
+        "sf": 0.01,
+        "queries": {k: 12345.6789 for k in longest},
+    }
+    assert len(_json.dumps(payload)) < 1500

@@ -40,6 +40,18 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     text as X,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    bloom as BL,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    scoring as SC,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    search as SR,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    spans as SP,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
     get_spark,
 )
@@ -100,8 +112,36 @@ def main() -> None:
             hashed=True,
         ).count(),
         "seq_packing": lambda d: PK.pack_sequences(d, max_tokens=256).count(),
+        "span_dedup": lambda d: SP.span_dedup_stats(
+            d, w=8, hashed=True
+        ).count(),
+        "bloom_semi_join": lambda d: BL.bloom_semi_join(
+            d.filter(F.col("doc_id") % 10 != 0).select(
+                "doc_id",
+                F.explode(
+                    D.shingles_col(D.tokens_col("text"), 8)
+                ).alias("shingle"),
+            ),
+            d.filter(F.col("doc_id") % 10 == 0).select(
+                F.explode(
+                    D.shingles_col(D.tokens_col("text"), 8)
+                ).alias("shingle")
+            ),
+            "shingle",
+            1 << 18,
+        ).count(),
+        "bm25_topk": lambda d: SR.bm25_topk(
+            d, [("q1", "hash join"), ("q2", "slow scan filter")], topk=5
+        ).count(),
+        "classifier_score": lambda d: SC.score_documents(
+            d, SC.synthetic_weights(d.sparkSession, 4096), 4096
+        ).count(),
     }
     inputs = {
+        "span_dedup": (docs, ["doc_id"]),
+        "bloom_semi_join": (docs, ["doc_id"]),
+        "bm25_topk": (docs, ["doc_id"]),
+        "classifier_score": (docs, ["doc_id"]),
         "q1_shape_agg": (li, ["l_orderkey"]),
         "minhash_lsh_pairs": (docs, ["doc_id"]),
         "dedup_clusters": (docs, ["doc_id"]),

@@ -56,6 +56,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     scoring as SC,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    lm as LM,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -1661,6 +1664,42 @@ def classifier_score_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     w = SC.synthetic_weights(spark, 4096)
     return SC.score_documents(d, w, 4096)
+
+
+def lm_perplexity_docs(spark, sf_dir):
+    """CCNet-style n-gram LM quality signal (operators/lm.py):
+    self-perplexity under an add-1 bigram model trained on the
+    corpus in the same plan — two linear aggregates + a score join,
+    all JVM built-ins. Per-bigram log-probs are quantized to exact
+    1e-6 integers so the per-doc mean is engine-reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    return LM.perplexity_scores(d)
+
+
+LM_PERPLEXITY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+bi AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                       for i in range(1, len(t))]) AS u
+        FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(t) AS w FROM toks)),
+sc AS (
+  SELECT bi.doc_id, COUNT(*) AS n_bigrams,
+         SUM(CAST(ROUND(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vocab))
+                        * 1000000.0) AS BIGINT)) AS sq
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY bi.doc_id)
+SELECT toks.doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(sq / (n_bigrams * 1000000.0), 6) AS avg_logp,
+       ROUND(exp(-(sq / (n_bigrams * 1000000.0))), 6) AS perplexity
+FROM toks LEFT JOIN sc ON toks.doc_id = sc.doc_id
+"""
 
 
 def stratified_exact_docs(spark, sf_dir):
@@ -3956,6 +3995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
         "semantic_dedup_vecs": semantic_dedup_vecs,
+        "lm_perplexity_docs": lm_perplexity_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4078,6 +4118,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,
         "semantic_dedup_vecs": SEMANTIC_DEDUP_SQL,
+        "lm_perplexity_docs": LM_PERPLEXITY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -369,3 +369,66 @@ def test_bench_stdout_payload_fits_driver_capture():
         "queries": {k: 12345.6789 for k in longest},
     }
     assert len(_json.dumps(payload)) < 1500
+
+
+# ------------------------------------------------------ lm perplexity
+
+
+def test_lm_perplexity_hand_computed(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    # corpus: "a b a b" and "a b" -> bigrams: (a,b)x3, (b,a)x1
+    # c1: a=3, b=1; vocab = 2; add-1:
+    #   p(b|a) = (3+1)/(3+2) = 0.8 ; p(a|b) = (1+1)/(1+2) = 2/3
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in LM.perplexity_scores(d).collect()}
+    lp_ab = math.log(0.8)
+    lp_ba = math.log(2 / 3)
+    q = lambda x: round(x * 1e6) / 1e6
+    exp1 = (q(lp_ab) * 2 + q(lp_ba)) / 3
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logp == pytest.approx(exp1, abs=2e-6)
+    assert out[1].perplexity == pytest.approx(
+        math.exp(-exp1), abs=1e-4
+    )
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logp == pytest.approx(q(lp_ab), abs=2e-6)
+
+
+def test_lm_perplexity_partitioning_invariant(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * j) % 11}" for j in range(40)))
+        for i in range(30)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    one = {
+        r.doc_id: (r.avg_logp, r.perplexity)
+        for r in LM.perplexity_scores(d.coalesce(1)).collect()
+    }
+    many = {
+        r.doc_id: (r.avg_logp, r.perplexity)
+        for r in LM.perplexity_scores(d.repartition(8)).collect()
+    }
+    assert one == many  # quantized-integer numerator -> bit-stable
+
+
+def test_lm_perplexity_short_docs_null(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "only"), (2, "two words"), (3, "two words")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in LM.perplexity_scores(d).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_logp is None
+    assert out[2].n_bigrams == 1

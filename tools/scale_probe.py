@@ -44,6 +44,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     bloom as BL,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    lm as LM,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     scoring as SC,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -136,8 +139,10 @@ def main() -> None:
         "classifier_score": lambda d: SC.score_documents(
             d, SC.synthetic_weights(d.sparkSession, 4096), 4096
         ).count(),
+        "lm_perplexity": lambda d: LM.perplexity_scores(d).count(),
     }
     inputs = {
+        "lm_perplexity": (docs, ["doc_id"]),
         "span_dedup": (docs, ["doc_id"]),
         "bloom_semi_join": (docs, ["doc_id"]),
         "bm25_topk": (docs, ["doc_id"]),

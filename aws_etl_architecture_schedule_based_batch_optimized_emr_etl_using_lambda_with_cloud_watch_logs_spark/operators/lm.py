@@ -1,0 +1,132 @@
+"""n-gram LM self-perplexity (CCNet-style quality signal) —
+LLM-data-pipeline extension. CCNet ranks web documents by the
+perplexity of a small Kneser-Ney LM trained on a trusted corpus;
+the cheap Spark-native analogue here is an add-1 **bigram** model
+trained on the corpus itself, then used to score every document —
+the "how surprising is this text under the corpus's own word
+statistics" signal used for quality bucketing.
+
+The model is two mergeable count frames, not a fitted artifact:
+
+    c2(w1, w2) = corpus count of the bigram
+    c1(w1)     = corpus count of bigrams starting with w1
+    V          = corpus vocabulary size (scalar)
+
+    logp(w2 | w1) = ln( (c2 + 1) / (c1 + V) )        (add-1)
+    doc score     = mean over the doc's bigrams of logp
+    perplexity    = exp(-score)
+
+Engine-reproducibility: per-bigram log-probs are quantized to exact
+1e-6 integers (``CAST(ROUND(ln(p) * 1e6) AS BIGINT)``) before the
+per-doc SUM, so the numerator is integer-exact and the per-doc mean
+is bit-stable under any repartitioning — and byte-identical to the
+DuckDB oracle, which rebuilds the same model in SQL. Floats only
+enter at the final division/exp.
+
+Everything is JVM built-ins (``zip_with`` bigram construction, two
+hash aggregates, hash joins): no Python in the plan. At 100 TB the
+two count frames are vocabulary-sized — orders of magnitude smaller
+than the corpus (web-scale vocab ~1e8 rows ≪ 1e11 docs) — so the
+scoring join is a model-sized shuffle join keyed on words, while
+the corpus-side bigram stream aggregates map-side before the final
+doc_id-keyed combine. The model frames are plain DataFrames: they
+can be persisted to parquet and reused to score later batches
+without retraining (the two counts and V merge by addition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+
+_Q = 1_000_000.0
+
+
+def bigrams_col(tokens: Column) -> Column:
+    """``array<struct<w1,w2>>`` of consecutive token pairs — one
+    ``zip_with`` of the array against its shift, O(tokens) per row.
+    Empty for docs with fewer than two tokens."""
+    size = F.size(tokens)
+    return F.zip_with(
+        F.slice(tokens, 1, F.greatest(size - 1, F.lit(0))),
+        F.slice(tokens, 2, F.greatest(size - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def train_bigram_model(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the add-1 bigram model: returns ``(c2, c1, vocab)``
+    count frames. All three are linear aggregates over one pass of
+    the corpus; c2/c1 merge across batches by summing counts, vocab
+    by distinct-union — the model is incrementally updatable."""
+    toks = df.select(tokens_col(text_col).alias("t"))
+    bi = toks.select(
+        F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    return c2, c1, vocab
+
+
+def perplexity_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Score every document by self-perplexity under the corpus's
+    own add-1 bigram model (trained and applied in one Catalyst
+    plan). Output: ``(doc_id, n_bigrams, avg_logp, perplexity)``;
+    docs with < 2 tokens get ``n_bigrams = 0`` and NULL scores.
+
+    Plan shape: the doc-side bigram stream joins the two model
+    frames on word keys (model ≪ corpus: broadcast-able for
+    bounded vocabularies, shuffle join otherwise), the scalar vocab
+    frame is a one-row broadcast cross join, and the quantized
+    log-probs sum in a map-side-combined doc_id aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    # Quantized per-bigram log-prob: integer-exact numerator so the
+    # per-doc mean is partitioning-invariant and oracle-identical.
+    qlp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(1.0))
+            / (F.col("c1") + F.lit(1.0) * F.col("vocab"))
+        )
+        * F.lit(_Q)
+    ).cast("bigint")
+    sc = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(qlp).alias("sq"),
+        )
+    )
+    avg = F.col("sq") / (F.col("n_bigrams") * F.lit(_Q))
+    return (
+        toks.select("doc_id")
+        .join(sc, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.round(avg, 6).alias("avg_logp"),
+            F.round(F.exp(-avg), 6).alias("perplexity"),
+        )
+    )

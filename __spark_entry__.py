@@ -1702,6 +1702,50 @@ FROM toks LEFT JOIN sc ON toks.doc_id = sc.doc_id
 """
 
 
+def text_entropy_docs(spark, sf_dir):
+    """Shannon-entropy quality signal (operators/text.py
+    entropy_scores): per-doc token- and char-level entropy in nats,
+    flagging degenerate/boilerplate (low) and binary-junk (high)
+    documents. Quantized-integer Σ c·ln c numerators make the
+    per-doc values partitioning-invariant and oracle-identical."""
+    d = _t(spark, sf_dir, "documents")
+    return X.entropy_scores(d)
+
+
+TEXT_ENTROPY_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+tokc AS (
+  SELECT doc_id, s, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS s FROM toks) WHERE s <> ''
+  GROUP BY doc_id, s),
+tokh AS (
+  SELECT doc_id, SUM(c) AS n_tok,
+         SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                      AS BIGINT)) AS s_tok
+  FROM tokc GROUP BY doc_id),
+chrc AS (
+  SELECT doc_id, s, COUNT(*) AS c
+  FROM (SELECT doc_id,
+               unnest(string_split(lower(trim(text)), '')) AS s
+        FROM documents) WHERE s <> ''
+  GROUP BY doc_id, s),
+chrh AS (
+  SELECT doc_id, SUM(c) AS n_chr,
+         SUM(c * CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000.0)
+                      AS BIGINT)) AS s_chr
+  FROM chrc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tokens,
+       ROUND(ln(CAST(n_tok AS DOUBLE)) - s_tok / (n_tok * 1000000.0),
+             6) AS token_entropy,
+       ROUND(ln(CAST(n_chr AS DOUBLE)) - s_chr / (n_chr * 1000000.0),
+             6) AS char_entropy
+FROM documents d
+LEFT JOIN tokh ON d.doc_id = tokh.doc_id
+LEFT JOIN chrh ON d.doc_id = chrh.doc_id
+"""
+
+
 def stratified_exact_docs(spark, sf_dir):
     """Quota sampling: exactly 20 docs per language by deterministic
     hash rank (operators/mixing.py stratified_exact_k) — the
@@ -3996,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_exact_docs": stratified_exact_docs,
         "semantic_dedup_vecs": semantic_dedup_vecs,
         "lm_perplexity_docs": lm_perplexity_docs,
+        "text_entropy_docs": text_entropy_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4119,6 +4164,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,
         "semantic_dedup_vecs": SEMANTIC_DEDUP_SQL,
         "lm_perplexity_docs": LM_PERPLEXITY_SQL,
+        "text_entropy_docs": TEXT_ENTROPY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

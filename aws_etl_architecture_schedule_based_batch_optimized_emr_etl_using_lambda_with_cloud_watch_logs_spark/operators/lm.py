@@ -55,7 +55,7 @@ def bigrams_col(tokens: Column) -> Column:
     )
 
 
-def train_bigram_model(
+def bigram_counts(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the add-1 bigram model: returns ``(c2, c1, vocab)``

@@ -345,3 +345,63 @@ def token_frequencies(
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
     )
+
+
+def entropy_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon-entropy quality signal: per-document token-level and
+    character-level entropy (nats). Low-entropy documents are
+    degenerate (repeated boilerplate, keyword stuffing, padding);
+    anomalously-high char entropy flags binary junk — the cheap
+    compressibility proxy used by web-corpus filters alongside the
+    Gopher repetition signals (``repetition_signals``).
+
+    For counts ``c_i`` over N symbols,  H = ln N − (Σ c_i·ln c_i)/N.
+    The Σ term is made integer-exact — ``c_i · round(ln(c_i)·1e6)``
+    summed as BIGINT — so the per-doc result is bit-stable under any
+    partitioning and byte-identical to the SQL oracle; floats enter
+    only at the final ``ln N`` subtraction. Two explode → shrinking
+    hash-aggregate pipelines (map-side combined), all JVM built-ins;
+    at 100 TB both aggregates are keyed on (doc_id, symbol) — the
+    same doc-sharded layout the corpus already has, so the shuffle
+    is bounded by the distinct-symbol count per doc, not N.
+    Docs with no tokens get NULL entropies.
+    """
+    _q = 1_000_000.0
+
+    def _h(sym: Column, out: str, src: DataFrame) -> DataFrame:
+        per = (
+            src.select(F.col(id_col).alias("doc_id"), sym.alias("s"))
+            .filter(F.col("s") != "")
+            .groupBy("doc_id", "s")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        qlc = F.round(F.log(F.col("c").cast("double")) * F.lit(_q)).cast(
+            "bigint"
+        )
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"_n_{out}"),
+            F.sum(F.col("c") * qlc).alias(f"_s_{out}"),
+        )
+
+    tok = _h(F.explode(tokens_col(text_col)), "tok", df)
+    chr_ = _h(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), "")), "chr", df
+    )
+    ent = lambda n, s: F.round(  # noqa: E731
+        F.log(F.col(n).cast("double")) - F.col(s) / (F.col(n) * F.lit(_q)), 6
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(tok, ["doc_id"], "left")
+        .join(chr_, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_tok"), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            ent("_n_tok", "_s_tok").alias("token_entropy"),
+            ent("_n_chr", "_s_chr").alias("char_entropy"),
+        )
+    )

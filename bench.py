@@ -145,6 +145,7 @@ HEADLINE = [
     "classifier_score_docs",
     "stratified_exact_docs",
     "lm_perplexity_docs",
+    "text_entropy_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

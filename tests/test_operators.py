@@ -1636,3 +1636,52 @@ def test_incremental_minhash_dry_run_leaves_store(spark, docs, tmp_path):
         b2, store, old_docs=b1, threshold=0.5, update_store=False
     ).collect()
     assert spark.read.parquet(store).count() == n_before
+
+
+# ------------------------------------------------------ entropy
+
+
+def test_entropy_hand_computed(spark):
+    import math
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    # "a a b": tokens a=2, b=1 (N=3); chars (lowered, incl spaces):
+    # 'a'x2, 'b'x1, ' 'x2 (N=5)
+    d = spark.createDataFrame([(1, "a a b"), (2, "")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.entropy_scores(d).collect()}
+
+    def h(counts):
+        n = sum(counts)
+        q = lambda c: round(math.log(c) * 1e6)  # noqa: E731
+        return round(math.log(n) - sum(c * q(c) for c in counts) / (n * 1e6), 6)
+
+    assert out[1].n_tokens == 3
+    assert out[1].token_entropy == pytest.approx(h([2, 1]), abs=1e-6)
+    assert out[1].char_entropy == pytest.approx(h([2, 1, 2]), abs=1e-6)
+    assert out[2].n_tokens == 0
+    assert out[2].token_entropy is None and out[2].char_entropy is None
+
+
+def test_entropy_extremes_and_partitioning_invariance(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    rows = [(0, "x x x x x x")] + [
+        (i, " ".join(f"w{(i + j) % 13}" for j in range(30))) for i in range(1, 20)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    one = {
+        r.doc_id: (r.token_entropy, r.char_entropy)
+        for r in X.entropy_scores(d.coalesce(1)).collect()
+    }
+    many = {
+        r.doc_id: (r.token_entropy, r.char_entropy)
+        for r in X.entropy_scores(d.repartition(7)).collect()
+    }
+    assert one == many  # quantized-integer numerator -> bit-stable
+    assert one[0][0] == 0.0  # all-same-token doc has zero token entropy
+    assert all(v[0] > 0 for k, v in one.items() if k)  # varied docs don't

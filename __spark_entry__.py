@@ -59,6 +59,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     lm as LM,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    sketch as SK,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -2086,6 +2089,42 @@ SELECT token, COUNT(*) AS n FROM (
 """
 
 
+def agg_countmin_tokens(spark, sf_dir):
+    """Count-min sketch heavy hitters (operators/sketch.py): the
+    mergeable bounded-memory frequency sketch as a d×w cell-count
+    DataFrame (md5 row-salted hashing — engine-portable, so the
+    estimates themselves are oracle-checked, not just error flags).
+    Output: exact top-20 tokens with CMS estimates and the
+    one-sided never-underestimate invariant."""
+    d = _t(spark, sf_dir, "documents")
+    return SK.heavy_hitters(d, top_k=20, depth=4, width=512)
+
+
+COUNTMIN_SQL = f"""
+WITH toks AS (SELECT UNNEST({_SQL_TOKENS}) AS token FROM documents),
+cells AS (
+  SELECT j, CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR),
+                ':', token)), 1, 8)) AS BIGINT) % 512 AS cell,
+         COUNT(*) AS n
+  FROM toks, (SELECT UNNEST([0, 1, 2, 3]) AS j)
+  GROUP BY j, cell),
+exact AS (
+  SELECT token, COUNT(*) AS exact_n FROM toks
+  GROUP BY token ORDER BY exact_n DESC, token LIMIT 20),
+est AS (
+  SELECT token, MIN(COALESCE(n, 0)) AS cms_est FROM (
+    SELECT e.token, j.j,
+           CAST(concat('0x', substr(md5(concat(CAST(j.j AS VARCHAR),
+                 ':', e.token)), 1, 8)) AS BIGINT) % 512 AS cell
+    FROM exact e, (SELECT UNNEST([0, 1, 2, 3]) AS j) j) p
+  LEFT JOIN cells USING (j, cell) GROUP BY token)
+SELECT exact.token, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= exact_n AS never_underest
+FROM exact JOIN est USING (token)
+ORDER BY exact_n DESC, exact.token
+"""
+
+
 # --------------------------------------- scalar + aggregate extensions
 
 
@@ -4041,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_vecs": semantic_dedup_vecs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "text_entropy_docs": text_entropy_docs,
+        "agg_countmin_tokens": agg_countmin_tokens,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4165,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_vecs": SEMANTIC_DEDUP_SQL,
         "lm_perplexity_docs": LM_PERPLEXITY_SQL,
         "text_entropy_docs": TEXT_ENTROPY_SQL,
+        "agg_countmin_tokens": COUNTMIN_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -1,0 +1,141 @@
+"""Count-min sketch heavy hitters — the streaming/mergeable
+frequency sketch (Cormode & Muthukrishnan 2005) as plain DataFrame
+aggregates. Complements the built-in sketches already gated
+(HLL++ distinct counts, GK quantiles) with the one Spark lacks:
+bounded-memory approximate frequencies with a one-sided error
+guarantee (estimate ≥ true count, always; overestimate ≤ εN with
+probability 1-δ for width e/ε, depth ln(1/δ)).
+
+Spark-native formulation — the sketch IS a DataFrame:
+
+    cells(j, cell, n):  d×w rows,  n = count of tokens hashing to
+                        (row j, column cell)
+
+* Build is one explode → map-side-combined hash aggregate producing
+  at most d·w rows regardless of corpus size — the canonical
+  100 TB shape (the reduction happens in the combiners; the shuffle
+  moves ≤ d·w·partitions rows).
+* Merge across shards/batches = union + re-aggregate (counts add) —
+  the mergeability that makes CMS the standard distributed counter.
+* Probe = d-row broadcast join + min() — the sketch frame is a few
+  KB, always broadcast-able.
+* Hashing is ``md5``-based (row-salted, first 8 hex chars →
+  bigint mod width): deterministic and engine-portable, so any SQL
+  engine rebuilds the byte-identical sketch — estimates themselves
+  are oracle-checkable, not just their error flags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+
+
+def cms_cell(token: Column, row: Column | int, width: int) -> Column:
+    """Engine-portable CMS column index: first 32 bits of
+    md5(row || ':' || token), folded to [0, width)."""
+    row_c = F.lit(row) if isinstance(row, int) else row
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(row_c.cast("string"), F.lit(":"), token)),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+
+
+def cms_build(
+    tokens: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Build the sketch from a one-column token stream: returns the
+    ``(j, cell, n)`` cell-count frame (≤ depth·width rows). Each
+    input row fans out to ``depth`` (j, cell) keys via posexplode of
+    the per-row cell array — one pass, one aggregate."""
+    cells = F.array(
+        *[cms_cell(F.col(token_col), j, width) for j in range(depth)]
+    )
+    return (
+        tokens.select(F.posexplode(cells).alias("j", "cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width, hash):
+    counts add cell-wise. This is how per-shard/per-day sketches
+    combine into a corpus sketch without touching raw data again."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "cell").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-query the sketch for each probe token: min over the
+    depth rows of the matching cell counts (missing cell → 0).
+    The sketch side is broadcast (≤ depth·width rows)."""
+    cells = F.array(
+        *[cms_cell(F.col(token_col), j, width) for j in range(depth)]
+    )
+    fan = probes.select(
+        token_col, F.posexplode(cells).alias("j", "cell")
+    )
+    return (
+        fan.join(F.broadcast(sketch), ["j", "cell"], "left")
+        .groupBy(token_col)
+        .agg(
+            F.min(F.coalesce(F.col("n"), F.lit(0)))
+            .cast("bigint")
+            .alias("cms_est")
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """End-to-end gate composition: sketch the corpus token stream,
+    then report the exact top-k tokens with their CMS estimates and
+    the one-sided-error check (``cms_est ≥ exact`` always holds by
+    construction — any collision only adds). At scale the exact
+    top-k side would itself come from the sketch + a candidate
+    heap; here it doubles as the in-plan verification."""
+    toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
+    sketch = cms_build(toks, "token", depth, width)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "token")
+        .limit(top_k)
+    )
+    est = cms_estimate(sketch, exact.select("token"), "token", depth, width)
+    return (
+        exact.join(est, ["token"])
+        .select(
+            "token",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_n")).alias("never_underest"),
+        )
+        .orderBy(F.desc("exact_n"), "token")
+    )

@@ -146,6 +146,7 @@ HEADLINE = [
     "stratified_exact_docs",
     "lm_perplexity_docs",
     "text_entropy_docs",
+    "agg_countmin_tokens",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

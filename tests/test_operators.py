@@ -1685,3 +1685,71 @@ def test_entropy_extremes_and_partitioning_invariance(spark):
     assert one == many  # quantized-integer numerator -> bit-stable
     assert one[0][0] == 0.0  # all-same-token doc has zero token entropy
     assert all(v[0] > 0 for k, v in one.items() if k)  # varied docs don't
+
+
+# ------------------------------------------------------ count-min
+
+
+def test_cms_never_underestimates_and_exact_when_sparse(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b d d d d")], ["doc_id", "text"]
+    )
+    out = {r.token: r for r in SK.heavy_hitters(d, top_k=10).collect()}
+    exact = {"a": 4, "b": 3, "d": 4, "c": 1}
+    assert {k: v.exact_n for k, v in out.items()} == exact
+    assert all(r.never_underest for r in out.values())
+    # width 512 >> 4 distinct tokens: no collisions, estimates exact
+    assert all(r.cms_est == r.exact_n for r in out.values())
+
+
+def test_cms_merge_equals_one_shot(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    rows = [(i, " ".join(f"w{(i + j) % 7}" for j in range(20))) for i in range(12)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    whole = SK.cms_build(toks, depth=3, width=64)
+    half1 = SK.cms_build(
+        d.filter("doc_id < 6").select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        ),
+        depth=3,
+        width=64,
+    )
+    half2 = SK.cms_build(
+        d.filter("doc_id >= 6").select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+        ),
+        depth=3,
+        width=64,
+    )
+    merged = SK.cms_merge(half1, half2)
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b  # counts add cell-wise: shard-and-merge == one shot
+
+
+def test_cms_probe_is_broadcast(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    d = spark.createDataFrame([(1, "a b c a")], ["doc_id", "text"])
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    sk = SK.cms_build(toks, depth=2, width=32)
+    plan = SK.cms_estimate(sk, toks.distinct(), depth=2, width=32)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # sketch side never shuffles the probe

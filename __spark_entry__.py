@@ -62,6 +62,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     sketch as SK,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    dsir as DS,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -2125,6 +2128,61 @@ ORDER BY exact_n DESC, exact.token
 """
 
 
+def dsir_resample_docs(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py, Xie et al.
+    2023): select 50 docs whose hashed-ngram distribution looks
+    like the English subcorpus — add-1 target/raw bucket models,
+    quantized-integer log-ratio sums, derandomized Gumbel top-k.
+    Fully deterministic: same 50 docs on any engine, any
+    partitioning."""
+    d = _t(spark, sf_dir, "documents")
+    return DS.dsir_sample(
+        d, d.filter(F.col("lang") == "en"), k=50, n_buckets=4096
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+feats AS (
+  SELECT doc_id, f FROM (
+    SELECT doc_id, unnest(t) AS f FROM toks
+    UNION ALL
+    SELECT doc_id, u.w1 || ' ' || u.w2 AS f
+    FROM (SELECT doc_id,
+                 unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                         for i in range(1, len(t))]) AS u
+          FROM toks WHERE len(t) >= 2)
+  ) WHERE f <> ''),
+fb AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT)
+              % 4096 AS bucket
+       FROM feats),
+rc AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY bucket),
+tc AS (SELECT bucket, COUNT(*) AS ct
+       FROM fb JOIN documents USING (doc_id)
+       WHERE lang = 'en' GROUP BY bucket),
+nt AS (SELECT COALESCE(SUM(ct), 0) AS nt FROM tc),
+nr AS (SELECT COALESCE(SUM(cr), 0) AS nr FROM rc),
+ratio AS (
+  SELECT rc.bucket,
+         CAST(ROUND((ln((COALESCE(ct, 0) + 1.0) / (nt + 4096.0))
+                     - ln((cr + 1.0) / (nr + 4096.0)))
+                    * 1000000.0) AS BIGINT) AS qlr
+  FROM rc LEFT JOIN tc USING (bucket), nt, nr),
+w AS (
+  SELECT fb.doc_id, COUNT(*) AS n_feats, SUM(qlr) AS logw
+  FROM fb JOIN ratio USING (bucket) GROUP BY fb.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(COALESCE(logw, 0) AS BIGINT) AS logw,
+       ROUND(COALESCE(logw, 0) / 1000000.0
+             - ln(-ln(({_hash32_sql("d.doc_id")} + 0.5)
+                      / 4294967296.0)), 6) AS key
+FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+ORDER BY key DESC, d.doc_id LIMIT 50
+"""
+
+
 # --------------------------------------- scalar + aggregate extensions
 
 
@@ -4081,6 +4139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_docs": lm_perplexity_docs,
         "text_entropy_docs": text_entropy_docs,
         "agg_countmin_tokens": agg_countmin_tokens,
+        "dsir_resample_docs": dsir_resample_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4206,6 +4265,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity_docs": LM_PERPLEXITY_SQL,
         "text_entropy_docs": TEXT_ENTROPY_SQL,
         "agg_countmin_tokens": COUNTMIN_SQL,
+        "dsir_resample_docs": DSIR_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -1,0 +1,175 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al.
+2023, arXiv:2302.03169) — LLM-data-pipeline extension. Where
+``operators/scoring.py`` ranks documents with a trained classifier
+and ``operators/mixing.py`` reweights whole domains, DSIR selects
+raw documents whose *hashed n-gram distribution* looks like a
+trusted target corpus: the published recipe behind
+"select web pages that look like Wikipedia/books".
+
+Pipeline (all JVM built-ins, three linear aggregates + one join):
+
+1. Features: unigrams + bigrams, hashed into D buckets (md5 —
+   engine-portable, same idiom as ``scoring.feature_bucket``).
+2. Two bag-of-words models: bucket counts over the TARGET docs and
+   over the RAW corpus, add-1 smoothed:
+       p(b) = (c_t(b)+1) / (N_t+D),   q(b) = (c_r(b)+1) / (N_r+D)
+3. Per-doc log importance weight  log w = Σ_features log p(b)/q(b),
+   with each per-bucket log-ratio quantized to an exact 1e-6
+   integer so the doc sum is partitioning-invariant and
+   engine-reproducible.
+4. Gumbel top-k resampling — sampling k docs WITHOUT replacement
+   with probability ∝ w is exactly "top-k by log w + Gumbel noise";
+   the noise is derandomized from the doc key
+   (u = (hash32(doc_id)+0.5)/2³², g = −ln(−ln u)) so the selected
+   set is identical on every engine and every run.
+
+At 100 TB: the two models are D-bucket frames (D ~ 1-4M — a few
+MB, broadcast), the feature stream aggregates map-side, and the
+final selection is one TakeOrderedAndProject — no shuffle of the
+corpus beyond the per-doc weight aggregate, which is keyed on the
+doc id the corpus is already partitioned by. Reference behavior
+(quality scoring stage) per SURVEY.md §2 M4; no counterpart in the
+reference repo — charter extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import tokens_col
+from .lm import bigrams_col
+from .mixing import hash32_expr
+from .scoring import feature_bucket
+
+_Q = 1_000_000.0
+_MOD = 2**32
+
+
+def _features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, bucketable feature string) stream: unigrams plus
+    space-joined bigrams, one explode each."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("f"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(bigrams_col(F.col("t"))).alias("b"),
+    ).select(
+        "doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("f")
+    )
+    return uni.unionByName(bi).filter(F.col("f") != "")
+
+
+def bucket_counts(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-ngrams model: (bucket, c) counts over the given
+    docs — one map-side-combined aggregate, ≤ n_buckets rows out."""
+    return (
+        _features(df, text_col, id_col)
+        .select(feature_bucket(F.col("f"), n_buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc quantized log importance weight under target/raw
+    hashed-ngram models. Returns (doc_id, n_feats, logw) where
+    ``logw`` is the exact-integer Σ round(ln(p/q)·1e6) — divide by
+    1e6 for nats. Docs with no features get logw = 0."""
+    tc = bucket_counts(target, n_buckets, text_col, id_col)
+    rc = bucket_counts(df, n_buckets, text_col, id_col)
+    nt = tc.agg(F.sum("c").alias("nt"))
+    nr = rc.agg(F.sum("c").alias("nr"))
+    # Per-bucket quantized log-ratio table: ≤ n_buckets rows, built
+    # once, broadcast to the feature stream.
+    ratio = (
+        rc.alias("r")
+        .join(tc.alias("t"), ["bucket"], "outer")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("t.c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.lit(float(n_buckets)))
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("r.c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nr") + F.lit(float(n_buckets)))
+                    )
+                )
+                * F.lit(_Q)
+            )
+            .cast("bigint")
+            .alias("qlr"),
+        )
+    )
+    feats = _features(df, text_col, id_col).select(
+        "doc_id", feature_bucket(F.col("f"), n_buckets).alias("bucket")
+    )
+    per_doc = (
+        feats.join(F.broadcast(ratio), ["bucket"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("qlr").alias("logw"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0))
+            .cast("bigint")
+            .alias("n_feats"),
+            F.coalesce(F.col("logw"), F.lit(0))
+            .cast("bigint")
+            .alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col: str | Column, logw_q: Column) -> Column:
+    """Deterministic Gumbel-max key: logw + g(doc_id), rounded to
+    1e-6 so cross-engine ordering has no float-tie ambiguity. u is
+    strictly inside (0,1) by the +0.5 offset, so both logs are
+    finite."""
+    u = (hash32_expr(id_col) + F.lit(0.5)) / F.lit(float(_MOD))
+    g = -F.log(-F.log(u))
+    return F.round(logw_q / F.lit(_Q) + g, 6)
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select k docs without replacement with probability ∝ their
+    importance weight (Gumbel top-k). Output (doc_id, n_feats,
+    logw, key) ordered by (key desc, doc_id) — fully deterministic:
+    rerunning, repartitioning, or rebuilding on another engine
+    yields the same k documents in the same order."""
+    w = importance_weights(df, target, n_buckets, text_col, id_col)
+    return (
+        w.withColumn("key", gumbel_key("doc_id", F.col("logw")))
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(k)
+    )

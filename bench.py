@@ -147,6 +147,7 @@ HEADLINE = [
     "lm_perplexity_docs",
     "text_entropy_docs",
     "agg_countmin_tokens",
+    "dsir_resample_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -1753,3 +1753,47 @@ def test_cms_probe_is_broadcast(spark):
     sk = SK.cms_build(toks, depth=2, width=32)
     plan = SK.cms_estimate(sk, toks.distinct(), depth=2, width=32)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # sketch side never shuffles the probe
+
+
+# ------------------------------------------------------ dsir
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dsir as DS,
+    )
+
+    # Docs 0-9 speak vocab A (the target), 10-19 vocab B. DSIR
+    # weights must rank every A doc above every B doc.
+    rows = [
+        (i, " ".join(f"a{(i + j) % 5}" for j in range(20))) for i in range(10)
+    ] + [
+        (i, " ".join(f"b{(i + j) % 5}" for j in range(20)))
+        for i in range(10, 20)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = d.filter("doc_id < 10")
+    w = {r.doc_id: r.logw for r in DS.importance_weights(d, target).collect()}
+    assert min(w[i] for i in range(10)) > max(w[i] for i in range(10, 20))
+
+
+def test_dsir_sample_deterministic_under_partitioning(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dsir as DS,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i + j) % 11}" for j in range(25))) for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = d.filter("doc_id % 3 = 0")
+    pick = lambda df: [  # noqa: E731
+        (r.doc_id, r.logw, r.key) for r in DS.dsir_sample(df, target, 15).collect()
+    ]
+    a = pick(d.coalesce(1))
+    b = pick(d.repartition(9))
+    assert a == b  # quantized weights + derandomized Gumbel keys
+    assert len(a) == 15
+    assert [t[0] for t in a] == [
+        t[0] for t in sorted(a, key=lambda t: (-t[2], t[0]))
+    ]

@@ -2128,6 +2128,26 @@ ORDER BY exact_n DESC, exact.token
 """
 
 
+def shard_manifest_docs(spark, sf_dir):
+    """Training-shard manifest (operators/packing.py
+    shard_manifest): deterministic hash32 doc → shard assignment
+    over 16 shards plus per-shard doc/token accounting — the
+    contract a trainer checks before consuming the export. One
+    map-side-combined aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return P_pack.shard_manifest(d, 16)
+
+
+SHARD_MANIFEST_SQL = f"""
+SELECT CAST({_hash32_sql("doc_id")} % 16 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents GROUP BY 1
+"""
+
+
 def dsir_resample_docs(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al.
     2023): select 50 docs whose hashed-ngram distribution looks
@@ -4140,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy_docs": text_entropy_docs,
         "agg_countmin_tokens": agg_countmin_tokens,
         "dsir_resample_docs": dsir_resample_docs,
+        "shard_manifest_docs": shard_manifest_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4266,6 +4287,7 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy_docs": TEXT_ENTROPY_SQL,
         "agg_countmin_tokens": COUNTMIN_SQL,
         "dsir_resample_docs": DSIR_SQL,
+        "shard_manifest_docs": SHARD_MANIFEST_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -18,7 +18,7 @@ multi-doc packs sum to ≤ ``max_tokens``; token totals are conserved.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
@@ -135,3 +135,67 @@ def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
         ),
         (F.col("n_docs") == F.col("_n_distinct")).alias("docs_packed_once"),
     )
+
+
+def shard_column(id_col: str | Column, n_shards: int) -> Column:
+    """Deterministic doc → shard assignment: hash32(id) mod
+    n_shards. Engine-reproducible (overflow-safe two-limb multiply,
+    see mixing.hash32_expr) and stable across reruns — re-exporting
+    the corpus places every document in the same shard, so
+    downstream training-resume bookkeeping keyed on (shard, doc)
+    survives a rewrite."""
+    from .mixing import hash32_expr
+
+    return F.pmod(hash32_expr(id_col), F.lit(n_shards)).cast("int")
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard accounting frame: (shard, n_docs, n_tokens,
+    min_doc_id, max_doc_id) — one map-side-combined aggregate. The
+    manifest is the contract the trainer checks before a run
+    (complete? balanced? token totals match the curation report?)."""
+    toks = F.size(tokens_col(text_col))
+    return (
+        df.select(
+            shard_column(id_col, n_shards).alias("shard"),
+            F.col(id_col).alias("_id"),
+            toks.alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Export the corpus as ``n_shards`` hive directories
+    (``shard=K/``) of parquet plus a ``_manifest`` dataset, the
+    layout training jobs consume shard-by-shard. One shuffle
+    (repartition on the shard key) so each shard's rows land
+    together; at 100 TB raise parallelism by writing each shard
+    from several tasks — correctness only depends on the
+    deterministic shard column, not file counts."""
+    sharded = df.withColumn("shard", shard_column(id_col, n_shards))
+    sharded.repartition(n_shards, "shard").write.mode(
+        "overwrite"
+    ).partitionBy("shard").parquet(path)
+    manifest = shard_manifest(df, n_shards, id_col, text_col)
+    manifest.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/_manifest"
+    )
+    return manifest

@@ -148,6 +148,7 @@ HEADLINE = [
     "text_entropy_docs",
     "agg_countmin_tokens",
     "dsir_resample_docs",
+    "shard_manifest_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

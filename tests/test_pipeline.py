@@ -374,3 +374,46 @@ def test_delta_sink_raises_without_package(spark, etl_dirs):
     df = spark.range(3).selectExpr("id", "'x' AS p")
     with pytest.raises(RuntimeError, match="delta-spark package"):
         write_partitioned(df, str(etl_dirs["sink"]) + "_d", ["p"], fmt="delta")
+
+
+def test_write_training_shards_layout_and_manifest(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P_pack,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(5 + i % 4))) for i in range(60)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "shards")
+    manifest = P_pack.write_training_shards(d, path, n_shards=8)
+
+    # every doc lands in exactly one shard dir, assignment matches the column
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    assert back.select("doc_id").distinct().count() == 60
+    expect = {
+        r.doc_id: r.shard
+        for r in d.select(
+            "doc_id", P_pack.shard_column("doc_id", 8).alias("shard")
+        ).collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+
+    # manifest agrees with the written data, and rewrites are stable
+    m1 = {r.shard: (r.n_docs, r.n_tokens) for r in manifest.collect()}
+    agg = {
+        r.shard: (r.n, r.t)
+        for r in back.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.size(F.split(F.lower(F.trim("text")), r"\s+"))).alias("t"),
+        )
+        .collect()
+    }
+    assert m1 == agg
+    stored = spark.read.parquet(f"{path}/_manifest")
+    assert {r.shard: (r.n_docs, r.n_tokens) for r in stored.collect()} == m1
+    P_pack.write_training_shards(d, path, n_shards=8)  # idempotent overwrite
+    assert spark.read.parquet(path).count() == 60

@@ -2156,9 +2156,9 @@ def dsir_resample_docs(spark, sf_dir):
     Fully deterministic: same 50 docs on any engine, any
     partitioning."""
     d = _t(spark, sf_dir, "documents")
-    return DS.dsir_sample(
-        d, d.filter(F.col("lang") == "en"), k=50, n_buckets=4096
-    )
+    # Predicate-form target: both bucket models build in ONE corpus
+    # scan (conditional count) instead of two.
+    return DS.dsir_sample(d, F.col("lang") == "en", k=50, n_buckets=4096)
 
 
 DSIR_SQL = f"""

@@ -45,18 +45,28 @@ _Q = 1_000_000.0
 _MOD = 2**32
 
 
-def _features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, bucketable feature string) stream: unigrams plus
-    space-joined bigrams, one explode each."""
+def _features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, bucketable feature string, *extra) stream: unigrams
+    plus space-joined bigrams, one explode each. ``extra`` columns
+    of ``df`` are carried through — the zero-join way to keep
+    per-doc flags attached to the feature rows."""
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("t"),
+        *extra,
     )
-    uni = toks.select("doc_id", F.explode("t").alias("f"))
+    uni = toks.select("doc_id", F.explode("t").alias("f"), *extra)
     bi = toks.filter(F.size("t") >= 2).select(
         "doc_id",
         F.explode(bigrams_col(F.col("t"))).alias("b"),
+        *extra,
     ).select(
-        "doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("f")
+        "doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("f"), *extra
     )
     return uni.unionByName(bi).filter(F.col("f") != "")
 
@@ -79,7 +89,7 @@ def bucket_counts(
 
 def importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -87,11 +97,36 @@ def importance_weights(
     """Per-doc quantized log importance weight under target/raw
     hashed-ngram models. Returns (doc_id, n_feats, logw) where
     ``logw`` is the exact-integer Σ round(ln(p/q)·1e6) — divide by
-    1e6 for nats. Docs with no features get logw = 0."""
-    tc = bucket_counts(target, n_buckets, text_col, id_col)
-    rc = bucket_counts(df, n_buckets, text_col, id_col)
-    nt = tc.agg(F.sum("c").alias("nt"))
-    nr = rc.agg(F.sum("c").alias("nr"))
+    1e6 for nats. Docs with no features get logw = 0.
+
+    ``target`` is either a separate DataFrame (external trusted
+    corpus — two model-building scans) or a boolean Column over
+    ``df`` (target ⊆ corpus, the common "docs that look like X"
+    case — both models then build in ONE corpus scan via a
+    conditional count, saving a full feature pass)."""
+    if isinstance(target, Column):
+        flagged = _features(
+            df.withColumn("_tgt", target), text_col, id_col, extra=("_tgt",)
+        )
+        counts = (
+            flagged.select(
+                feature_bucket(F.col("f"), n_buckets).alias("bucket"), "_tgt"
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cr"),
+                F.count_if(F.col("_tgt")).alias("ct"),
+            )
+        )
+        rc = counts.select("bucket", F.col("cr").alias("c"))
+        tc = counts.filter(F.col("ct") > 0).select(
+            "bucket", F.col("ct").alias("c")
+        )
+    else:
+        tc = bucket_counts(target, n_buckets, text_col, id_col)
+        rc = bucket_counts(df, n_buckets, text_col, id_col)
+    nt = tc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
+    nr = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nr"))
     # Per-bucket quantized log-ratio table: ≤ n_buckets rows, built
     # once, broadcast to the feature stream.
     ratio = (
@@ -156,7 +191,7 @@ def gumbel_key(id_col: str | Column, logw_q: Column) -> Column:
 
 def dsir_sample(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     k: int,
     n_buckets: int = 4096,
     text_col: str = "text",

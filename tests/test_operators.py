@@ -1797,3 +1797,23 @@ def test_dsir_sample_deterministic_under_partitioning(spark):
     assert [t[0] for t in a] == [
         t[0] for t in sorted(a, key=lambda t: (-t[2], t[0]))
     ]
+
+
+def test_dsir_predicate_target_equals_dataframe_target(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dsir as DS,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 3 + j) % 9}" for j in range(15))) for i in range(25)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    via_df = sorted(
+        map(tuple, DS.importance_weights(d, d.filter("doc_id % 4 = 0")).collect())
+    )
+    via_pred = sorted(
+        map(tuple, DS.importance_weights(d, F.col("doc_id") % 4 == 0).collect())
+    )
+    assert via_df == via_pred  # one-scan conditional-count fast path

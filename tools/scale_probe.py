@@ -55,6 +55,12 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     spans as SP,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    dsir as DS,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    sketch as SK,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
     get_spark,
 )
@@ -140,9 +146,19 @@ def main() -> None:
             d, SC.synthetic_weights(d.sparkSession, 4096), 4096
         ).count(),
         "lm_perplexity": lambda d: LM.perplexity_scores(d).count(),
+        "text_entropy": lambda d: X.entropy_scores(d).count(),
+        "countmin_hh": lambda d: SK.heavy_hitters(d, top_k=20).count(),
+        "dsir_sample": lambda d: DS.dsir_sample(
+            d, F.col("lang") == "en", k=50
+        ).count(),
+        "shard_manifest": lambda d: PK.shard_manifest(d, 16).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
+        "text_entropy": (docs, ["doc_id"]),
+        "countmin_hh": (docs, ["doc_id"]),
+        "dsir_sample": (docs, ["doc_id"]),
+        "shard_manifest": (docs, ["doc_id"]),
         "span_dedup": (docs, ["doc_id"]),
         "bloom_semi_join": (docs, ["doc_id"]),
         "bm25_topk": (docs, ["doc_id"]),

@@ -1921,6 +1921,61 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def gopher_filter_docs(spark, sf_dir):
+    """Gopher-style composite quality filter (operators/text.py
+    gopher_filter): the rule-chain curation pass — keep/drop per
+    doc plus sorted drop reasons, built from the closed-form
+    quality features joined with the repetition aggregate in one
+    plan."""
+    d = _t(spark, sf_dir, "documents")
+    return X.gopher_filter(d)
+
+
+GOPHER_FILTER_SQL = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len({_SQL_TOKENS}) AS INT) AS n_tokens,
+         CAST(LENGTH(text) AS DOUBLE) / len({_SQL_TOKENS}) AS avg_tl,
+         CAST(LENGTH(text)
+              - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g'))
+              AS DOUBLE) / LENGTH(text) AS alpha,
+         CAST(len(list_filter({_SQL_TOKENS},
+              t -> list_contains(['the','of','and','to','in','is','that',
+                                  'it','for','was'], t))) AS DOUBLE)
+              / len({_SQL_TOKENS}) AS stopr
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len({_SQL_TOKENS}) >= 2 THEN
+                  [array_to_string(({_SQL_TOKENS})[i:i+1], ' ')
+                   for i in range(1, len({_SQL_TOKENS}))]
+                ELSE [array_to_string({_SQL_TOKENS}, ' ')] END) AS gram
+  FROM documents),
+pg AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, gram),
+r AS (
+  SELECT doc_id,
+         CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS topf,
+         CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dupf
+  FROM pg GROUP BY doc_id),
+flags AS (
+  SELECT q.doc_id, n_tokens,
+         list_sort(list_filter([
+           CASE WHEN ROUND(avg_tl, 6) < 3 OR ROUND(avg_tl, 6) > 10
+                THEN 'bad_token_len' END,
+           CASE WHEN ROUND(alpha, 6) < 0.6 THEN 'low_alpha' END,
+           CASE WHEN ROUND(stopr, 6) < 0.01 THEN 'low_stopword' END,
+           CASE WHEN ROUND(topf, 6) > 0.20 OR ROUND(dupf, 6) > 0.60
+                THEN 'repetitive' END,
+           CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+           CASE WHEN n_tokens < 40 THEN 'too_short' END
+         ], x -> x IS NOT NULL)) AS rs
+  FROM q JOIN r ON q.doc_id = r.doc_id)
+SELECT doc_id, n_tokens, len(rs) = 0 AS keep,
+       COALESCE(array_to_string(rs, ','), '') AS reasons
+FROM flags
+"""
+
+
 _MIX_FRACTIONS = {"en": 0.5, "fr": 1.0, "es": 1.0, "de": 1.0, "zh": 0.75}
 
 
@@ -4161,6 +4216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_countmin_tokens": agg_countmin_tokens,
         "dsir_resample_docs": dsir_resample_docs,
         "shard_manifest_docs": shard_manifest_docs,
+        "gopher_filter_docs": gopher_filter_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4288,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
         "agg_countmin_tokens": COUNTMIN_SQL,
         "dsir_resample_docs": DSIR_SQL,
         "shard_manifest_docs": SHARD_MANIFEST_SQL,
+        "gopher_filter_docs": GOPHER_FILTER_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

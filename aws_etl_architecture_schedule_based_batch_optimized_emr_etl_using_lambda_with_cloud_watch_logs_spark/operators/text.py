@@ -405,3 +405,61 @@ def entropy_scores(
             ent("_n_chr", "_s_chr").alias("char_entropy"),
         )
     )
+
+
+GOPHER_RULES = {
+    # Rule → (description). Thresholds follow the Gopher paper's
+    # rule SHAPES (Rae et al. 2021, Table A1), with the word-count
+    # floor and stopword test adapted to this corpus's scale; each
+    # is a closed-form predicate over the quality/repetition frames.
+    "too_short": "n_tokens < 40",
+    "too_long": "n_tokens > 100000",
+    "bad_token_len": "avg_token_len outside [3, 10]",
+    "low_alpha": "alpha_ratio < 0.6",
+    "low_stopword": "en_stopword_ratio < 0.01 (no English glue words)",
+    "repetitive": "top 2-gram frac > 0.20 or dup 2-gram frac > 0.60",
+}
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style composite quality filter: the rule-chain pass a
+    curation pipeline runs before dedup. Output per doc: ``keep``
+    plus a deterministic comma-joined ``reasons`` string (sorted
+    rule names), so downstream accounting can report drop causes.
+    One plan: the closed-form feature expressions join the
+    repetition aggregate on doc_id — no extra corpus scans beyond
+    ``repetition_signals``'s single explode."""
+    q = quality_features(df, text_col, id_col)
+    r = repetition_signals(df, 2, text_col, id_col)
+    j = q.join(r, [id_col], "left")
+    rules = [
+        ("too_short", F.col("n_tokens") < 40),
+        ("too_long", F.col("n_tokens") > 100000),
+        (
+            "bad_token_len",
+            (F.col("avg_token_len") < 3) | (F.col("avg_token_len") > 10),
+        ),
+        ("low_alpha", F.col("alpha_ratio") < 0.6),
+        ("low_stopword", F.col("en_stopword_ratio") < 0.01),
+        (
+            "repetitive",
+            (F.col("top_ngram_frac") > 0.20)
+            | (F.col("dup_ngram_frac") > 0.60),
+        ),
+    ]
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in rules
+            ]
+        )
+    )
+    return j.select(
+        id_col,
+        "n_tokens",
+        (F.size(reasons) == 0).alias("keep"),
+        F.concat_ws(",", F.array_sort(reasons)).alias("reasons"),
+    )

@@ -149,6 +149,7 @@ HEADLINE = [
     "agg_countmin_tokens",
     "dsir_resample_docs",
     "shard_manifest_docs",
+    "gopher_filter_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

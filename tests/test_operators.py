@@ -1817,3 +1817,35 @@ def test_dsir_predicate_target_equals_dataframe_target(spark):
         map(tuple, DS.importance_weights(d, F.col("doc_id") % 4 == 0).collect())
     )
     assert via_df == via_pred  # one-scan conditional-count fast path
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    stop = "the of and to in is that it for was"  # all glue words
+    good = stop + " " + " ".join(f"word{i}x" for i in range(60))
+    docs = [
+        (0, good),  # passes every rule
+        (1, "the of and"),  # too_short (has stopwords, short)
+        (2, " ".join("supercalifragilistic" for _ in range(50)) + " " + stop),
+        # ^ bad_token_len (avg len > 10) + repetitive
+        (3, " ".join("1234 5678" for _ in range(25)) + " " + stop),
+        # ^ low_alpha + repetitive
+        (4, " ".join(f"zz{chr(97 + i // 26)}{chr(97 + i % 26)}" for i in range(60))),
+        # ^ low_stopword only (all-alpha unique words)
+        (5, (stop + " ") * 20),  # repetitive (dup 2-grams) but stopwords ok
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.gopher_filter(d).collect()}
+    assert out[0].keep and out[0].reasons == ""
+    assert not out[1].keep and "too_short" in out[1].reasons
+    assert "bad_token_len" in out[2].reasons
+    assert "low_alpha" in out[3].reasons
+    assert out[4].reasons == "low_stopword"
+    assert not out[5].keep and "repetitive" in out[5].reasons
+    # reasons are sorted + comma-joined -> deterministic accounting key
+    for r in out.values():
+        parts = r.reasons.split(",") if r.reasons else []
+        assert parts == sorted(parts)

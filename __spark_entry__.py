@@ -1921,6 +1921,67 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def ccnet_buckets_docs(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (operators/lm.py
+    perplexity_buckets): discrete integer order-statistic cutoffs
+    over the quantized perplexity — exact, engine-identical bucket
+    assignment — with per-bucket accounting."""
+    d = _t(spark, sf_dir, "documents")
+    return LM.perplexity_buckets(d, n_buckets=3)
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH ppl AS (
+  SELECT doc_id,
+         CAST(ROUND(perplexity * 1000000.0) AS BIGINT) AS qp
+  FROM ({LM_PERPLEXITY_SQL}) WHERE n_bigrams > 0),
+n AS (SELECT COUNT(*) AS n FROM ppl),
+hist AS (SELECT qp, COUNT(*) AS c FROM ppl GROUP BY qp),
+cum AS (
+  SELECT qp, SUM(c) OVER (ORDER BY qp
+             ROWS UNBOUNDED PRECEDING) AS cumc FROM hist),
+t AS (
+  SELECT MIN(CASE WHEN cumc >= CEIL(1.0 * n / 3) THEN qp END) AS t1,
+         MIN(CASE WHEN cumc >= CEIL(2.0 * n / 3) THEN qp END) AS t2
+  FROM cum, n)
+SELECT CAST(CASE WHEN qp <= t1 THEN 1
+                 WHEN qp <= t2 THEN 2 ELSE 3 END AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       ROUND(SUM(qp) / (COUNT(*) * 1000000.0), 6) AS avg_perplexity,
+       ROUND(MIN(qp) / 1000000.0, 6) AS min_perplexity,
+       ROUND(MAX(qp) / 1000000.0, 6) AS max_perplexity
+FROM ppl, t GROUP BY 1
+"""
+
+
+def hard_negatives_vecs(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negative_topk): per query vector, the top-3 most similar
+    corpus vectors with a different label — broadcast query cross
+    join + higher-order cosine + one window, all JVM."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(e, query_ids=list(range(10)), k=3)
+
+
+HARD_NEG_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, label AS q_label
+      FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, n.vec_id AS n_id,
+         ROUND(list_dot_product(q.q_vec, n.vec)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(n.vec, n.vec))), 6) AS cosine
+  FROM q JOIN v n ON n.label <> q.q_label)
+SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id) AS rank
+  FROM scored) WHERE rank <= 3
+"""
+
+
 def gopher_filter_docs(spark, sf_dir):
     """Gopher-style composite quality filter (operators/text.py
     gopher_filter): the rule-chain curation pass — keep/drop per
@@ -4217,6 +4278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_docs": dsir_resample_docs,
         "shard_manifest_docs": shard_manifest_docs,
         "gopher_filter_docs": gopher_filter_docs,
+        "hard_negatives_vecs": hard_negatives_vecs,
+        "ccnet_buckets_docs": ccnet_buckets_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4345,6 +4408,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample_docs": DSIR_SQL,
         "shard_manifest_docs": SHARD_MANIFEST_SQL,
         "gopher_filter_docs": GOPHER_FILTER_SQL,
+        "hard_negatives_vecs": HARD_NEG_SQL,
+        "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

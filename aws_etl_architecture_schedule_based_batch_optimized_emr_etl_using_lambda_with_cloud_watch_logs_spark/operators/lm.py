@@ -130,3 +130,72 @@ def perplexity_scores(
             F.round(F.exp(-avg), 6).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's final step: split the corpus into perplexity buckets
+    (head = most fluent under the LM, …, tail) and report per-bucket
+    accounting — the frame used to choose which slices to keep or
+    re-weight for training.
+
+    Thresholds are DISCRETE order statistics over the 1e-6-quantized
+    perplexity (bucket b's cutoff = smallest value whose cumulative
+    count ≥ ceil(b·n/k)): pure integer comparisons, so bucketing is
+    exact and identical on every engine — no float-interpolated
+    percentile boundaries to disagree about. Ties share a bucket.
+
+    The cumulative walk runs over the DISTINCT-value histogram, not
+    the corpus (CCNet's own cutoffs come from a sample for the same
+    reason); the corpus-side assignment is a broadcast of k-1
+    integer thresholds. Docs with no bigrams are excluded (their
+    perplexity is undefined)."""
+    from pyspark.sql import Window
+
+    s = perplexity_scores(df, text_col, id_col).filter(
+        F.col("n_bigrams") > 0
+    )
+    s = s.withColumn(
+        "_qp", F.round(F.col("perplexity") * F.lit(_Q)).cast("bigint")
+    )
+    hist = s.groupBy("_qp").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_qp").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).crossJoin(
+        F.broadcast(s.agg(F.count(F.lit(1)).alias("_n")))
+    )
+    # Cutoff for bucket b = smallest value whose cumulative count
+    # reaches ceil(b·n/k); a value's bucket is then the first b
+    # whose cutoff is ≥ it — k-1 scalar thresholds, broadcast.
+    thresholds = [
+        F.min(
+            F.when(
+                F.col("_cum")
+                >= F.ceil(F.lit(b) * F.col("_n") / F.lit(n_buckets)),
+                F.col("_qp"),
+            )
+        ).alias(f"_t{b}")
+        for b in range(1, n_buckets)
+    ]
+    t = cum.agg(*thresholds)
+    bucket = F.lit(n_buckets)
+    for b in range(n_buckets - 1, 0, -1):
+        bucket = F.when(F.col("_qp") <= F.col(f"_t{b}"), F.lit(b)).otherwise(
+            bucket
+        )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("_qp") / (F.count(F.lit(1)) * F.lit(_Q)), 6).alias(
+                "avg_perplexity"
+            ),
+            F.round(F.min("_qp") / F.lit(_Q), 6).alias("min_perplexity"),
+            F.round(F.max("_qp") / F.lit(_Q), 6).alias("max_perplexity"),
+        )
+    )

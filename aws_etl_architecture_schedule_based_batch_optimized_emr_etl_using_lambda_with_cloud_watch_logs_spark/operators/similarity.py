@@ -755,3 +755,55 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the
+    top-k most cosine-similar corpus vectors with a DIFFERENT label
+    — the "closest impostors" used to build contrastive/triplet
+    training pairs and to audit label quality (a too-similar
+    cross-label neighbor is often a mislabel).
+
+    Pure-JVM composition: the ≤|query_ids| query frame is broadcast
+    into a cross join, cosine is a ``zip_with``/``aggregate``
+    higher-order expression over double-cast arrays (bit-matching
+    the SQL oracle's DOUBLE[] math), and the per-query top-k is one
+    window. One corpus scan, shuffle bounded by queries × k after
+    the rank filter; for large query sets swap the scoring scan for
+    ``brute_force_topk``'s Arrow matmul kernel unchanged."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embeddings.select(
+        F.col(id_col).alias("n_id"),
+        dvec.alias("n_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        dvec.alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("n_label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(cosine_col(F.col("q_vec"), F.col("n_vec")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )

@@ -150,6 +150,8 @@ HEADLINE = [
     "dsir_resample_docs",
     "shard_manifest_docs",
     "gopher_filter_docs",
+    "hard_negatives_vecs",
+    "ccnet_buckets_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -432,3 +432,70 @@ def test_lm_perplexity_short_docs_null(spark):
     out = {r.doc_id: r for r in LM.perplexity_scores(d).collect()}
     assert out[1].n_bigrams == 0 and out[1].avg_logp is None
     assert out[2].n_bigrams == 1
+
+
+# ------------------------------------------ perplexity buckets
+
+
+def test_perplexity_buckets_exact_tertiles(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    # 9 docs with 9 distinct repetition profiles -> 3 per bucket;
+    # bucket stats must partition the corpus and order by fluency.
+    rows = [
+        (i, " ".join(f"w{j % (i + 2)}" for j in range(24))) for i in range(9)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = LM.perplexity_buckets(d, n_buckets=3).orderBy("bucket").collect()
+    assert [r.bucket for r in out] == [1, 2, 3]
+    assert sum(r.n_docs for r in out) == 9
+    assert out[0].max_perplexity <= out[1].min_perplexity
+    assert out[1].max_perplexity <= out[2].min_perplexity
+    assert all(r.min_perplexity <= r.avg_perplexity <= r.max_perplexity for r in out)
+
+
+def test_perplexity_buckets_ties_share_bucket(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    # 6 identical docs + 3 distinct ones: the 6 share one quantized
+    # perplexity, so they must land in ONE bucket (never split), and
+    # repartitioning must not change the assignment.
+    rows = [(i, "a b a b a b") for i in range(6)] + [
+        (6, "c d e f g h"),
+        (7, "a a a a a a"),
+        (8, "x y x z x y"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    one = sorted(map(tuple, LM.perplexity_buckets(d.coalesce(1), 3).collect()))
+    many = sorted(map(tuple, LM.perplexity_buckets(d.repartition(5), 3).collect()))
+    assert one == many
+    sizes = {r[0]: r[1] for r in one}
+    assert 6 in sizes.values()  # the tie block stayed together
+
+
+# ------------------------------------------ hard negatives
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    # vec 0's nearest neighbor (vec 1) shares its label -> must be
+    # skipped; the top hard negative is the closest OTHER-label vec.
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.99, 0.14, 0.0], 7),   # same label, most similar
+        (2, [0.9, 0.43, 0.0], 8),    # closest impostor
+        (3, [0.0, 1.0, 0.0], 8),
+        (4, [0.0, 0.0, 1.0], 9),
+    ]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = S.hard_negative_topk(d, query_ids=[0], k=2).collect()
+    assert [r.n_id for r in out] == [2, 3]
+    assert all(r.q_id == 0 for r in out)
+    assert out[0].cosine > out[1].cosine

@@ -889,6 +889,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_hopping_window(spark, sf_dir):
+    """Hopping (sliding) window aggregation: 1-hour windows every
+    30 minutes, so each event lands in 2 overlapping windows —
+    ``F.window(ts, dur, slide)``'s multi-assign semantics, the
+    batch twin of the streaming sliding aggregation. The oracle
+    reproduces the assignment by unnesting each event onto its
+    ⌈dur/slide⌉ covering window starts."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), _dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+HOPPING_SQL = f"""
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes']) AS window_start,
+         event_type, value
+  FROM events)
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       {_sql_dsum('value', 'sum_value')}
+FROM assigned GROUP BY 1, 2
+"""
+
+
 _STREAM_GATE_SEQ = iter(range(1, 1 << 30))
 
 
@@ -4280,6 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter_docs": gopher_filter_docs,
         "hard_negatives_vecs": hard_negatives_vecs,
         "ccnet_buckets_docs": ccnet_buckets_docs,
+        "events_hopping_window": events_hopping_window,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4410,6 +4446,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": GOPHER_FILTER_SQL,
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
+        "events_hopping_window": HOPPING_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -80,6 +80,7 @@ HEADLINE = [
     "topk_orders",
     "json_extract_events",
     "events_tumbling_window",
+    "events_hopping_window",
     "stream_windowed_counts",
     "events_sessionize",
     "events_asof_join",

@@ -1849,3 +1849,23 @@ def test_gopher_filter_rules_fire_individually(spark):
     for r in out.values():
         parts = r.reasons.split(",") if r.reasons else []
         assert parts == sorted(parts)
+
+
+def test_hopping_window_double_assignment(spark):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (datetime.datetime(2024, 1, 1, 10, m), "a", 1.0) for m in (0, 15, 40)
+    ]
+    d = spark.createDataFrame(rows, ["ts", "event_type", "value"])
+    out = (
+        d.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    # every event covered by exactly dur/slide = 2 windows
+    assert sum(r.n for r in out) == 2 * 3
+    starts = sorted(r.w.start.minute for r in out)
+    assert starts == [0, 30, 30, 0][: len(starts)] or len(out) == 3

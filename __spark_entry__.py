@@ -65,6 +65,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     dsir as DS,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    drift as DR,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -1953,6 +1956,41 @@ SELECT doc_id,
        ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6)
          AS dup_ngram_frac
 FROM per_gram GROUP BY doc_id
+"""
+
+
+def drift_tokens_docs(spark, sf_dir):
+    """Corpus drift monitor (operators/drift.py token_divergence):
+    top-20 tokens driving the Jeffreys divergence between the
+    English slice (reference) and the rest (incoming) — quantized
+    nonnegative per-token contributions, exact cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    return DR.token_divergence(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en")
+    )
+
+
+DRIFT_SQL = f"""
+WITH a AS (
+  SELECT token, COUNT(*) AS n_ref FROM (
+    SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    WHERE lang = 'en') WHERE token <> '' GROUP BY token),
+b AS (
+  SELECT token, COUNT(*) AS n_new FROM (
+    SELECT unnest({_SQL_TOKENS}) AS token FROM documents
+    WHERE lang <> 'en') WHERE token <> '' GROUP BY token),
+j AS (
+  SELECT COALESCE(a.token, b.token) AS token,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_new, 0) AS n_new
+  FROM a FULL OUTER JOIN b ON a.token = b.token),
+t AS (SELECT SUM(n_ref) AS tr, SUM(n_new) AS tn, COUNT(*) AS v FROM j)
+SELECT token, CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_new AS BIGINT) AS n_new,
+       CAST(ROUND(((n_ref + 1.0) / (tr + v) - (n_new + 1.0) / (tn + v))
+                  * ln(((n_ref + 1.0) / (tr + v))
+                       / ((n_new + 1.0) / (tn + v)))
+                  * 1000000000000.0) AS BIGINT) AS contrib
+FROM j, t ORDER BY contrib DESC, token LIMIT 20
 """
 
 
@@ -4316,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_vecs": hard_negatives_vecs,
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "events_hopping_window": events_hopping_window,
+        "drift_tokens_docs": drift_tokens_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4447,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
         "events_hopping_window": HOPPING_SQL,
+        "drift_tokens_docs": DRIFT_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -153,6 +153,7 @@ HEADLINE = [
     "gopher_filter_docs",
     "hard_negatives_vecs",
     "ccnet_buckets_docs",
+    "drift_tokens_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -499,3 +499,40 @@ def test_hard_negative_topk_excludes_same_label(spark):
     assert [r.n_id for r in out] == [2, 3]
     assert all(r.q_id == 0 for r in out)
     assert out[0].cosine > out[1].cosine
+
+
+# ------------------------------------------ drift monitor
+
+
+def test_token_divergence_flags_the_shifted_token(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        drift as DR,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(i, "alpha beta gamma spam") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    out = DR.token_divergence(ref, new, top_k=10).collect()
+    # the swapped pair dominates; shared tokens contribute ~0
+    assert {out[0].token, out[1].token} == {"delta", "spam"}
+    assert all(r.contrib >= 0 for r in out)  # Jeffreys terms nonneg
+    shared = {r.token: r.contrib for r in out if r.token in ("alpha", "beta")}
+    assert all(c < out[0].contrib // 100 for c in shared.values())
+
+
+def test_token_divergence_identical_slices_near_zero(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        drift as DR,
+    )
+
+    d = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    out = DR.token_divergence(d, d, top_k=5).collect()
+    assert all(r.contrib == 0 for r in out)  # p == q exactly

@@ -61,6 +61,15 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     sketch as SK,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    drift as DR,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    lm as LM2,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    similarity as S2,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
     get_spark,
 )
@@ -152,6 +161,15 @@ def main() -> None:
             d, F.col("lang") == "en", k=50
         ).count(),
         "shard_manifest": lambda d: PK.shard_manifest(d, 16).count(),
+        "gopher_filter": lambda d: X.gopher_filter(d).count(),
+        "ccnet_buckets": lambda d: LM2.perplexity_buckets(d, 3).count(),
+        "drift_tokens": lambda d: DR.token_divergence(
+            d.filter(F.col("lang") == "en"),
+            d.filter(F.col("lang") != "en"),
+        ).count(),
+        "hard_negatives": lambda e: S2.hard_negative_topk(
+            e, query_ids=list(range(10)), k=3
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -159,6 +177,10 @@ def main() -> None:
         "countmin_hh": (docs, ["doc_id"]),
         "dsir_sample": (docs, ["doc_id"]),
         "shard_manifest": (docs, ["doc_id"]),
+        "gopher_filter": (docs, ["doc_id"]),
+        "ccnet_buckets": (docs, ["doc_id"]),
+        "drift_tokens": (docs, ["doc_id"]),
+        "hard_negatives": (emb, ["vec_id"]),
         "span_dedup": (docs, ["doc_id"]),
         "bloom_semi_join": (docs, ["doc_id"]),
         "bm25_topk": (docs, ["doc_id"]),

@@ -1959,6 +1959,33 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def text_novelty_docs(spark, sf_dir):
+    """N-gram novelty scores (operators/text.py novelty_scores):
+    per-doc fraction of distinct 3-gram shingles unique to the doc
+    corpus-wide — shingle explode → doc-frequency agg → gram-key
+    join back, all JVM."""
+    d = _t(spark, sf_dir, "documents")
+    return X.novelty_scores(d, n=3)
+
+
+NOVELTY_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len({_SQL_TOKENS}) >= 3 THEN
+      list_distinct([array_to_string(({_SQL_TOKENS})[i:i+2], ' ')
+                     for i in range(1, len({_SQL_TOKENS}) - 1)])
+    ELSE [array_to_string({_SQL_TOKENS}, ' ')] END) AS g
+  FROM documents),
+dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(*) FILTER (df = 1) AS BIGINT) AS n_novel,
+       ROUND(CAST(COUNT(*) FILTER (df = 1) AS DOUBLE) / COUNT(*), 6)
+         AS novel_frac
+FROM sh JOIN dfreq USING (g) GROUP BY doc_id
+"""
+
+
 def drift_tokens_docs(spark, sf_dir):
     """Corpus drift monitor (operators/drift.py token_divergence):
     top-20 tokens driving the Jeffreys divergence between the
@@ -4355,6 +4382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets_docs": ccnet_buckets_docs,
         "events_hopping_window": events_hopping_window,
         "drift_tokens_docs": drift_tokens_docs,
+        "text_novelty_docs": text_novelty_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4487,6 +4515,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
+        "text_novelty_docs": NOVELTY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -463,3 +463,41 @@ def gopher_filter(
         (F.size(reasons) == 0).alias("keep"),
         F.concat_ws(",", F.array_sort(reasons)).alias("reasons"),
     )
+
+
+def novelty_scores(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """N-gram novelty: the fraction of a document's distinct
+    n-gram shingles that appear in NO other document. Low novelty
+    marks templated/near-duplicate content the dedup pass should
+    look at; corpus-level mean novelty is a diversity metric
+    tracked across ingestion batches.
+
+    One shingle explode → doc-frequency aggregate (vocab-sized)
+    → join back on the gram key → per-doc conditional count. The
+    doc-frequency frame is the same shape the boilerplate detector
+    builds — at scale the two passes share it."""
+    from .dedup import shingles_col, tokens_col
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(tokens_col(text_col), n)).alias("g"),
+    )
+    dfreq = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        sh.join(dfreq, ["g"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count_if(F.col("df") == 1).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+                "novel_frac"
+            ),
+        )
+    )

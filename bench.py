@@ -154,6 +154,7 @@ HEADLINE = [
     "hard_negatives_vecs",
     "ccnet_buckets_docs",
     "drift_tokens_docs",
+    "text_novelty_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -1869,3 +1869,24 @@ def test_hopping_window_double_assignment(spark):
     assert sum(r.n for r in out) == 2 * 3
     starts = sorted(r.w.start.minute for r in out)
     assert starts == [0, 30, 30, 0][: len(starts)] or len(out) == 3
+
+
+def test_novelty_scores_extremes(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),      # identical to doc 1 -> zero novelty
+            (1, "a b c d e f"),
+            (2, "p q r s t u"),      # fully unique -> novelty 1.0
+            (3, "a b c x y z"),      # shares the 'a b c' shingle only
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in X.novelty_scores(d, n=3).collect()}
+    assert out[0].novel_frac == 0.0 and out[1].novel_frac == 0.0
+    assert out[2].novel_frac == 1.0
+    assert out[3].n_shingles == 4 and out[3].n_novel == 3
+    assert out[3].novel_frac == 0.75

@@ -287,3 +287,18 @@ def stream_ingest_with_catalog(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate a live event stream
+    with a static (or slowly-refreshed) dimension table. The static
+    side needs no watermark and is re-read per micro-batch when it
+    is a file source — which is exactly the slowly-changing-dim
+    refresh semantics a pipeline wants; Spark broadcasts it when
+    small. Stateless: no join buffers, unlike stream-stream."""
+    return stream.join(dim, [key_col], how)

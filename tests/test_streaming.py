@@ -356,3 +356,44 @@ def test_stream_drift_restart_protocol(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_stream_static_enrich_broadcasts_and_matches_batch(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "enrich")
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    events = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "event_type": "view"},
+        {"event_id": 2, "ts": "2024-01-01T10:05:00", "user_id": 2, "event_type": "click"},
+        {"event_id": 3, "ts": "2024-01-01T10:06:00", "user_id": 9, "event_type": "view"},
+    ]
+    _write_json(os.path.join(src, "e1.json"), events)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+
+    batch = spark.read.schema(schema).json(src)
+    expected = {
+        (r.event_id, r.tier)
+        for r in stream_static_enrich(batch, dim).collect()
+    }
+    assert expected == {(1, "gold"), (2, "silver"), (3, None)}
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    assert got == expected  # stateless left enrich: unmatched keys kept

@@ -1959,6 +1959,34 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def decontam_fuzzy_docs(spark, sf_dir):
+    """Fuzzy benchmark decontamination (operators/decontam.py
+    fuzzy_decontam): corpus docs that are NEAR-duplicates of an
+    eval doc (MinHash/LSH + exact Jaccard verify at 0.5 — recall
+    1-(1-j²)^32 ≈ 1 for real leaks), catching paraphrased leaks the
+    exact n-gram pass misses. Output matches the exact cross-side
+    Jaccard oracle."""
+    d = _t(spark, sf_dir, "documents")
+    return DC.fuzzy_decontam(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+    )
+
+
+DECONTAM_FUZZY_SQL = f"""
+WITH sh AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM documents),
+x AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS bench_id,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b
+    ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0)
+SELECT doc_id, bench_id, ROUND(j, 6) AS jaccard
+FROM x WHERE j >= 0.5
+"""
+
+
 def text_novelty_docs(spark, sf_dir):
     """N-gram novelty scores (operators/text.py novelty_scores):
     per-doc fraction of distinct 3-gram shingles unique to the doc
@@ -4383,6 +4411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hopping_window": events_hopping_window,
         "drift_tokens_docs": drift_tokens_docs,
         "text_novelty_docs": text_novelty_docs,
+        "decontam_fuzzy_docs": decontam_fuzzy_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4516,6 +4545,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,
+        "decontam_fuzzy_docs": DECONTAM_FUZZY_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

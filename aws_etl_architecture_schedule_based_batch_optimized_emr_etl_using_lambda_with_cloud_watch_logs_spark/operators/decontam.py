@@ -67,3 +67,72 @@ def ngram_overlap(
             (n_over >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def fuzzy_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    max_bucket_members: int | None = 1024,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus documents that are
+    NEAR-duplicates of an eval document (MinHash/LSH + exact Jaccard
+    verify), catching the paraphrased/reformatted leaks the exact
+    n-gram overlap pass (:func:`ngram_overlap`) misses — the
+    two-stage policy FineWeb/Dolma-style pipelines run.
+
+    Implementation is pure reuse: union the two sides, run the
+    standard banded near-dup pipeline (one Arrow signature pass,
+    uniform-key bucket join, verify only candidates, giant-bucket
+    guard intact), then keep cross-side pairs oriented as
+    ``(doc_id, bench_id, jaccard)``. Ids must be distinct across the
+    two frames (remap one side if not — same contract as the union).
+    At 100 TB the benchmark side is tiny; its signatures could also
+    be persisted once and probed per batch via the incremental band
+    store, unchanged."""
+    from .dedup import minhash_lsh_dedup
+
+    tagged = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionByName(
+        benchmark.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
+    pairs = minhash_lsh_dedup(
+        tagged,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_members=max_bucket_members,
+    )
+    bench_ids = benchmark.select(F.col(id_col).alias("_bid"))
+    # classify sides; keep exactly-one-side-benchmark pairs, oriented
+    a_is_b = pairs.join(
+        F.broadcast(bench_ids), pairs.id_a == F.col("_bid"), "left"
+    ).select(
+        "id_a", "id_b", "jaccard", F.col("_bid").isNotNull().alias("_a_b")
+    )
+    both = a_is_b.join(
+        F.broadcast(bench_ids), a_is_b.id_b == F.col("_bid"), "left"
+    ).select(
+        "id_a", "id_b", "jaccard", "_a_b", F.col("_bid").isNotNull().alias("_b_b")
+    )
+    return (
+        both.filter(F.col("_a_b") != F.col("_b_b"))
+        .select(
+            F.when(F.col("_a_b"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id"),
+            F.when(F.col("_a_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("bench_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

@@ -155,6 +155,7 @@ HEADLINE = [
     "ccnet_buckets_docs",
     "drift_tokens_docs",
     "text_novelty_docs",
+    "decontam_fuzzy_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

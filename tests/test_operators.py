@@ -1890,3 +1890,25 @@ def test_novelty_scores_extremes(spark):
     assert out[2].novel_frac == 1.0
     assert out[3].n_shingles == 4 and out[3].n_novel == 3
     assert out[3].novel_frac == 0.75
+
+
+def test_fuzzy_decontam_orientation_and_near_match(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        decontam as DC,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words here entirely now"),
+         (3, near)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    out = DC.fuzzy_decontam(corpus, bench, threshold=0.5).collect()
+    got = {(r.doc_id, r.bench_id) for r in out}
+    # doc 1 exact leak, doc 3 paraphrased leak; doc 2 clean.
+    assert got == {(1, 100), (3, 100)}
+    by_doc = {r.doc_id: r.jaccard for r in out}
+    assert by_doc[1] == 1.0
+    assert 0.5 <= by_doc[3] < 1.0

@@ -52,23 +52,23 @@ def _features(
     extra: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, bucketable feature string, *extra) stream: unigrams
-    plus space-joined bigrams, one explode each. ``extra`` columns
-    of ``df`` are carried through — the zero-join way to keep
-    per-doc flags attached to the feature rows."""
-    toks = df.select(
+    plus space-joined bigrams, built as ONE concatenated array and
+    ONE explode — a union of two explode branches would scan the
+    corpus twice (each branch is its own FileScan; plan-verified).
+    ``extra`` columns of ``df`` are carried through — the zero-join
+    way to keep per-doc flags attached to the feature rows."""
+    toks = tokens_col(text_col)
+    size = F.size(toks)
+    bi = F.zip_with(
+        F.slice(toks, 1, F.greatest(size - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(size - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return df.select(
         F.col(id_col).alias("doc_id"),
-        tokens_col(text_col).alias("t"),
+        F.explode(F.concat(toks, bi)).alias("f"),
         *extra,
-    )
-    uni = toks.select("doc_id", F.explode("t").alias("f"), *extra)
-    bi = toks.filter(F.size("t") >= 2).select(
-        "doc_id",
-        F.explode(bigrams_col(F.col("t"))).alias("b"),
-        *extra,
-    ).select(
-        "doc_id", F.concat_ws(" ", "b.w1", "b.w2").alias("f"), *extra
-    )
-    return uni.unionByName(bi).filter(F.col("f") != "")
+    ).filter(F.col("f") != "")
 
 
 def bucket_counts(
@@ -104,7 +104,22 @@ def importance_weights(
     ``df`` (target ⊆ corpus, the common "docs that look like X"
     case — both models then build in ONE corpus scan via a
     conditional count, saving a full feature pass)."""
+    qlr_expr = F.round(
+        (
+            F.log(
+                (F.col("ct") + F.lit(1.0))
+                / (F.col("nt") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(1.0))
+                / (F.col("nr") + F.lit(float(n_buckets)))
+            )
+        )
+        * F.lit(_Q)
+    ).cast("bigint")
     if isinstance(target, Column):
+        from pyspark.sql import Window
+
         flagged = _features(
             df.withColumn("_tgt", target), text_col, id_col, extra=("_tgt",)
         )
@@ -118,41 +133,40 @@ def importance_weights(
                 F.count_if(F.col("_tgt")).alias("ct"),
             )
         )
-        rc = counts.select("bucket", F.col("cr").alias("c"))
-        tc = counts.filter(F.col("ct") > 0).select(
-            "bucket", F.col("ct").alias("c")
+        # Totals via an unpartitioned window over the bucket frame
+        # (≤ n_buckets rows — the single-partition window is bounded
+        # by D, not the corpus) so the model builds in ONE corpus
+        # scan: no self-join, no re-aggregated second scan.
+        wall = Window.partitionBy()
+        ratio = (
+            counts.withColumn("nr", F.sum("cr").over(wall))
+            .withColumn("nt", F.sum("ct").over(wall))
+            .select("bucket", qlr_expr.alias("qlr"))
         )
     else:
-        tc = bucket_counts(target, n_buckets, text_col, id_col)
-        rc = bucket_counts(df, n_buckets, text_col, id_col)
-    nt = tc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nt"))
-    nr = rc.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("nr"))
-    # Per-bucket quantized log-ratio table: ≤ n_buckets rows, built
-    # once, broadcast to the feature stream.
-    ratio = (
-        rc.alias("r")
-        .join(tc.alias("t"), ["bucket"], "outer")
-        .crossJoin(F.broadcast(nt))
-        .crossJoin(F.broadcast(nr))
-        .select(
-            "bucket",
-            F.round(
-                (
-                    F.log(
-                        (F.coalesce(F.col("t.c"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("nt") + F.lit(float(n_buckets)))
-                    )
-                    - F.log(
-                        (F.coalesce(F.col("r.c"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("nr") + F.lit(float(n_buckets)))
-                    )
-                )
-                * F.lit(_Q)
-            )
-            .cast("bigint")
-            .alias("qlr"),
+        tc = bucket_counts(target, n_buckets, text_col, id_col).withColumnRenamed(
+            "c", "ct"
         )
-    )
+        rc = bucket_counts(df, n_buckets, text_col, id_col).withColumnRenamed(
+            "c", "cr"
+        )
+        nt = tc.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+        nr = rc.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("nr"))
+        # Per-bucket quantized log-ratio table: ≤ n_buckets rows,
+        # built once, broadcast to the feature stream.
+        ratio = (
+            rc.join(tc, ["bucket"], "outer")
+            .crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                "bucket",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"),
+                "nt",
+                "nr",
+            )
+            .select("bucket", qlr_expr.alias("qlr"))
+        )
     feats = _features(df, text_col, id_col).select(
         "doc_id", feature_bucket(F.col("f"), n_buckets).alias("bucket")
     )

@@ -58,6 +58,10 @@ ARROW_STAGE_OK = {
     # SemDeDup: cell-assignment pandas_udf + cosine pudf (within-cell
     # edges) + exact-pair verification, all Arrow-vectorized
     "semantic_dedup_vecs",
+    # fuzzy decontamination: the banded minhash pipeline on the
+    # corpus∪benchmark union (same Arrow signature pass + pudf
+    # verify as dedup_minhash_pairs, reviewed)
+    "decontam_fuzzy_docs",
 }
 
 

@@ -57,10 +57,17 @@ def token_divergence(
     Jeffreys divergence; the top-k rows are the diagnosis."""
     a = token_counts(ref, text_col).withColumnRenamed("n", "n_ref")
     b = token_counts(new, text_col).withColumnRenamed("n", "n_new")
-    j = a.join(b, ["token"], "outer").select(
-        "token",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    # Persisted: the joined count frame is vocabulary-sized and has
+    # two consumers (the totals aggregate and the contribution
+    # select) — without it each consumer replays both corpus scans.
+    j = (
+        a.join(b, ["token"], "outer")
+        .select(
+            "token",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .persist()
     )
     totals = j.agg(
         F.sum("n_ref").alias("tot_ref"),

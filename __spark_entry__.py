@@ -1959,6 +1959,31 @@ FROM per_gram GROUP BY doc_id
 """
 
 
+def dataset_card_docs(spark, sf_dir):
+    """Dataset-card accounting (operators/text.py dataset_card):
+    per (lang, source) slice — docs, token/char volume, length
+    distribution, mean distinct-token ratio. One map-side-combined
+    aggregate; the per-doc ratio is quantized so the slice mean is
+    partitioning-invariant."""
+    d = _t(spark, sf_dir, "documents")
+    return X.dataset_card(d)
+
+
+DATASET_CARD_SQL = f"""
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS n_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(MIN(len({_SQL_TOKENS})) AS BIGINT) AS min_tokens,
+       quantile_cont(len({_SQL_TOKENS}), 0.5) AS median_tokens,
+       CAST(MAX(len({_SQL_TOKENS})) AS BIGINT) AS max_tokens,
+       (SUM(CAST(len(list_distinct({_SQL_TOKENS})) AS BIGINT)
+             * 1000000 // len({_SQL_TOKENS}))
+        // COUNT(*)) / 1000000.0 AS avg_distinct_ratio
+FROM documents GROUP BY 1, 2
+"""
+
+
 def decontam_fuzzy_docs(spark, sf_dir):
     """Fuzzy benchmark decontamination (operators/decontam.py
     fuzzy_decontam): corpus docs that are NEAR-duplicates of an
@@ -4412,6 +4437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_tokens_docs": drift_tokens_docs,
         "text_novelty_docs": text_novelty_docs,
         "decontam_fuzzy_docs": decontam_fuzzy_docs,
+        "dataset_card_docs": dataset_card_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4546,6 +4572,7 @@ def oracle_sql() -> dict[str, str]:
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,
         "decontam_fuzzy_docs": DECONTAM_FUZZY_SQL,
+        "dataset_card_docs": DATASET_CARD_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -501,3 +501,55 @@ def novelty_scores(
             ),
         )
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice dataset-card statistics — the accounting table a
+    corpus release ships (docs, token/char volume, length
+    distribution, dedup-relevant distinct ratio) broken out by
+    slice (lang × source by default). One map-side-combined
+    aggregate; the median is an exact interpolated percentile,
+    fine per-slice (slice count ≪ corpus) — swap for
+    ``approx_percentile`` if slices ever have billions of rows."""
+    group_cols = group_cols or ["lang", "source"]
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    return (
+        df.select(
+            *group_cols,
+            F.length(text_col).alias("_nc"),
+            n_tokens.alias("_nt"),
+            # per-doc ratio floored to a 1e-6 integer via pure
+            # INTEGER division (`div`) — float rounding hits
+            # engine-specific half-way behavior — so the slice mean
+            # is an exact-integer sum: partitioning-invariant and
+            # oracle-identical
+            (
+                F.size(F.array_distinct(toks)).cast("bigint")
+                * F.lit(1_000_000)
+            ).alias("_num"),
+            n_tokens.cast("bigint").alias("_den"),
+        )
+        .withColumn("_qdr", F.expr("_num div _den"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("n_tokens"),
+            F.sum("_nc").cast("bigint").alias("n_chars"),
+            F.min("_nt").cast("bigint").alias("min_tokens"),
+            F.expr("percentile(_nt, 0.5)").alias("median_tokens"),
+            F.max("_nt").cast("bigint").alias("max_tokens"),
+            # mean via integer division as well: a decimal ROUND of
+            # sum/n can land exactly on a 1e-6 half-way point, where
+            # engines' tie-breaking differs (observed on the fr ×
+            # src19 slice). floor-divide then scale — exact ints all
+            # the way, one deterministic double at the end.
+            (
+                F.expr("sum(_qdr) div count(1)") / F.lit(1e6)
+            ).alias("avg_distinct_ratio"),
+        )
+    )

@@ -156,6 +156,7 @@ HEADLINE = [
     "drift_tokens_docs",
     "text_novelty_docs",
     "decontam_fuzzy_docs",
+    "dataset_card_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -1912,3 +1912,27 @@ def test_fuzzy_decontam_orientation_and_near_match(spark):
     by_doc = {r.doc_id: r.jaccard for r in out}
     assert by_doc[1] == 1.0
     assert 0.5 <= by_doc[3] < 1.0
+
+
+def test_dataset_card_slice_accounting(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "en", "s1", "a b c"),
+            (1, "en", "s1", "a a a a"),
+            (2, "fr", "s2", "x y"),
+        ],
+        ["doc_id", "lang", "source", "text"],
+    )
+    out = {(r.lang, r.source): r for r in X.dataset_card(d).collect()}
+    en = out[("en", "s1")]
+    assert en.n_docs == 2 and en.n_tokens == 7
+    assert en.min_tokens == 3 and en.max_tokens == 4
+    assert en.median_tokens == 3.5
+    # doc0 ratio 1.0, doc1 ratio 0.25 -> floor-mean 0.625
+    assert en.avg_distinct_ratio == 0.625
+    fr = out[("fr", "s2")]
+    assert fr.n_docs == 1 and fr.avg_distinct_ratio == 1.0

@@ -109,18 +109,29 @@ def perplexity_scores(
     vocab = toks.select(F.explode("t").alias("w")).agg(
         F.countDistinct("w").alias("vocab")
     )
+    return _score_bigrams(toks, bi, c2, c1, vocab)
+
+
+def _score_bigrams(toks, bi, c2, c1, vocab) -> DataFrame:
+    """Shared scoring tail: join the doc-side bigram stream against
+    the model frames and reduce to per-doc means. LEFT joins with
+    zero-count fallbacks make it OOV-safe — a bigram (or prefix
+    word) the model never saw scores at the add-1 floor
+    ln(1/(c1+V)) instead of being dropped, which is what scoring a
+    NEW batch under a stored model requires; for self-scoring every
+    bigram is present and the fallbacks never fire."""
     # Quantized per-bigram log-prob: integer-exact numerator so the
     # per-doc mean is partitioning-invariant and oracle-identical.
     qlp = F.round(
         F.log(
-            (F.col("c2") + F.lit(1.0))
-            / (F.col("c1") + F.lit(1.0) * F.col("vocab"))
+            (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+            / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0) * F.col("vocab"))
         )
         * F.lit(_Q)
     ).cast("bigint")
     sc = (
-        bi.join(c2, ["w1", "w2"])
-        .join(c1, ["w1"])
+        bi.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
@@ -225,3 +236,91 @@ def perplexity_buckets(
             F.round(F.max("_qp") / F.lit(_Q), 6).alias("max_perplexity"),
         )
     )
+
+
+# ------------------------------------------------------ model store
+
+
+def save_bigram_model(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Persist the LM as two count datasets — ``<path>/c2`` (bigram
+    counts) and ``<path>/uni`` (unigram counts, whose row count is
+    the vocabulary) — via Spark's filesystem layer, so the store
+    works on HDFS/S3 like the LSH index. Both frames merge by
+    addition: see :func:`update_bigram_model`."""
+    toks = df.select(tokens_col(text_col).alias("t"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    c2.write.mode("overwrite").parquet(f"{path}/c2")
+    uni.write.mode("overwrite").parquet(f"{path}/uni")
+
+
+def update_bigram_model(
+    df: DataFrame, path: str, text_col: str = "text"
+) -> None:
+    """Fold a NEW batch into a stored model: counts add, vocabulary
+    unions — training never replays old batches (same incremental
+    contract as the dedup band store). Reads the old counts
+    (model-sized), unions with the batch's counts, re-aggregates,
+    overwrites."""
+    spark = df.sparkSession
+    old_c2 = spark.read.parquet(f"{path}/c2")
+    old_uni = spark.read.parquet(f"{path}/uni")
+    toks = df.select(tokens_col(text_col).alias("t"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("b.w1", "b.w2")
+    new_c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    new_uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged_c2 = (
+        old_c2.unionByName(new_c2)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c2").alias("c2"))
+        .localCheckpoint()  # break lineage from the files being overwritten
+    )
+    merged_uni = (
+        old_uni.unionByName(new_uni)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+        .localCheckpoint()
+    )
+    merged_c2.write.mode("overwrite").parquet(f"{path}/c2")
+    merged_uni.write.mode("overwrite").parquet(f"{path}/uni")
+
+
+def perplexity_with_model(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a batch under a STORED model — no training pass over
+    anything but the batch itself. OOV bigrams score at the add-1
+    floor (left-join fallbacks in the shared scoring tail). Scoring
+    the training corpus under its own stored model reproduces
+    :func:`perplexity_scores` bit-for-bit (test-pinned)."""
+    spark = df.sparkSession
+    c2 = spark.read.parquet(f"{path}/c2")
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = spark.read.parquet(f"{path}/uni").agg(
+        F.count(F.lit(1)).alias("vocab")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id", F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("doc_id", "b.w1", "b.w2")
+    return _score_bigrams(toks, bi, c2, c1, vocab)

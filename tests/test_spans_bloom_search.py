@@ -536,3 +536,65 @@ def test_token_divergence_identical_slices_near_zero(spark):
     )
     out = DR.token_divergence(d, d, top_k=5).collect()
     assert all(r.contrib == 0 for r in out)  # p == q exactly
+
+
+# ------------------------------------------ lm model store
+
+
+def test_lm_stored_model_reproduces_self_scores(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i + j) % 7}" for j in range(20))) for i in range(15)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    path = str(tmp_path / "lm_model")
+    LM.save_bigram_model(d, path)
+    stored = sorted(map(tuple, LM.perplexity_with_model(d, path).collect()))
+    live = sorted(map(tuple, LM.perplexity_scores(d).collect()))
+    assert stored == live  # stored-model scoring == in-plan training
+
+
+def test_lm_model_oov_scores_at_floor(spark, tmp_path):
+    import math
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    train = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    path = str(tmp_path / "lm_oov")
+    LM.save_bigram_model(train, path)
+    # 'z q' was never seen: both bigram and prefix unseen -> add-1
+    # floor ln(1/(0 + V)) with V=2
+    new = spark.createDataFrame([(9, "z q")], ["doc_id", "text"])
+    out = LM.perplexity_with_model(new, path).collect()[0]
+    q = round(math.log(1.0 / 2.0) * 1e6) / 1e6
+    assert out.n_bigrams == 1
+    assert out.avg_logp == pytest.approx(q, abs=2e-6)
+
+
+def test_lm_update_model_equals_full_retrain(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 2 + j) % 9}" for j in range(15)))
+        for i in range(20)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    b1, b2 = d.filter("doc_id < 10"), d.filter("doc_id >= 10")
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    LM.save_bigram_model(b1, inc)
+    LM.update_bigram_model(b2, inc)
+    LM.save_bigram_model(d, full)
+    probe = spark.createDataFrame(
+        [(99, "w0 w1 w2 w3 zz w5")], ["doc_id", "text"]
+    )
+    a = sorted(map(tuple, LM.perplexity_with_model(probe, inc).collect()))
+    b = sorted(map(tuple, LM.perplexity_with_model(probe, full).collect()))
+    assert a == b  # incremental fold-in == one-shot training

@@ -3885,6 +3885,47 @@ FROM reach GROUP BY src
 """
 
 
+def dedup_best_quality_docs(spark, sf_dir):
+    """Quality-aware duplicate-cluster representative selection:
+    instead of keeping the arbitrary min-id member, keep each
+    cluster's LONGEST document (n_chars, doc_id asc tiebreak) — the
+    keep-the-best-copy policy real curation pipelines use. Cluster
+    assignment reuses the shared connected-components output; the
+    argmax is one ``max_by`` aggregate over the (tiny) clustered
+    subset joined with its quality feature."""
+    clusters = D.connected_components(
+        _minhash_pairs(spark, sf_dir), "id_a", "id_b"
+    )
+    d = _t(spark, sf_dir, "documents")
+    q = d.select("doc_id", F.length("text").alias("_nc"))
+    return (
+        clusters.join(q, ["doc_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr(
+                "max_by(doc_id, named_struct('nc', _nc, 'id', -doc_id))"
+            ).alias("keep_doc_id"),
+            F.max("_nc").cast("bigint").alias("keep_n_chars"),
+        )
+    )
+
+
+DEDUP_BEST_SQL = f"""
+WITH cl AS ({DEDUP_CLUSTER_SQL}),
+j AS (
+  SELECT cl.doc_id, cl.cluster_id, LENGTH(d.text) AS nc
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+SELECT cluster_id, COUNT(*) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+       CAST(MAX(nc) AS BIGINT) AS keep_n_chars
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY nc DESC, doc_id) AS rn
+      FROM j)
+GROUP BY cluster_id
+"""
+
+
 # ------------------------------------------------- widening batch 4
 
 
@@ -4438,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty_docs": text_novelty_docs,
         "decontam_fuzzy_docs": decontam_fuzzy_docs,
         "dataset_card_docs": dataset_card_docs,
+        "dedup_best_quality_docs": dedup_best_quality_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4573,6 +4615,7 @@ def oracle_sql() -> dict[str, str]:
         "text_novelty_docs": NOVELTY_SQL,
         "decontam_fuzzy_docs": DECONTAM_FUZZY_SQL,
         "dataset_card_docs": DATASET_CARD_SQL,
+        "dedup_best_quality_docs": DEDUP_BEST_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -157,6 +157,7 @@ HEADLINE = [
     "text_novelty_docs",
     "decontam_fuzzy_docs",
     "dataset_card_docs",
+    "dedup_best_quality_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

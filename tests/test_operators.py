@@ -1936,3 +1936,30 @@ def test_dataset_card_slice_accounting(spark):
     assert en.avg_distinct_ratio == 0.625
     fr = out[("fr", "s2")]
     assert fr.n_docs == 1 and fr.avg_distinct_ratio == 1.0
+
+
+def test_best_quality_representative_beats_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as D,
+    )
+
+    # cluster {1,2,3}: doc 3 is longest -> keep 3, not min-id 1
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d e"), (9, "solo")],
+        ["doc_id", "text"],
+    )
+    clusters = D.connected_components(pairs, "id_a", "id_b")
+    out = (
+        clusters.join(docs.select("doc_id", F.length("text").alias("_nc")), ["doc_id"])
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(doc_id, named_struct('nc', _nc, 'id', -doc_id))").alias("keep")
+        )
+        .collect()
+    )
+    assert {(r.cluster_id, r.keep) for r in out} == {(1, 3)}

@@ -225,6 +225,14 @@ def main() -> None:
             e.sparkSession, path, e, query_ids=list(range(10)), k=5
         ).count()
 
+    def lm_model_probe(d, tag: str):
+        """Score a 10% batch under a STORED model; training paid
+        once at save. Ratio tracks the batch-side scan only."""
+        path = f"{work}/lm_{tag}"
+        LM.save_bigram_model(d.filter(F.col("doc_id") % 10 != 0), path)
+        batch = d.filter(F.col("doc_id") % 10 == 0).localCheckpoint()
+        return lambda: LM.perplexity_with_model(batch, path).count()
+
     def embed_cluster(e):
         return D.connected_components(
             S.cosine_near_dup_pairs(e, threshold=0.9)
@@ -254,6 +262,7 @@ def main() -> None:
     stateful = {
         "incremental_dedup_batch": (docs, ["doc_id"], incremental_batch),
         "lsh_index_probe": (emb, ["vec_id"], index_probe),
+        "lm_stored_model_score": (docs, ["doc_id"], lm_model_probe),
     }
     for name, (base, id_cols, build) in stateful.items():
         one = scaled(base, 1, id_cols).localCheckpoint(eager=True)

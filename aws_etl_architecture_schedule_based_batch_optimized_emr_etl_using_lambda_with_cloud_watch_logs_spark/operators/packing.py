@@ -182,18 +182,23 @@ def write_training_shards(
     n_shards: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Export the corpus as ``n_shards`` hive directories
-    (``shard=K/``) of parquet plus a ``_manifest`` dataset, the
-    layout training jobs consume shard-by-shard. One shuffle
-    (repartition on the shard key) so each shard's rows land
-    together; at 100 TB raise parallelism by writing each shard
-    from several tasks — correctness only depends on the
-    deterministic shard column, not file counts."""
+    (``shard=K/``) plus a ``_manifest`` dataset, the layout
+    training jobs consume shard-by-shard. ``fmt`` is "parquet"
+    (default) or "json" — newline-delimited JSON, the interchange
+    format tokenizer/training stacks outside the Spark ecosystem
+    read; optionally add ``.option("compression", ...)`` semantics
+    by recompacting downstream. One shuffle (repartition on the
+    shard key) so each shard's rows land together; at 100 TB raise
+    parallelism by writing each shard from several tasks —
+    correctness only depends on the deterministic shard column, not
+    file counts."""
     sharded = df.withColumn("shard", shard_column(id_col, n_shards))
     sharded.repartition(n_shards, "shard").write.mode(
         "overwrite"
-    ).partitionBy("shard").parquet(path)
+    ).partitionBy("shard").format(fmt).save(path)
     manifest = shard_manifest(df, n_shards, id_col, text_col)
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest"

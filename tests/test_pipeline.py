@@ -417,3 +417,25 @@ def test_write_training_shards_layout_and_manifest(spark, tmp_path):
     assert {r.shard: (r.n_docs, r.n_tokens) for r in stored.collect()} == m1
     P_pack.write_training_shards(d, path, n_shards=8)  # idempotent overwrite
     assert spark.read.parquet(path).count() == 60
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    import glob
+    import json as _json
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as P_pack,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "jsonl_shards")
+    P_pack.write_training_shards(d, path, n_shards=4, fmt="json")
+    files = glob.glob(f"{path}/shard=*/part-*.json")
+    assert files  # hive layout of newline-delimited JSON
+    with open(files[0]) as fh:
+        rec = _json.loads(fh.readline())
+    assert set(rec) == {"doc_id", "text"}
+    back = spark.read.json(f"{path}/shard=*/")
+    assert back.count() == 20

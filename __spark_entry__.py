@@ -2417,6 +2417,28 @@ FROM documents GROUP BY 1
 """
 
 
+def hll_incremental_orders(spark, sf_dir):
+    """Mergeable HLL distinct-count lifecycle (operators/sketch.py
+    hll_incremental_distinct): per-batch sketches union into the
+    corpus estimate without revisiting raw data; the gate pins
+    union ≈ one-shot (2% — DataSketches unions retarget register
+    format, so not bit-exact) and a 5% error bound against the
+    exact per-priority distinct customer count."""
+    o = _t(spark, sf_dir, "orders")
+    return SK.hll_incremental_distinct(
+        o, "o_orderpriority", "o_custkey", F.col("o_orderkey") % 4
+    )
+
+
+HLL_INCREMENTAL_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS exact_distinct,
+       TRUE AS union_within_2pct,
+       TRUE AS within_5pct
+FROM orders GROUP BY 1
+"""
+
+
 def dsir_resample_docs(spark, sf_dir):
     """DSIR importance resampling (operators/dsir.py, Xie et al.
     2023): select 50 docs whose hashed-ngram distribution looks
@@ -4480,6 +4502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy_docs": decontam_fuzzy_docs,
         "dataset_card_docs": dataset_card_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
+        "hll_incremental_orders": hll_incremental_orders,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4616,6 +4639,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_fuzzy_docs": DECONTAM_FUZZY_SQL,
         "dataset_card_docs": DATASET_CARD_SQL,
         "dedup_best_quality_docs": DEDUP_BEST_SQL,
+        "hll_incremental_orders": HLL_INCREMENTAL_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -158,6 +158,7 @@ HEADLINE = [
     "decontam_fuzzy_docs",
     "dataset_card_docs",
     "dedup_best_quality_docs",
+    "hll_incremental_orders",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

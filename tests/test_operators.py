@@ -1963,3 +1963,23 @@ def test_best_quality_representative_beats_min_id(spark):
         .collect()
     )
     assert {(r.cluster_id, r.keep) for r in out} == {(1, 3)}
+
+
+def test_hll_incremental_distinct_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    d = spark.createDataFrame(
+        [(i % 2, i % 97, i) for i in range(2000)], ["g", "k", "seq"]
+    )
+    out = SK.hll_incremental_distinct(
+        d, "g", "k", F.col("seq") % 5
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.exact_distinct == 97
+        assert r.union_within_2pct  # batch-union ~ one-shot
+        assert r.within_5pct  # estimate near exact

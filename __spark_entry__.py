@@ -68,6 +68,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     drift as DR,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    projection as PJ,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -2417,6 +2420,34 @@ FROM documents GROUP BY 1
 """
 
 
+def rp_project_vecs(spark, sf_dir):
+    """Johnson-Lindenstrauss sign projection 64 → 16 dims
+    (operators/projection.py rp_project): the ±1 matrix regenerates
+    from md5(k:j) on any engine, components are exact integer sums
+    of quantized terms — one scan, zero shuffle, no stored matrix."""
+    e = _t(spark, sf_dir, "embeddings")
+    return PJ.rp_project(e, d_in=64, d_out=16)
+
+
+def _rp_sql() -> str:
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.projection import (
+        sign_matrix,
+    )
+
+    cols = []
+    for k, signs in enumerate(sign_matrix(64, 16)):
+        arr = "[" + ", ".join(str(s) for s in signs) + "]"
+        cols.append(
+            f"CAST(list_sum([CAST(ROUND(CAST(embedding[j] AS DOUBLE)"
+            f" * 1000000.0) AS BIGINT) * ({arr}[j])"
+            f" for j in range(1, 65)]) AS BIGINT) AS p{k}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+RP_PROJECT_SQL = _rp_sql()
+
+
 def hll_incremental_orders(spark, sf_dir):
     """Mergeable HLL distinct-count lifecycle (operators/sketch.py
     hll_incremental_distinct): per-batch sketches union into the
@@ -4503,6 +4534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_card_docs": dataset_card_docs,
         "dedup_best_quality_docs": dedup_best_quality_docs,
         "hll_incremental_orders": hll_incremental_orders,
+        "rp_project_vecs": rp_project_vecs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4640,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_card_docs": DATASET_CARD_SQL,
         "dedup_best_quality_docs": DEDUP_BEST_SQL,
         "hll_incremental_orders": HLL_INCREMENTAL_SQL,
+        "rp_project_vecs": RP_PROJECT_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -159,6 +159,7 @@ HEADLINE = [
     "dataset_card_docs",
     "dedup_best_quality_docs",
     "hll_incremental_orders",
+    "rp_project_vecs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -598,3 +598,42 @@ def test_lm_update_model_equals_full_retrain(spark, tmp_path):
     a = sorted(map(tuple, LM.perplexity_with_model(probe, inc).collect()))
     b = sorted(map(tuple, LM.perplexity_with_model(probe, full).collect()))
     assert a == b  # incremental fold-in == one-shot training
+
+
+# ------------------------------------------ random projection
+
+
+def test_rp_project_preserves_relative_distances(spark):
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.randn(64)).tolist()),   # near doc 0
+        (2, rng.randn(64).tolist()),                   # far from doc 0
+    ]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: np.array(r[1:]) for r in PJ.rp_project(d, 64, 16).collect()}
+    near = np.linalg.norm(out[0] - out[1])
+    far = np.linalg.norm(out[0] - out[2])
+    assert near < far / 3  # JL keeps the near pair near
+
+
+def test_rp_project_deterministic_and_partition_invariant(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 13) / 13 for j in range(64)]) for i in range(20)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, PJ.rp_project(d.coalesce(1), 64, 8).collect()))
+    b = sorted(map(tuple, PJ.rp_project(d.repartition(6), 64, 8).collect()))
+    assert a == b  # integer sums: exact under any partitioning
+    # matrix regenerates identically from (j, k) alone
+    assert PJ.sign_matrix(64, 8) == PJ.sign_matrix(64, 8)
+    assert all(s in (-1, 1) for row in PJ.sign_matrix(8, 4) for s in row)

@@ -2420,6 +2420,36 @@ FROM documents GROUP BY 1
 """
 
 
+def tfidf_keywords_docs(spark, sf_dir):
+    """Per-doc TF-IDF keyword extraction (operators/search.py
+    tfidf_keywords): top-5 terms by ln-smoothed TF-IDF, reusing the
+    BM25 index frames; scores quantized before ranking so the
+    selected keywords are engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.tfidf_keywords(d, topk=5)
+
+
+TFIDF_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND((tf.tf / dl.dl)
+               * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN dfreq ON tf.term = dfreq.term, n)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def rp_project_vecs(spark, sf_dir):
     """Johnson-Lindenstrauss sign projection 64 → 16 dims
     (operators/projection.py rp_project): the ±1 matrix regenerates
@@ -4535,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_best_quality_docs": dedup_best_quality_docs,
         "hll_incremental_orders": hll_incremental_orders,
         "rp_project_vecs": rp_project_vecs,
+        "tfidf_keywords_docs": tfidf_keywords_docs,
         "stream_windowed_counts": stream_windowed_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
@@ -4673,6 +4704,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_best_quality_docs": DEDUP_BEST_SQL,
         "hll_incremental_orders": HLL_INCREMENTAL_SQL,
         "rp_project_vecs": RP_PROJECT_SQL,
+        "tfidf_keywords_docs": TFIDF_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

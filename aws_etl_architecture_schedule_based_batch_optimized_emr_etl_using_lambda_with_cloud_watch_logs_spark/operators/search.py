@@ -114,3 +114,45 @@ def bm25_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", id_col, "score")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    topk: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-k terms by TF-IDF
+    (ln-smoothed idf = ln((1+N)/(1+df)) + 1, sklearn's convention)
+    — the tagging pass that labels corpus documents for routing and
+    mixing reports. Reuses the BM25 index frames: one tf aggregate,
+    one vocabulary-sized df aggregate joined back on the term key,
+    one per-doc window. Scores are quantized to 1e-6 BEFORE ranking
+    so the (score, term) order — and therefore the selected
+    keywords — is engine-identical."""
+    tf, meta = term_stats(docs, id_col, text_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = F.round(
+        (F.col("tf") / F.col("dl"))
+        * (
+            F.log(
+                (F.lit(1.0) + F.col("n_docs"))
+                / (F.lit(1.0) + F.col("df"))
+            )
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, ["term"])
+        .crossJoin(F.broadcast(meta.select("n_docs")))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            id_col, F.col("rank").cast("int").alias("rank"), "term", "score"
+        )
+    )

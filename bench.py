@@ -160,6 +160,7 @@ HEADLINE = [
     "dedup_best_quality_docs",
     "hll_incremental_orders",
     "rp_project_vecs",
+    "tfidf_keywords_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -637,3 +637,18 @@ def test_rp_project_deterministic_and_partition_invariant(spark):
     # matrix regenerates identically from (j, k) alone
     assert PJ.sign_matrix(64, 8) == PJ.sign_matrix(64, 8)
     assert all(s in (-1, 1) for row in PJ.sign_matrix(8, 4) for s in row)
+
+
+def test_tfidf_keywords_rare_term_wins(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        search as SR,
+    )
+
+    # 'zebra' appears only in doc 0; common glue appears everywhere.
+    docs = [(0, "zebra zebra the and of")] + [
+        (i, "the and of in is") for i in range(1, 6)
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = [r for r in SR.tfidf_keywords(d, topk=2).collect() if r.doc_id == 0]
+    assert out[0].rank == 1 and out[0].term == "zebra"
+    assert out[0].score > out[1].score

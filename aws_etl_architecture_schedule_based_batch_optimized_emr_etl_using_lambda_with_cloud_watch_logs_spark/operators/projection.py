@@ -53,22 +53,41 @@ def rp_project(
     """Project ``vec_col`` (length ``d_in``) to ``d_out`` quantized
     components ``p0..p{d_out-1}`` (exact integer sums of
     ±quantized-component terms; divide by 1e6·√d_out for the
-    JL-scaled float form). One narrow select — the projected frame
-    is what downstream LSH/k-means/brute-force consume."""
+    JL-scaled float form).
+
+    The matrix is a broadcast (j, k, s) DataFrame — d_in·d_out tiny
+    rows — and the matmul is posexplode → broadcast join →
+    map-side-combined sum → pivot. The column-expression
+    formulation (d_out ``zip_with``+``aggregate`` folds over
+    literal sign arrays) produces a plan so large that per-call
+    analysis/codegen dominated: ~2 s of driver time for 500 rows at
+    d_out=32, vs ~0.2 s for this data-side form. Row work is the
+    same O(d_in·d_out) either way; the data-side form also
+    parallelizes the reduction across executors."""
+    spark = df.sparkSession
+    mat = spark.createDataFrame(
+        [
+            (j, k, s)
+            for k, col_signs in enumerate(sign_matrix(d_in, d_out))
+            for j, s in enumerate(col_signs)
+        ],
+        "j int, k int, s long",
+    )
     vec = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast(
             "bigint"
         ),
     )
-    cols = []
-    for k, signs in enumerate(sign_matrix(d_in, d_out)):
-        s_arr = F.array(*[F.lit(s) for s in signs])
-        cols.append(
-            F.aggregate(
-                F.zip_with(vec, s_arr, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias(f"p{k}")
-        )
-    return df.select(F.col(id_col), *cols)
+    terms = df.select(
+        F.col(id_col), F.posexplode(vec).alias("j", "v")
+    ).join(F.broadcast(mat), ["j"])
+    wide = (
+        terms.groupBy(id_col)
+        .pivot("k", list(range(d_out)))
+        .agg(F.sum(F.col("v") * F.col("s")))
+    )
+    return wide.select(
+        F.col(id_col),
+        *[F.col(str(k)).alias(f"p{k}") for k in range(d_out)],
+    )

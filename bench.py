@@ -161,6 +161,7 @@ HEADLINE = [
     "hll_incremental_orders",
     "rp_project_vecs",
     "tfidf_keywords_docs",
+    "sim_topk_rp",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

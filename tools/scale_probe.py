@@ -65,6 +65,12 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     drift as DR,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    decontam as DC2,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    projection as PJ,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     lm as LM2,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -170,6 +176,18 @@ def main() -> None:
         "hard_negatives": lambda e: S2.hard_negative_topk(
             e, query_ids=list(range(10)), k=3
         ).count(),
+        "text_novelty": lambda d: X.novelty_scores(d).count(),
+        "dataset_card": lambda d: X.dataset_card(d).count(),
+        "tfidf_keywords": lambda d: SR.tfidf_keywords(d, topk=5).count(),
+        "fuzzy_decontam": lambda d: DC2.fuzzy_decontam(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            threshold=0.5,
+        ).count(),
+        "rp_project": lambda e: PJ.rp_project(e, 64, 16).count(),
+        "hll_incremental": lambda d: SK.hll_incremental_distinct(
+            d, "lang", "source", F.col("doc_id") % 4
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -181,6 +199,12 @@ def main() -> None:
         "ccnet_buckets": (docs, ["doc_id"]),
         "drift_tokens": (docs, ["doc_id"]),
         "hard_negatives": (emb, ["vec_id"]),
+        "text_novelty": (docs, ["doc_id"]),
+        "dataset_card": (docs, ["doc_id"]),
+        "tfidf_keywords": (docs, ["doc_id"]),
+        "fuzzy_decontam": (docs, ["doc_id"]),
+        "rp_project": (emb, ["vec_id"]),
+        "hll_incremental": (docs, ["doc_id"]),
         "span_dedup": (docs, ["doc_id"]),
         "bloom_semi_join": (docs, ["doc_id"]),
         "bm25_topk": (docs, ["doc_id"]),

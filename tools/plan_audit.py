@@ -45,6 +45,10 @@ ARROW_STAGE_OK = {
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_bruteforce",
+    # project-shortlist-rerank: the projection/shortlist/rerank are
+    # pure JVM; the Arrow stage is the shared exact-top-k truth side
+    # of the recall gate (same as lsh/ivf)
+    "sim_topk_rp",
     "sim_neardup_exact",
     "embed_label_stats",
     "embed_label_spectrum",

@@ -983,6 +983,59 @@ FROM (
 """
 
 
+def stream_dedup_counts(spark, sf_dir):
+    """Second driver-verified streaming gate (K family): streaming
+    exact dedup with bounded state
+    (streaming/ingest.py dedup_within_watermark,
+    dropDuplicatesWithinWatermark) drained through an AvailableNow
+    memory sink, compared against the batch distinct twin. In a
+    single AvailableNow pass every row is in-horizon, so streaming
+    dedup ≡ batch distinct exactly; DuckDB recomputes the per-type
+    distinct counts and pins the match flag."""
+    batch = _events(spark, sf_dir)
+    raw_schema = _t(spark, sf_dir, "events").schema
+    stream = _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    keys = ["user_id", "event_type", "ts"]
+    name = f"stream_dd_gate_{next(_STREAM_GATE_SEQ)}"
+    streamed = SI.run_to_memory(
+        SI.dedup_within_watermark(stream, keys=keys), name, output_mode="append"
+    )
+    s = streamed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    b = (
+        batch.dropDuplicates(keys)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    joined = s.join(b, ["event_type"], "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n_b").cast("bigint").alias("n_distinct_rows"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("n_s").eqNullSafe(F.col("n_b")), 1
+                ).otherwise(0)
+            )
+            == 1,
+            F.lit(True),
+        ).alias("matches_batch_twin"),
+    )
+
+
+STREAM_DD_SQL = """
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_rows,
+       TRUE AS matches_batch_twin
+FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap, gaps-and-islands via
     lag + cumulative flag. Exact µs arithmetic on both sides."""
@@ -4628,6 +4681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "sim_topk_rp": sim_topk_rp,
         "stream_windowed_counts": stream_windowed_counts,
+        "stream_dedup_counts": stream_dedup_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
@@ -4829,6 +4883,7 @@ def oracle_sql() -> dict[str, str]:
         "json_extract_events": JSON_SQL,
         "events_tumbling_window": TUMBLING_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
+        "stream_dedup_counts": STREAM_DD_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_JOIN_SQL,

@@ -82,6 +82,7 @@ HEADLINE = [
     "events_tumbling_window",
     "events_hopping_window",
     "stream_windowed_counts",
+    "stream_dedup_counts",
     "events_sessionize",
     "events_asof_join",
     "events_range_join",

@@ -983,6 +983,19 @@ FROM (
 """
 
 
+_TOKEN_BUDGETS = {"en": 5000, "fr": 2000, "zh": 1500}
+
+
+def token_budget_mix_docs(spark, sf_dir):
+    """Token-budget corpus mixing (operators/mixing.py
+    token_budget_sample): take docs per language in deterministic
+    hash-rank order until the running token total fills each
+    budget (overshoot ≤ one doc — the unbiased-prefix convention).
+    Training mixes are specified in tokens, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    return MX.token_budget_sample(d, _TOKEN_BUDGETS)
+
+
 def stream_dedup_counts(spark, sf_dir):
     """Second driver-verified streaming gate (K family): streaming
     exact dedup with bounded state
@@ -1322,6 +1335,24 @@ CASE WHEN len({_SQL_TOKENS}) >= 3 THEN
                  for i in range(1, len({_SQL_TOKENS}) - 1)])
 ELSE [array_to_string({_SQL_TOKENS}, ' ')] END
 """
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(CAST(len({_SQL_TOKENS}) AS BIGINT)) OVER (
+            PARTITION BY lang
+            ORDER BY {_hash32_sql("doc_id")}, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tokens_before
+  FROM documents WHERE lang IN ('en', 'fr', 'zh'))
+SELECT doc_id, lang, n_tokens, tokens_before FROM ranked
+WHERE tokens_before < CASE lang WHEN 'en' THEN 5000
+                                WHEN 'fr' THEN 2000
+                                ELSE 1500 END
+"""
+
 
 
 def dedup_exact_docs(spark, sf_dir):
@@ -4682,6 +4713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_rp": sim_topk_rp,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_counts": stream_dedup_counts,
+        "token_budget_mix_docs": token_budget_mix_docs,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
@@ -4884,6 +4916,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": TUMBLING_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_counts": STREAM_DD_SQL,
+        "token_budget_mix_docs": TOKEN_BUDGET_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_JOIN_SQL,

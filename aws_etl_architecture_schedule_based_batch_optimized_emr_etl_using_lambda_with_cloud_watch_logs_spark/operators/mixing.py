@@ -169,3 +169,50 @@ def stratified_exact_k(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents per domain until a TOKEN budget is filled —
+    training mixes are specified in tokens, not documents, so the
+    doc-count samplers (``weighted_sample``/``stratified_exact_k``)
+    don't compose a "30B code + 20B web" recipe; this does.
+
+    Deterministic greedy: within each budgeted domain, docs are
+    ordered by (hash32(id), id) — the same engine-reproducible rank
+    the quota sampler uses — and taken while the RUNNING token total
+    before the doc is under budget, so the selection overshoots by
+    at most one document (the unbiased-prefix convention; trim or
+    keep per trainer policy). One window shuffle keyed by domain;
+    domains not in ``budgets`` are dropped."""
+    from pyspark.sql import Window
+
+    from .dedup import tokens_col
+
+    doms = list(budgets)
+    budget_map = F.create_map(
+        *[x for d in doms for x in (F.lit(d), F.lit(int(budgets[d])))]
+    )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(hash32_expr(id_col), id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(tokens_col(text_col)).cast("bigint")
+    return (
+        df.filter(F.col(domain_col).isin(doms))
+        .withColumn("_nt", toks)
+        .withColumn("_before", F.coalesce(F.sum("_nt").over(w), F.lit(0)))
+        .filter(F.col("_before") < budget_map[F.col(domain_col)])
+        .select(
+            id_col,
+            domain_col,
+            F.col("_nt").alias("n_tokens"),
+            F.col("_before").alias("tokens_before"),
+        )
+    )

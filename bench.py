@@ -83,6 +83,7 @@ HEADLINE = [
     "events_hopping_window",
     "stream_windowed_counts",
     "stream_dedup_counts",
+    "token_budget_mix_docs",
     "events_sessionize",
     "events_asof_join",
     "events_range_join",

@@ -1983,3 +1983,28 @@ def test_hll_incremental_distinct_invariants(spark):
         assert r.exact_distinct == 97
         assert r.union_within_2pct  # batch-union ~ one-shot
         assert r.within_5pct  # estimate near exact
+
+
+def test_token_budget_sample_fills_each_budget(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr", "w " * 10) for i in range(40)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = MX.token_budget_sample(d, {"en": 45, "fr": 100}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r)
+    # each doc has 10 tokens: en budget 45 -> 5 docs (last overshoots),
+    # fr budget 100 -> exactly 10 docs
+    assert len(by["en"]) == 5 and sum(r.n_tokens for r in by["en"]) == 50
+    assert len(by["fr"]) == 10 and sum(r.n_tokens for r in by["fr"]) == 100
+    # deterministic under repartitioning
+    again = sorted(
+        (r.doc_id, r.lang)
+        for r in MX.token_budget_sample(
+            d.repartition(7), {"en": 45, "fr": 100}
+        ).collect()
+    )
+    assert again == sorted((r.doc_id, r.lang) for r in out)

@@ -1,0 +1,95 @@
+"""Property-based invariants for the quantized-score operators
+(entropy, LM perplexity, novelty, count-min): bounds that must hold
+for ANY corpus, checked over hypothesis-generated documents. The
+example-based tests pin exact values; these pin the algebra."""
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+
+def _spark():
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+        get_spark,
+    )
+
+    return get_spark(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=4
+    )
+
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=1, max_size=25).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus)
+def test_entropy_bounds(texts):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    for r in X.entropy_scores(d).collect():
+        # 0 ≤ H ≤ ln(n_tokens) for token entropy (quantization slack)
+        assert r.token_entropy is not None
+        assert r.token_entropy >= -1e-6
+        assert r.token_entropy <= math.log(max(r.n_tokens, 1)) + 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus)
+def test_lm_perplexity_bounds(texts):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = LM.perplexity_scores(d).collect()
+    n_multi = sum(1 for t in texts if len(t.split()) >= 2)
+    assert sum(1 for r in rows if r.n_bigrams > 0) == n_multi
+    for r in rows:
+        if r.n_bigrams == 0:
+            assert r.avg_logp is None and r.perplexity is None
+        else:
+            assert r.avg_logp <= 1e-6  # log-probs are ≤ 0
+            assert r.perplexity >= 1.0 - 1e-6  # exp(-avg) ≥ 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus)
+def test_novelty_fraction_bounds_and_duplicate_zero(texts):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    spark = _spark()
+    # append an exact duplicate of doc 0: both copies must be 0-novel
+    docs = list(enumerate(texts)) + [(len(texts), texts[0])]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.novelty_scores(d, n=3).collect()}
+    for r in out.values():
+        assert 0.0 <= r.novel_frac <= 1.0
+        assert 0 <= r.n_novel <= r.n_shingles
+    assert out[0].novel_frac == 0.0
+    assert out[len(texts)].novel_frac == 0.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus)
+def test_cms_never_underestimates_any_corpus(texts):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    # narrow width to force collisions: the one-sided bound must hold
+    out = SK.heavy_hitters(d, top_k=10, depth=2, width=8).collect()
+    assert out  # at least one token exists
+    for r in out:
+        assert r.cms_est >= r.exact_n
+        assert r.never_underest

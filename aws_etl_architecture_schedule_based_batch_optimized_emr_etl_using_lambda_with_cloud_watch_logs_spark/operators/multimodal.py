@@ -601,9 +601,10 @@ def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
 
 
 def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
-    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV fully;
-    JPEG dimensions-only), with the deterministic byte-hash fallback
-    for everything else."""
+    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV, and
+    baseline-sequential JPEG fully; progressive/arithmetic JPEG gets
+    true dimensions with placeholder features), with the
+    deterministic byte-hash fallback for everything else."""
     for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg):
         out = codec(content, feat_dim)
         if out is not None:
@@ -616,8 +617,8 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract over ``mapInPandas`` (Arrow batches).
 
-    ``decode_stub``: "auto" uses the real stdlib codecs (PNG/PNM/WAV)
-    with byte-hash fallback per asset; "fake" forces the fallback for
+    ``decode_stub``: "auto" uses the real stdlib codecs
+    (PNG/PNM/WAV/baseline JPEG) with byte-hash fallback per asset; "fake" forces the fallback for
     all assets (bit-stable — the oracle-gate mode); "raise" marks the
     PIL/ffmpeg integration point for formats beyond the stdlib.
     """

@@ -600,12 +600,132 @@ def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
         return None
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | None:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI
+    codes, growing code width capped at 12 bits). Returns the index
+    stream or None on a malformed code sequence."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.extend(entry)
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+            prev = entry
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out) if out else None
+
+
+def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
+    """Real GIF decode, stdlib-only: logical screen descriptor,
+    color tables, LZW index stream for the FIRST image, palette →
+    RGB, then pixel statistics. Non-interlaced 87a/89a only;
+    returns None (→ fallback) on anything else or corrupt data."""
+    if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        sw, sh = struct.unpack("<HH", content[6:10])
+        packed = content[10]
+        pos = 13
+        gct = b""
+        if packed & 0x80:
+            n = 3 * (2 << (packed & 0x07))
+            gct = content[pos : pos + n]
+            pos += n
+        while pos < len(content):
+            b0 = content[pos]
+            if b0 == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while content[pos]:
+                    pos += 1 + content[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                _, _, w, h = struct.unpack("<HHHH", content[pos + 1 : pos + 9])
+                ipacked = content[pos + 9]
+                pos += 10
+                lct = gct
+                if ipacked & 0x80:
+                    n = 3 * (2 << (ipacked & 0x07))
+                    lct = content[pos : pos + n]
+                    pos += n
+                if ipacked & 0x40:  # interlaced: out of scope
+                    return None
+                min_code = content[pos]
+                pos += 1
+                data = bytearray()
+                while content[pos]:
+                    ln = content[pos]
+                    data += content[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+                if idx is None or not lct:
+                    return None
+                import numpy as np
+
+                pal = np.frombuffer(lct, dtype=np.uint8).reshape(-1, 3)
+                arr = np.frombuffer(idx, dtype=np.uint8)
+                if arr.max(initial=0) >= len(pal):
+                    return None
+                pixels = pal[arr].tobytes()
+                return {
+                    "n_bytes": len(content),
+                    "content_sha": hashlib.sha256(content).hexdigest(),
+                    "width": w,
+                    "height": h,
+                    "features": _pixel_features(pixels, w, h, 3, feat_dim),
+                }
+            elif b0 == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except Exception:
+        return None
+
+
 def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
-    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV, and
-    baseline-sequential JPEG fully; progressive/arithmetic JPEG gets
+    """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV,
+    non-interlaced GIF, and baseline-sequential JPEG fully; progressive/arithmetic JPEG gets
     true dimensions with placeholder features), with the
     deterministic byte-hash fallback for everything else."""
-    for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg):
+    for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg, _decode_gif):
         out = codec(content, feat_dim)
         if out is not None:
             return out

@@ -2008,3 +2008,53 @@ def test_token_budget_sample_fills_each_budget(spark):
         ).collect()
     )
     assert again == sorted((r.doc_id, r.lang) for r in out)
+
+
+def test_multimodal_gif_lzw_pixel_decode():
+    import struct
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    def encode_gif(indices, w, h, palette):
+        # minimal GIF89a writer: one image, global color table, and
+        # an LZW stream that emits CLEAR before every literal (valid
+        # per spec, no string table needed)
+        min_code = 2
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        for i in indices:
+            put(clear)
+            put(i)
+        put(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        pal = b"".join(bytes(c) for c in palette)
+        hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+        img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        lzw = bytes([min_code]) + bytes([len(out)]) + bytes(out) + b"\x00"
+        return hdr + pal + img + lzw + b"\x3b"
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)]
+    gif = encode_gif([0, 1, 2, 3], 2, 2, palette)
+    got = _decode_gif(gif, feat_dim=6)
+    assert got is not None
+    assert got["width"] == 2 and got["height"] == 2
+    f = got["features"]
+    # per-channel means are all 127.5/255; std 0.5; min 0; max 1
+    assert all(abs(x - 0.5) < 1e-6 for x in f[:4])
+    assert f[4] == 0.0 and f[5] == 1.0
+
+    # truncated stream degrades to None (dispatch then falls back)
+    assert _decode_gif(gif[:20], 6) is None

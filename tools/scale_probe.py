@@ -71,6 +71,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     projection as PJ,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    mixing as MX,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     lm as LM2,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -188,6 +191,9 @@ def main() -> None:
         "hll_incremental": lambda d: SK.hll_incremental_distinct(
             d, "lang", "source", F.col("doc_id") % 4
         ).count(),
+        "token_budget_mix": lambda d: MX.token_budget_sample(
+            d, {"en": 5000, "fr": 2000, "zh": 1500}
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -205,6 +211,7 @@ def main() -> None:
         "fuzzy_decontam": (docs, ["doc_id"]),
         "rp_project": (emb, ["vec_id"]),
         "hll_incremental": (docs, ["doc_id"]),
+        "token_budget_mix": (docs, ["doc_id"]),
         "span_dedup": (docs, ["doc_id"]),
         "bloom_semi_join": (docs, ["doc_id"]),
         "bm25_topk": (docs, ["doc_id"]),

@@ -2519,7 +2519,9 @@ def sim_topk_rp(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     # project ONCE and persist — operationally the projected frame
     # is written to storage and reused; recomputing the 32
-    # higher-order aggregates per consumer doubles the scan cost
+    # higher-order aggregates per consumer doubles the scan cost.
+    # Lifecycle: caller-owned (driver collects then exits); blocks
+    # are LRU-evictable so repeated invocations recompute at worst.
     proj = PJ.rp_project(e, d_in=64, d_out=32).persist()
     pvec = F.array(*[F.col(f"p{k}").cast("double") for k in range(32)])
     base = proj.select(F.col("vec_id").alias("n_id"), pvec.alias("n_vec"))

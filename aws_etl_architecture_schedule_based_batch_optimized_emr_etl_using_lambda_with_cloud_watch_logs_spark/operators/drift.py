@@ -60,6 +60,9 @@ def token_divergence(
     # Persisted: the joined count frame is vocabulary-sized and has
     # two consumers (the totals aggregate and the contribution
     # select) — without it each consumer replays both corpus scans.
+    # Lifecycle is caller-owned (consumed lazily through the
+    # returned plan): vocabulary-bounded, LRU-evictable blocks;
+    # clearCache() between jobs reclaims them in long sessions.
     j = (
         a.join(b, ["token"], "outer")
         .select(

@@ -37,7 +37,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import tokens_col
-from .lm import bigrams_col
 from .mixing import hash32_expr
 from .scoring import feature_bucket
 

@@ -96,7 +96,13 @@ def perplexity_scores(
     # The bigram-count model frame is persisted: it is bounded by
     # the bigram vocabulary (≪ corpus) and has two consumers — the
     # score join and the c1 re-aggregation below — which would each
-    # replay the corpus explode without it.
+    # replay the corpus explode without it. Cache lifecycle is
+    # caller-owned (the frame is consumed lazily through the
+    # returned plan, so the operator cannot unpersist it): in a
+    # long-running session, `spark.catalog.clearCache()` between
+    # jobs reclaims it; until then the blocks are vocabulary-
+    # bounded and evictable (default MEMORY_AND_DISK is LRU), so
+    # they degrade to recompute, never to OOM.
     c2 = (
         bi.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
@@ -186,7 +192,9 @@ def perplexity_buckets(
     )
     # The histogram is tiny (≤ distinct quantized values) and has
     # two consumers (threshold agg + bucket assignment); persist it
-    # so the scoring plan above runs exactly once.
+    # so the scoring plan above runs exactly once. Lifecycle is
+    # caller-owned (see perplexity_scores) — histogram-sized blocks,
+    # LRU-evictable, reclaimed by clearCache() between jobs.
     hist = (
         s.groupBy(
             F.round(F.col("perplexity") * F.lit(_Q))

@@ -600,6 +600,19 @@ def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
         return None
 
 
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF89a appendix E: an interlaced image stores its rows in 4
+    passes — every 8th row from 0, every 8th from 4, every 4th from
+    2, every 2nd from 1. Returns, for each STORED row position, the
+    scanline it belongs to, so ``out[order] = stored`` deinterlaces."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | None:
     """GIF-variant LZW decode (LSB-first bit packing, CLEAR/EOI
     codes, growing code width capped at 12 bits). Returns the index
@@ -631,7 +644,10 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | N
                 prev = None
                 continue
             if code == eoi:
-                return bytes(out)
+                # the descriptor promised w·h pixels; an EOI before
+                # that is a truncated stream — fall back rather than
+                # report full-frame statistics over a partial buffer
+                return bytes(out) if len(out) >= n_pixels else None
             if prev is None:
                 if code >= len(table):
                     return None
@@ -650,14 +666,18 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | N
             prev = entry
             if len(table) >= (1 << width) and width < 12:
                 width += 1
-    return bytes(out) if out else None
+    # stream ended without EOI: only a full w·h index buffer is
+    # trustworthy — anything shorter falls through to the
+    # deterministic byte-hash path instead of fabricating stats
+    return bytes(out[:n_pixels]) if len(out) >= n_pixels else None
 
 
 def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
     """Real GIF decode, stdlib-only: logical screen descriptor,
-    color tables, LZW index stream for the FIRST image, palette →
-    RGB, then pixel statistics. Non-interlaced 87a/89a only;
-    returns None (→ fallback) on anything else or corrupt data."""
+    color tables, LZW index stream for the FIRST image (interlaced
+    or not — appendix-E pass order is inverted after decode),
+    palette → RGB, then pixel statistics. 87a/89a; returns None
+    (→ fallback) on anything else or corrupt/truncated data."""
     if not content or content[:6] not in (b"GIF87a", b"GIF89a"):
         return None
     try:
@@ -685,8 +705,7 @@ def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
                     n = 3 * (2 << (ipacked & 0x07))
                     lct = content[pos : pos + n]
                     pos += n
-                if ipacked & 0x40:  # interlaced: out of scope
-                    return None
+                interlaced = bool(ipacked & 0x40)
                 min_code = content[pos]
                 pos += 1
                 data = bytearray()
@@ -701,6 +720,11 @@ def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
 
                 pal = np.frombuffer(lct, dtype=np.uint8).reshape(-1, 3)
                 arr = np.frombuffer(idx, dtype=np.uint8)
+                if interlaced:
+                    stored = arr.reshape(h, w)
+                    deinter = np.empty_like(stored)
+                    deinter[_gif_interlace_order(h)] = stored
+                    arr = deinter.reshape(-1)
                 if arr.max(initial=0) >= len(pal):
                     return None
                 pixels = pal[arr].tobytes()
@@ -722,9 +746,10 @@ def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
 
 def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
     """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV,
-    non-interlaced GIF, and baseline-sequential JPEG fully; progressive/arithmetic JPEG gets
-    true dimensions with placeholder features), with the
-    deterministic byte-hash fallback for everything else."""
+    GIF incl. interlaced, and baseline-sequential JPEG fully;
+    progressive/arithmetic JPEG gets true dimensions with
+    placeholder features), with the deterministic byte-hash
+    fallback for everything else."""
     for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg, _decode_gif):
         out = codec(content, feat_dim)
         if out is not None:

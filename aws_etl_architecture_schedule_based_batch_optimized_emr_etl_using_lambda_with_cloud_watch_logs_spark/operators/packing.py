@@ -194,13 +194,37 @@ def write_training_shards(
     shard key) so each shard's rows land together; at 100 TB raise
     parallelism by writing each shard from several tasks —
     correctness only depends on the deterministic shard column, not
-    file counts."""
+    file counts.
+
+    The manifest is computed by READING BACK the written dataset,
+    not by re-scanning ``df``: a second scan of the source could
+    disagree with the files on disk if the upstream table changed
+    between the two actions, and the manifest is the trainer's
+    contract about exactly those files. Reading back also makes the
+    manifest self-verifying — it counts what a consumer will see."""
     sharded = df.withColumn("shard", shard_column(id_col, n_shards))
     sharded.repartition(n_shards, "shard").write.mode(
         "overwrite"
     ).partitionBy("shard").format(fmt).save(path)
-    manifest = shard_manifest(df, n_shards, id_col, text_col)
-    manifest.coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/_manifest"
+    written = df.sparkSession.read.format(fmt).load(path)
+    toks = F.size(tokens_col(text_col))
+    manifest = (
+        written.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col(id_col).alias("_id"),
+            toks.alias("_nt"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.min("_id").alias("min_doc_id"),
+            F.max("_id").alias("max_doc_id"),
+        )
     )
-    return manifest
+    # materialize the read-back agg BEFORE overwriting _manifest so
+    # a stale manifest can never feed its own replacement
+    rows = manifest.collect()
+    out = df.sparkSession.createDataFrame(rows, manifest.schema)
+    out.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    return out

@@ -89,12 +89,35 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-query the sketch for each probe token: min over the
     depth rows of the matching cell counts (missing cell → 0).
-    The sketch side is broadcast (≤ depth·width rows)."""
+    The sketch side is broadcast (≤ depth·width rows).
+
+    Fail-closed depth guard: probing with a LARGER depth than the
+    sketch was built with would join nonexistent j rows, coalesce
+    them to 0, and silently break the never-underestimate guarantee
+    — so the plan carries a one-row broadcast of the sketch's
+    ``max(j)`` and ``assert_true``s that every probe row's j is
+    covered (runtime error instead of a wrong 0). Probing with a
+    SMALLER depth stays legal: min over a subset of rows can only
+    be ≥ the full min, preserving one-sided error. The max-j agg
+    shares the sketch's shuffle exchange, so no extra corpus scan."""
     cells = F.array(
         *[cms_cell(F.col(token_col), j, width) for j in range(depth)]
     )
-    fan = probes.select(
-        token_col, F.posexplode(cells).alias("j", "cell")
+    guard = F.broadcast(sketch.agg(F.max("j").alias("_maxj")))
+    fan = (
+        probes.select(token_col, F.posexplode(cells).alias("j", "cell"))
+        .join(guard)
+        .withColumn(
+            "_depth_ok",
+            F.assert_true(
+                # empty sketch ⇒ nothing inserted ⇒ all-zero estimates
+                # are exact, so an absent max(j) passes the guard
+                F.col("j") <= F.coalesce(F.col("_maxj"), F.lit(depth - 1)),
+                F.lit("cms_estimate: probe depth exceeds sketch depth"),
+            ),
+        )
+        .filter(F.col("_depth_ok").isNull())  # always true; keeps the assert live
+        .drop("_maxj", "_depth_ok")
     )
     return (
         fan.join(F.broadcast(sketch), ["j", "cell"], "left")

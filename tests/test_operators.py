@@ -1755,6 +1755,35 @@ def test_cms_probe_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan  # sketch side never shuffles the probe
 
 
+def test_cms_probe_depth_mismatch_fails_closed(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        sketch as SK,
+    )
+
+    toks = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], ["token"]
+    )
+    sk = SK.cms_build(toks, depth=2, width=32)
+    # probing DEEPER than the build must raise, not silently return 0
+    with _pytest.raises(Exception, match="probe depth exceeds"):
+        SK.cms_estimate(sk, toks.distinct(), depth=4, width=32).collect()
+    # probing SHALLOWER is legal and still never underestimates
+    out = {
+        r.token: r.cms_est
+        for r in SK.cms_estimate(
+            sk, toks.distinct(), depth=1, width=32
+        ).collect()
+    }
+    assert out["a"] >= 2 and out["b"] >= 1
+    # empty sketch ⇒ all-zero estimates, no spurious assert
+    empty = SK.cms_build(toks.filter(F.lit(False)), depth=2, width=32)
+    out0 = SK.cms_estimate(empty, toks.distinct(), depth=2, width=32)
+    assert all(r.cms_est == 0 for r in out0.collect())
+
+
 # ------------------------------------------------------ dsir
 
 
@@ -2010,6 +2039,74 @@ def test_token_budget_sample_fills_each_budget(spark):
     assert again == sorted((r.doc_id, r.lang) for r in out)
 
 
+def test_token_budget_two_phase_equals_one_stage(spark):
+    """The de-skewed (domain,bucket)-window form must be bit-identical
+    to the naive single-window-per-domain greedy, for skewed domains,
+    budgets above/below/at the domain total, and tiny bucket counts
+    (1 bit => 2 buckets forces multi-bucket offsets to matter)."""
+    from pyspark.sql import Window
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        tokens_col,
+    )
+
+    def one_stage(d, budgets):
+        doms = list(budgets)
+        bm = F.create_map(
+            *[x for k in doms for x in (F.lit(k), F.lit(int(budgets[k])))]
+        )
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(MX.hash32_expr("doc_id"), "doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            d.filter(F.col("lang").isin(doms))
+            .withColumn("_nt", F.size(tokens_col("text")).cast("bigint"))
+            .withColumn(
+                "_before", F.coalesce(F.sum("_nt").over(w), F.lit(0))
+            )
+            .filter(F.col("_before") < bm[F.col("lang")])
+            .select(
+                "doc_id",
+                "lang",
+                F.col("_nt").alias("n_tokens"),
+                F.col("_before").alias("tokens_before"),
+            )
+        )
+
+    # skewed corpus: 900 en docs, 90 fr, 10 de, variable lengths
+    rows = []
+    for i in range(1000):
+        lang = "en" if i < 900 else ("fr" if i < 990 else "de")
+        rows.append((i, lang, "tok " * (1 + (i * 7) % 13)))
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    for budgets in (
+        {"en": 500, "fr": 200, "de": 10**9},  # partial / partial / all
+        {"en": 1, "de": 0},  # first-doc-only / zero budget
+        {"fr": 631},  # odd boundary
+    ):
+        want = sorted(map(tuple, one_stage(d, budgets).collect()))
+        for bits in (1, 4, 8):
+            got = sorted(
+                map(
+                    tuple,
+                    MX.token_budget_sample(
+                        d.repartition(5), budgets, n_bucket_bits=bits
+                    ).collect(),
+                )
+            )
+            assert got == want, (budgets, bits)
+    # empty corpus path
+    assert (
+        MX.token_budget_sample(d.filter(F.lit(False)), {"en": 10}).count()
+        == 0
+    )
+
+
 def test_multimodal_gif_lzw_pixel_decode():
     import struct
 
@@ -2058,3 +2155,74 @@ def test_multimodal_gif_lzw_pixel_decode():
 
     # truncated stream degrades to None (dispatch then falls back)
     assert _decode_gif(gif[:20], 6) is None
+
+    # a stream whose LZW data ends early (EOI but < w*h pixels) must
+    # ALSO fall back — never full-frame stats over a partial buffer
+    short = encode_gif([0, 1], 2, 2, palette)  # promises 4, carries 2
+    assert _decode_gif(short, 6) is None
+
+
+def test_multimodal_gif_interlaced_decode():
+    import struct
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _decode_gif,
+    )
+
+    def encode_gif(indices, w, h, palette, interlaced=False):
+        min_code = 2
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        width = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        for i in indices:
+            put(clear)
+            put(i)
+        put(eoi)
+        if nbits:
+            out.append(acc & 0xFF)
+        pal = b"".join(bytes(c) for c in palette)
+        hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+        flags = 0x40 if interlaced else 0x00
+        img = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([flags])
+        lzw = bytes([min_code]) + bytes([len(out)]) + bytes(out) + b"\x00"
+        return hdr + pal + img + lzw + b"\x3b"
+
+    palette = [(0, 0, 0), (85, 85, 85), (170, 170, 170), (255, 255, 255)]
+    # 2x5 image, row r is solid color r%4: scanline order rows 0..4
+    rows = [[r % 4, r % 4] for r in range(5)]
+    flat = [i for row in rows for i in row]
+    plain = _decode_gif(encode_gif(flat, 2, 5, palette), feat_dim=8)
+    # interlaced storage for h=5: pass order rows 0, 4, 2, then 1, 3
+    inter_rows = [rows[0], rows[4], rows[2], rows[1], rows[3]]
+    inter_flat = [i for row in inter_rows for i in row]
+    inter = _decode_gif(
+        encode_gif(inter_flat, 2, 5, palette, interlaced=True), feat_dim=8
+    )
+    assert plain is not None and inter is not None
+    # same logical image ⇒ identical pixel features after deinterlace
+    assert inter["features"] == plain["features"]
+    assert inter["width"] == 2 and inter["height"] == 5
+
+    # the row permutation itself (features above are order-blind):
+    # GIF appendix-E pass order for h=5 is rows 0, 4, 2, 1, 3; h=11
+    # exercises all four passes
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _gif_interlace_order,
+    )
+
+    assert _gif_interlace_order(5) == [0, 4, 2, 1, 3]
+    assert _gif_interlace_order(11) == [0, 8, 4, 2, 6, 10, 1, 3, 5, 7, 9]
+    # every scanline appears exactly once for any height
+    for h in (1, 2, 7, 8, 9, 16, 33):
+        assert sorted(_gif_interlace_order(h)) == list(range(h))

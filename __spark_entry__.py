@@ -18,6 +18,7 @@ probing) have no oracle entry → the driver records a rows-only check.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2914,6 +2915,74 @@ FROM documents
 """
 
 
+def multimodal_decode_real(spark, sf_dir):
+    """REAL codec gate: decode the tiny committed fixtures
+    (fixtures/multimodal/ — PNG, PPM, WAV, GIF plain+interlaced,
+    baseline JPEG, plus one unknown-magic blob that must take the
+    byte-hash fallback) with ``decode_stub="auto"`` and report
+    dimensions + quantized pixel/sample features. The decoders are
+    pure stdlib/numpy and bit-deterministic, so the oracle is a
+    literal table precomputed by tools/gen_multimodal_fixtures.py —
+    this driver-verifies the PNG unfilter, JPEG huffman+IDCT and
+    GIF LZW+deinterlace paths that were previously pytest-only.
+    Scan shape: binaryFile source → one Arrow-batched mapInPandas;
+    at 100 TB the same plan fans out per file with no shuffle."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        multimodal as M,
+    )
+
+    fdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "multimodal"
+    )
+    raw = spark.read.format("binaryFile").load(fdir)
+    assets = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.[a-z]+$", 1)
+        .cast("bigint")
+        .alias("asset_id"),
+        F.when(F.col("path").endswith(".wav"), F.lit("audio"))
+        .otherwise(F.lit("image"))
+        .alias("media_type"),
+        F.col("content"),
+    )
+    feats = M.extract_features(assets, feat_dim=8, decode_stub="auto")
+    qcols = [
+        F.floor(
+            F.element_at("features", i + 1).cast("double") * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias(f"q{i}")
+        for i in range(8)
+    ]
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        *qcols,
+    )
+
+
+# Literal oracle precomputed by tools/gen_multimodal_fixtures.py —
+# the decoders are bit-deterministic, so DuckDB only checks constants.
+MULTIMODAL_REAL_SQL = """
+SELECT CAST(asset_id AS BIGINT) AS asset_id,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+       CAST(q2 AS BIGINT) AS q2, CAST(q3 AS BIGINT) AS q3,
+       CAST(q4 AS BIGINT) AS q4, CAST(q5 AS BIGINT) AS q5,
+       CAST(q6 AS BIGINT) AS q6, CAST(q7 AS BIGINT) AS q7
+FROM (VALUES
+  (101, 16, 16, 470588, 470588, 470588, 264039, 0, 941176, 470588, 470588),
+  (102, 8, 8, 439215, 439215, 501960, 236626, 0, 878431, 439215, 439215),
+  (103, 8000, 1, 36456, 62500, 666666, -11551, 8000, 36456, 62500, 666666),
+  (104, 4, 4, 500000, 500000, 500000, 372677, 0, 1000000, 500000, 500000),
+  (105, 2, 5, 400000, 400000, 400000, 388730, 0, 1000000, 400000, 400000),
+  (106, 16, 16, 470588, 230158, 3921, 937254, 470588, 230158, 3921, 937254),
+  (107, 12, 27, 941176, 760784, 827450, 317647, 66666, 294117, 168627, 627451)
+) AS t(asset_id, width, height, q0, q1, q2, q3, q4, q5, q6, q7)
+"""
+
+
 # -------------------------------------------------- similarity family
 
 
@@ -4793,6 +4862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_ship_delay": q12_ship_delay,
         "try_cast_events": try_cast_events,
         "multimodal_features_docs": multimodal_features_docs,
+        "multimodal_decode_real": multimodal_decode_real,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -4935,6 +5005,7 @@ def oracle_sql() -> dict[str, str]:
         "array_agg_nations": ARRAY_AGG_SQL,
         "sql_grouping_sets": GROUPING_SETS_SQL,
         "multimodal_features_docs": MULTIMODAL_SQL,
+        "multimodal_decode_real": MULTIMODAL_REAL_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,

@@ -2918,8 +2918,10 @@ FROM documents
 def multimodal_decode_real(spark, sf_dir):
     """REAL codec gate: decode the tiny committed fixtures
     (fixtures/multimodal/ — PNG, PPM, WAV, GIF plain+interlaced,
-    baseline JPEG, plus one unknown-magic blob that must take the
-    byte-hash fallback) with ``decode_stub="auto"`` and report
+    baseline AND progressive JPEG — the progressive file must land
+    on the identical quantized features as its baseline twin — plus
+    one unknown-magic blob that must take the byte-hash fallback)
+    with ``decode_stub="auto"`` and report
     dimensions + quantized pixel/sample features. The decoders are
     pure stdlib/numpy and bit-deterministic, so the oracle is a
     literal table precomputed by tools/gen_multimodal_fixtures.py —
@@ -2978,7 +2980,8 @@ FROM (VALUES
   (104, 4, 4, 500000, 500000, 500000, 372677, 0, 1000000, 500000, 500000),
   (105, 2, 5, 400000, 400000, 400000, 388730, 0, 1000000, 400000, 400000),
   (106, 16, 16, 470588, 230158, 3921, 937254, 470588, 230158, 3921, 937254),
-  (107, 12, 27, 941176, 760784, 827450, 317647, 66666, 294117, 168627, 627451)
+  (107, 12, 27, 941176, 760784, 827450, 317647, 66666, 294117, 168627, 627451),
+  (108, 16, 16, 470588, 230158, 3921, 937254, 470588, 230158, 3921, 937254)
 ) AS t(asset_id, width, height, q0, q1, q2, q3, q4, q5, q6, q7)
 """
 

@@ -486,7 +486,15 @@ def _jpeg_decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu += 1
 
-    # upsample each plane to full MCU-grid resolution, crop, clip
+    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+
+
+def _jpeg_assemble(planes, comps, hmax, vmax, width, height):
+    """Shared decode tail (baseline + progressive): upsample each
+    IDCT'd component plane to full MCU-grid resolution, crop, do
+    YCbCr→RGB for 3-component images, and reduce to features."""
+    import numpy as np
+
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -510,19 +518,321 @@ def _jpeg_decode_scan(
     return width, height, _pixel_features(pixels, width, height, channels, 8)
 
 
+def _jpeg_progressive_scan(
+    content, ecs_start, sof, scomps, ss, se, ah, al, huff, restart,
+    coef, pred,
+):
+    """Decode ONE progressive scan (spec G.2) into the per-component
+    zigzag-order coefficient arrays, mutating ``coef`` and the DC
+    predictors. Returns the byte offset of the next marker, or None
+    on malformed data. Handles all four scan kinds: DC first / DC
+    refinement (interleaved or single-component) and AC first / AC
+    refinement (always single-component, EOB-run coded)."""
+    width, height, comps, hmax, vmax, mcus_x, mcus_y = sof
+
+    # unstuff the entropy segment, splitting at RST markers
+    segments = []
+    cur = bytearray()
+    pos = ecs_start
+    n = len(content)
+    while pos < n:
+        b = content[pos]
+        if b == 0xFF:
+            nxt = content[pos + 1] if pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+                continue
+            break
+        cur.append(b)
+        pos += 1
+    segments.append(bytes(cur))
+
+    state = {"reader": _JpegBits(segments[0]), "seg": 0, "eobrun": 0}
+
+    def maybe_restart(unit):
+        if restart and unit and unit % restart == 0:
+            state["seg"] += 1
+            state["reader"] = _JpegBits(segments[state["seg"]])
+            state["eobrun"] = 0
+            for i in range(len(pred)):
+                pred[i] = 0
+
+    def nonint_blocks(c):
+        """Non-interleaved block grid: ceil over the COMPONENT's
+        sample dimensions, not the MCU-padded frame (A.2.2)."""
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    if ss == 0:  # ---- DC scan ----
+        if se != 0:
+            return None
+
+        def dc_block(blk, ci, td):
+            r = state["reader"]
+            if ah == 0:
+                t = r.huff(huff[(0, td)])
+                pred[ci] += _jpeg_extend(r.bits(t), t)
+                blk[0] = pred[ci] << al
+            elif r.bit():
+                blk[0] |= 1 << al
+
+        unit = 0
+        if len(scomps) > 1:  # interleaved MCU order
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart(unit)
+                    for ci, td, _ta in scomps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(
+                                    coef[ci][
+                                        my * c["v"] + by, mx * c["h"] + bx
+                                    ],
+                                    ci,
+                                    td,
+                                )
+                    unit += 1
+        else:
+            ci, td, _ta = scomps[0]
+            bh, bw = nonint_blocks(comps[ci])
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart(unit)
+                    dc_block(coef[ci][by, bx], ci, td)
+                    unit += 1
+        return pos
+
+    # ---- AC scan: exactly one component (B.2.3) ----
+    if len(scomps) != 1:
+        return None
+    ci, _td, ta = scomps[0]
+    ac_lut = huff[(1, ta)]
+    bh, bw = nonint_blocks(comps[ci])
+    p_one = 1 << al
+    m_one = -1 << al
+
+    def ac_first(blk):
+        r = state["reader"]
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = r.huff(ac_lut)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run < 15:
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += r.bits(run)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("AC index overrun")
+            blk[k] = _jpeg_extend(r.bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk):
+        """Spec G.1.2.3 (the libjpeg AC-refine control flow):
+        correction bits for already-nonzero coefficients are read
+        while advancing through zero-runs and EOB spans."""
+        r = state["reader"]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r.huff(ac_lut)
+                run, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if run < 15:
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += r.bits(run)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history coefs
+                else:
+                    if s != 1:
+                        raise ValueError("bad refine magnitude")
+                    newval = p_one if r.bit() else m_one
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p_one) == 0:
+                            blk[k] += p_one if blk[k] > 0 else m_one
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p_one) == 0:
+                        blk[k] += p_one if blk[k] > 0 else m_one
+                k += 1
+            state["eobrun"] -= 1
+
+    decode = ac_first if ah == 0 else ac_refine
+    unit = 0
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart(unit)
+            decode(coef[ci][by, bx])
+            unit += 1
+    return pos
+
+
+def _jpeg_decode_progressive(
+    content: bytes, feat_dim: int
+) -> tuple[int, int, list[float]] | None:
+    """Full progressive (SOF2, 8-bit, Huffman) pixel decode: walk
+    the marker stream IN ORDER (tables may be redefined between
+    scans), accumulate every scan's spectral/successive-approximation
+    contribution into per-component zigzag coefficient arrays, then
+    dequantize + IDCT all blocks in one vectorized einsum and reuse
+    the baseline assembly tail. Returns None for anything outside
+    8-bit Huffman progressive (arithmetic, 12-bit, mixed frames)."""
+    import numpy as np
+
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    coef = None
+    pred: list[int] = []
+    restart = 0
+    pos = 2
+    n = len(content)
+    while pos + 2 <= n:
+        if content[pos] != 0xFF:
+            return None
+        marker = content[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > n:
+            return None
+        (seg_len,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        data = content[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:
+            off = 0
+            while off < len(data):
+                pq, tq = data[off] >> 4, data[off] & 0xF
+                if pq != 0:
+                    return None
+                qt[tq] = np.frombuffer(
+                    data[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int32)
+                off += 65
+        elif marker == 0xC4:
+            off = 0
+            while off < len(data):
+                tc, th = data[off] >> 4, data[off] & 0xF
+                bits_ = data[off + 1 : off + 17]
+                n_vals = sum(bits_)
+                vals = data[off + 17 : off + 17 + n_vals]
+                huff[(tc, th)] = _jpeg_huff_lut(bits_, vals)
+                off += 17 + n_vals
+        elif marker == 0xC2:
+            prec, height, width, n_comp = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                return None
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = data[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            sof = (width, height, comps, hmax, vmax, mcus_x, mcus_y)
+            coef = [
+                np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                )
+                for c in comps
+            ]
+            pred = [0] * n_comp
+        elif marker in _JPEG_SOF_MARKERS or marker in (0xC0, 0xC1):
+            return None  # arithmetic / lossless / mixed frames
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            if sof is None:
+                return None
+            ns = data[0]
+            comps = sof[2]
+            scomps = []
+            for i in range(ns):
+                cs, tt = data[1 + 2 * i : 3 + 2 * i]
+                ci = next(
+                    (j for j, c in enumerate(comps) if c["id"] == cs), None
+                )
+                if ci is None:
+                    return None
+                scomps.append((ci, tt >> 4, tt & 0xF))
+            ss_, se_ = data[1 + 2 * ns], data[2 + 2 * ns]
+            a = data[3 + 2 * ns]
+            # new scan: DC predictors reset per scan (G.1.1.1.1)
+            for i in range(len(pred)):
+                pred[i] = 0
+            nxt = _jpeg_progressive_scan(
+                content, pos + 2 + seg_len, sof, scomps, ss_, se_,
+                a >> 4, a & 0xF, huff, restart, coef, pred,
+            )
+            if nxt is None:
+                return None
+            pos = nxt
+            continue
+        pos += 2 + seg_len
+    if sof is None or coef is None:
+        return None
+    width, height, comps, hmax, vmax, mcus_x, mcus_y = sof
+    basis = _jpeg_idct_basis()
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        by, bx = coef[ci].shape[:2]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[..., _JPEG_ZIGZAG] = coef[ci] * q[None, None, :]
+        blocks = nat.reshape(by, bx, 8, 8)
+        spatial = (
+            np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis) + 128.0
+        )
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+
+
 def _decode_jpeg(content: bytes, feat_dim: int) -> dict | None:
     """JPEG decode, stdlib+numpy only. Baseline-sequential files
-    (SOF0/SOF1, 8-bit, Huffman — the overwhelming majority of real
-    corpora) get a FULL pixel decode: Huffman entropy decode, dequant,
-    IDCT, chroma upsample, YCbCr→RGB, then real pixel statistics.
-    Progressive (SOF2) / arithmetic / 12-bit files keep the previous
-    contract — true width/height from the SOF header with byte-hash
-    placeholder features — so no input ever errors out of the Arrow
-    batch loop."""
+    (SOF0/SOF1) and progressive files (SOF2), 8-bit Huffman — the
+    overwhelming majority of real corpora — get a FULL pixel decode:
+    Huffman entropy decode (multi-scan spectral-selection +
+    successive-approximation for progressive), dequant, IDCT, chroma
+    upsample, YCbCr→RGB, then real pixel statistics. Arithmetic /
+    lossless / 12-bit files keep the previous contract — true
+    width/height from the SOF header with byte-hash placeholder
+    features — so no input ever errors out of the Arrow batch loop."""
     if not content or not content.startswith(b"\xff\xd8"):
         return None
     try:
         decoded = _jpeg_decode_baseline(content, feat_dim)
+        if decoded is None:
+            decoded = _jpeg_decode_progressive(content, feat_dim)
         if decoded is not None:
             width, height, base = decoded
             return {
@@ -746,9 +1056,9 @@ def _decode_gif(content: bytes, feat_dim: int) -> dict | None:
 
 def decode_asset(content: bytes, media_type: str, feat_dim: int) -> dict:
     """Stdlib codec dispatch by magic bytes (PNG, PPM/PGM, WAV,
-    GIF incl. interlaced, and baseline-sequential JPEG fully;
-    progressive/arithmetic JPEG gets true dimensions with
-    placeholder features), with the deterministic byte-hash
+    GIF incl. interlaced, baseline-sequential AND progressive JPEG
+    fully; arithmetic/lossless/12-bit JPEG gets true dimensions
+    with placeholder features), with the deterministic byte-hash
     fallback for everything else."""
     for codec in (_decode_png, _decode_pnm, _decode_wav, _decode_jpeg, _decode_gif):
         out = codec(content, feat_dim)
@@ -763,8 +1073,9 @@ def extract_features(
     """Decode/feature-extract over ``mapInPandas`` (Arrow batches).
 
     ``decode_stub``: "auto" uses the real stdlib codecs
-    (PNG/PNM/WAV/baseline JPEG) with byte-hash fallback per asset; "fake" forces the fallback for
-    all assets (bit-stable — the oracle-gate mode); "raise" marks the
+    (PNG/PNM/WAV/GIF/baseline+progressive JPEG) with byte-hash
+    fallback per asset; "fake" forces the fallback for all assets
+    (bit-stable — the oracle-gate mode); "raise" marks the
     PIL/ffmpeg integration point for formats beyond the stdlib.
     """
 

@@ -624,6 +624,301 @@ def _encode_jpeg(planes, h_samp, v_samp, quant=16, restart=0):
     return bytes(out)
 
 
+# --- minimal PROGRESSIVE JPEG encoder (test fixture generator) ------
+# Scan scripts follow spec Annex G: DC first/refine (interleaved),
+# AC first/refine per component with EOB-run coding and libjpeg-style
+# buffered correction bits. Huffman tables are flat custom tables
+# (all DC symbols at 4 bits, all AC symbols at 8 bits) so every
+# symbol — including the EOBn codes Annex K.3 lacks — is codable.
+
+_PROG_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_PROG_DC_VALS = bytes(range(12))
+_PROG_AC_SYMS = (
+    [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(15)]
+    + [0xF0]
+)
+_PROG_AC_BITS = bytes([0] * 7 + [len(_PROG_AC_SYMS)] + [0] * 8)
+_PROG_AC_VALS = bytes(_PROG_AC_SYMS)
+
+
+def _quantized_blocks(planes, h_samp, v_samp, quant):
+    """Per-component (by, bx, 64) zigzag-order quantized coefficient
+    arrays on the MCU-padded grid (same math as _encode_jpeg)."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_basis,
+    )
+
+    height, width = planes[0].shape
+    basis = _jpeg_idct_basis()
+    q = np.full(64, quant, dtype=np.int32)
+    hmax, vmax = max(h_samp), max(v_samp)
+    mcus_x, mcus_y = -(-width // (8 * hmax)), -(-height // (8 * vmax))
+    out = []
+    for ci, plane in enumerate(planes):
+        ry, rx = vmax // v_samp[ci], hmax // h_samp[ci]
+        p = plane
+        if ry > 1 or rx > 1:
+            ph = (p.shape[0] // ry) * ry
+            pw = (p.shape[1] // rx) * rx
+            p = p[:ph, :pw].reshape(ph // ry, ry, pw // rx, rx).mean((1, 3))
+        th, tw = mcus_y * v_samp[ci] * 8, mcus_x * h_samp[ci] * 8
+        pad = np.empty((th, tw))
+        pad[: p.shape[0], : p.shape[1]] = p
+        pad[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pad[:, p.shape[1] :] = pad[:, p.shape[1] - 1 : p.shape[1]]
+        by, bx = th // 8, tw // 8
+        zz = np.empty((by, bx, 64), dtype=np.int64)
+        for yb in range(by):
+            for xb in range(bx):
+                blk = pad[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coefs = basis @ (blk - 128.0) @ basis.T
+                zz[yb, xb] = np.round(coefs.reshape(-1)[_JPEG_ZIGZAG] / q)
+        out.append(zz)
+    return out, (width, height, mcus_x, mcus_y, q)
+
+
+def _mag(v):
+    s, a = 0, abs(int(v))
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+def _encode_jpeg_progressive(planes, h_samp, v_samp, quant=16, scans=None):
+    """Progressive JPEG from float planes. ``scans`` is a list of
+    (comp_indices, ss, se, ah, al); default is a libjpeg-like script
+    with both spectral selection and successive approximation."""
+    import struct as st
+
+    coefs, (width, height, mcus_x, mcus_y, q) = _quantized_blocks(
+        planes, h_samp, v_samp, quant
+    )
+    n_comp = len(planes)
+    if scans is None:
+        allc = list(range(n_comp))
+        scans = [(allc, 0, 0, 0, 1)]
+        for c in range(n_comp):
+            scans.append(([c], 1, 63, 0, 2))
+        for c in range(n_comp):
+            scans.append(([c], 1, 63, 2, 1))
+        scans.append((allc, 0, 0, 1, 0))
+        for c in range(n_comp):
+            scans.append(([c], 1, 63, 1, 0))
+    dc_codes = _enc_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_codes = _enc_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    hmax, vmax = max(h_samp), max(v_samp)
+
+    def nonint_blocks(ci):
+        cw = -(-width * h_samp[ci] // hmax)
+        ch = -(-height * v_samp[ci] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def encode_scan(comp_idx, ss, se, ah, al):
+        w = _EncBits()
+        if ss == 0:  # DC scan
+            pred = [0] * n_comp
+            if len(comp_idx) > 1:
+                order = [
+                    (ci, by, bx)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for ci in comp_idx
+                    for by in range(
+                        my * v_samp[ci], my * v_samp[ci] + v_samp[ci]
+                    )
+                    for bx in range(
+                        mx * h_samp[ci], mx * h_samp[ci] + h_samp[ci]
+                    )
+                ]
+            else:
+                ci = comp_idx[0]
+                bh, bw = nonint_blocks(ci)
+                order = [
+                    (ci, by, bx) for by in range(bh) for bx in range(bw)
+                ]
+            for ci, by, bx in order:
+                v = int(coefs[ci][by, bx, 0]) >> al  # arithmetic shift
+                if ah == 0:
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _mag(diff)
+                    w.put(*dc_codes[s])
+                    if s:
+                        w.put(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s
+                        )
+                else:
+                    w.put(v & 1, 1)
+            return w.flush()
+
+        # AC scan: one component
+        (ci,) = comp_idx
+        bh, bw = nonint_blocks(ci)
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered across the run
+
+        def flush_eob():
+            nonlocal eobrun, be
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                w.put(*ac_codes[nb << 4])
+                if nb:
+                    w.put(eobrun - (1 << nb), nb)
+                for bit in be:
+                    w.put(bit, 1)
+                eobrun, be = 0, []
+
+        for by in range(bh):
+            for bx in range(bw):
+                blk = coefs[ci][by, bx]
+                if ah == 0:  # first pass at this Al
+                    vals = [
+                        (1 if blk[k] >= 0 else -1) * (abs(int(blk[k])) >> al)
+                        for k in range(ss, se + 1)
+                    ]
+                    if not any(vals):
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    r = 0
+                    trailing = True
+                    last_nz = max(i for i, v in enumerate(vals) if v)
+                    for i, v in enumerate(vals[: last_nz + 1]):
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            w.put(*ac_codes[0xF0])
+                            r -= 16
+                        s = _mag(v)
+                        w.put(*ac_codes[(r << 4) | s])
+                        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                        r = 0
+                    if last_nz < len(vals) - 1:
+                        eobrun += 1
+                else:  # refinement pass (libjpeg encode_mcu_AC_refine)
+                    absv = [
+                        abs(int(blk[k])) >> al for k in range(ss, se + 1)
+                    ]
+                    eob_idx = -1
+                    for i, t in enumerate(absv):
+                        if t == 1:
+                            eob_idx = i
+                    r = 0
+                    br: list[int] = []
+                    for i, t in enumerate(absv):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i <= eob_idx:
+                            flush_eob()
+                            w.put(*ac_codes[0xF0])
+                            r -= 16
+                            for bit in br:
+                                w.put(bit, 1)
+                            br = []
+                        if t > 1:
+                            br.append(t & 1)
+                            continue
+                        flush_eob()
+                        w.put(*ac_codes[(r << 4) | 1])
+                        w.put(1 if blk[ss + i] >= 0 else 0, 1)
+                        for bit in br:
+                            w.put(bit, 1)
+                        br = []
+                        r = 0
+                    if r > 0 or br:
+                        eobrun += 1
+                        be.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+        flush_eob()
+        return w.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    sof = st.pack(">BHHB", 8, height, width, n_comp)
+    for ci in range(n_comp):
+        sof += bytes([ci + 1, (h_samp[ci] << 4) | v_samp[ci], 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + _PROG_DC_BITS + _PROG_DC_VALS)
+    out += seg(0xC4, bytes([0x10]) + _PROG_AC_BITS + _PROG_AC_VALS)
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        out += encode_scan(comp_idx, ss, se, ah, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multimodal_jpeg_progressive_pixel_decode():
+    """Progressive (SOF2) must reconstruct the EXACT same pixels as
+    a baseline encode of the same quantized coefficients — spectral
+    selection, successive approximation (DC+AC refinement scans,
+    EOB runs with buffered correction bits), grayscale and 4:2:0."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _decode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    # gradient + flat regions (flat blocks exercise cross-block EOB
+    # runs) + noise patch (dense AC exercises ZRL/refinement paths)
+    gray = np.full((17, 24), 96.0)
+    yy, xx = np.mgrid[0:17, 0:24]
+    gray[:, :12] = 40.0 + 6 * xx[:, :12] + 3 * yy[:, :12]
+    gray[9:, 16:] = np.clip(
+        rng.normal(128, 55, size=(8, 8)), 0, 255
+    ).round()
+
+    base = _decode_jpeg(_encode_jpeg([gray], [1], [1]), feat_dim=8)
+
+    # spectral-selection-only script
+    spectral = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+    p1 = _decode_jpeg(
+        _encode_jpeg_progressive([gray], [1], [1], scans=spectral),
+        feat_dim=8,
+    )
+    assert p1["features"] == base["features"]
+    assert (p1["width"], p1["height"]) == (24, 17)
+
+    # full successive-approximation script (default)
+    p2 = _decode_jpeg(
+        _encode_jpeg_progressive([gray], [1], [1]), feat_dim=8
+    )
+    assert p2["features"] == base["features"]
+
+    # color 4:2:0 (subsampled chroma, interleaved DC, per-comp AC)
+    h, w = 20, 12
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = 60.0 + 7 * xx + 2 * yy
+    cb = np.full((h, w), 120.0) + 3 * yy
+    cr = np.full((h, w), 136.0) - 2 * xx
+    base_c = _decode_jpeg(
+        _encode_jpeg([y, cb, cr], [2, 1, 1], [2, 1, 1]), feat_dim=8
+    )
+    p3 = _decode_jpeg(
+        _encode_jpeg_progressive([y, cb, cr], [2, 1, 1], [2, 1, 1]),
+        feat_dim=8,
+    )
+    assert p3["features"] == base_c["features"]
+    assert (p3["width"], p3["height"]) == (w, h)
+
+
 def test_multimodal_jpeg_baseline_pixel_decode():
     """Real entropy decode: encode known images with a minimal
     baseline encoder (spec Annex K tables), decode with the operator

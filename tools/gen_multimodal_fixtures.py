@@ -134,12 +134,20 @@ def main() -> None:
         palette,
         interlaced=True,
     )
-    from test_operators import _encode_jpeg  # tests/ on sys.path
+    from test_operators import (  # tests/ on sys.path
+        _encode_jpeg,
+        _encode_jpeg_progressive,
+    )
 
     yy, xx = np.mgrid[0:16, 0:16]
     plane = (xx * 12 + yy * 4).astype(np.float64)
     files["106.jpg"] = _encode_jpeg([plane], [1], [1], quant=16)
     files["107.bin"] = bytes(range(64)) * 3  # unknown magic -> fallback
+    # progressive (SOF2) with the default successive-approximation
+    # scan script — decodes to the same pixels as 106.jpg
+    files["108.jpg"] = _encode_jpeg_progressive(
+        [plane], [1], [1], quant=16
+    )
 
     for name, content in files.items():
         with open(os.path.join(OUT, name), "wb") as f:

@@ -919,6 +919,73 @@ def test_multimodal_jpeg_progressive_pixel_decode():
     assert (p3["width"], p3["height"]) == (w, h)
 
 
+def test_multimodal_dispatch_fallback_matrix():
+    """Pin EXACTLY which magics take which path (COVERAGE.md format
+    matrix): real decode for supported formats, true-dims +
+    placeholder features for arithmetic JPEG, byte-hash fallback for
+    16-bit / Adam7 PNG and unknown magics."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.multimodal import (
+        _fake_decode,
+        decode_asset,
+    )
+
+    def png(w, h, depth, color, interlace, raw):
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", zlib.crc32(tag + payload))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    # real path: 8-bit gray PNG decodes to exact pixel stats
+    raw8 = b"".join(b"\x00" + bytes([10 * x for x in range(4)]) for _ in range(4))
+    out = decode_asset(png(4, 4, 8, 0, 0, raw8), "image", 6)
+    assert out["features"][0] == np.frombuffer(
+        bytes([0, 10, 20, 30] * 4), np.uint8
+    ).mean() / 255.0
+
+    # 16-bit PNG → byte-hash fallback (features == _fake_decode's)
+    content16 = png(2, 2, 16, 0, 0, b"\x00" + b"\x12\x34" * 2 + b"\x00" + b"\x56\x78" * 2)
+    out16 = decode_asset(content16, "image", 6)
+    assert out16["features"] == _fake_decode(content16, "image", 6)["features"]
+
+    # Adam7 interlaced PNG → fallback
+    content_a7 = png(2, 2, 8, 0, 1, b"\x00\x01\x00\x02\x00\x03\x04")
+    out_a7 = decode_asset(content_a7, "image", 6)
+    assert out_a7["features"] == _fake_decode(content_a7, "image", 6)["features"]
+
+    # arithmetic-coded JPEG (SOF9 0xC9) → TRUE dims, fake features
+    sof = struct.pack(">BHHB", 8, 5, 7, 1) + bytes([1, 0x11, 0])
+    arith = (
+        b"\xff\xd8"
+        + b"\xff\xc9"
+        + struct.pack(">H", len(sof) + 2)
+        + sof
+        + b"\xff\xd9"
+    )
+    out_ar = decode_asset(arith, "image", 6)
+    assert (out_ar["width"], out_ar["height"]) == (7, 5)
+    assert out_ar["features"] == _fake_decode(arith, "image", 6)["features"]
+
+    # unknown magic → full fallback
+    blob = b"\x00\x01\x02mystery"
+    assert decode_asset(blob, "image", 6) == _fake_decode(blob, "image", 6)
+
+
 def test_multimodal_jpeg_baseline_pixel_decode():
     """Real entropy decode: encode known images with a minimal
     baseline encoder (spec Annex K tables), decode with the operator

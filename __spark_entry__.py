@@ -1369,6 +1369,43 @@ FROM documents GROUP BY text
 """
 
 
+def dedup_paragraph_docs(spark, sf_dir):
+    """Paragraph-level exact dedup (RefinedWeb recipe, M1 family,
+    operators/dedup.py paragraph_dedup): drop corpus-wide repeated
+    16-token chunks keeping global first occurrences, reassemble
+    cleaned documents. Three linear shuffles: chunk explode, one
+    window on the chunk text, reassembly aggregate on doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return D.paragraph_dedup(d, chunk_tokens=16)
+
+
+DEDUP_PARAGRAPH_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INT) AS i,
+         array_to_string(
+           list_slice(t, i * 16 + 1, LEAST((i + 1) * 16, len(t))), ' '
+         ) AS p
+  FROM toks,
+       UNNEST(range(GREATEST(1, CAST(ceil(len(t) / 16.0) AS BIGINT)))) AS u(i)
+),
+ranked AS (
+  SELECT doc_id, i, p,
+         row_number() OVER (PARTITION BY p ORDER BY doc_id, i) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_paragraphs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN p END, ' ' ORDER BY i), ''
+       ) AS cleaned_text
+FROM ranked GROUP BY doc_id
+"""
+
+
 def dedup_keep_first_docs(spark, sf_dir):
     """Full-row exact dedup: keep the lowest-id row per text (window
     row_number, one shuffle on the dedup key)."""
@@ -4867,6 +4904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features_docs": multimodal_features_docs,
         "multimodal_decode_real": multimodal_decode_real,
         "dedup_exact_docs": dedup_exact_docs,
+        "dedup_paragraph_docs": dedup_paragraph_docs,
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -5010,6 +5048,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features_docs": MULTIMODAL_SQL,
         "multimodal_decode_real": MULTIMODAL_REAL_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
+        "dedup_paragraph_docs": DEDUP_PARAGRAPH_SQL,
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path

@@ -54,6 +54,89 @@ def exact_dedup_rows(df: DataFrame, key_cols: list[str], order_col: str) -> Data
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    delimiter: str | None = None,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/FineWeb recipe):
+    drop REPEATED paragraphs corpus-wide — boilerplate headers,
+    license blocks, navigation chrome — while keeping each document's
+    first-occurrence content, then reassemble the cleaned documents.
+
+    ``delimiter`` splits real corpora (e.g. ``"\\n\\n"``); when None,
+    documents are segmented into fixed ``chunk_tokens``-token chunks
+    (the fixtures carry no paragraph breaks). A paragraph occurrence
+    survives iff it is the globally FIRST occurrence of that exact
+    text, ordered by (doc id, position) — later copies anywhere in
+    the corpus, including within the same document, are dropped.
+
+    Output: (id, n_paragraphs, n_kept, cleaned_text).
+
+    Scale shape — three linear shuffles, no pair explosion:
+    paragraph explode (flat map), one window keyed on the paragraph
+    text (balanced: key cardinality ~ distinct paragraphs; the
+    heaviest key costs its own duplicate count, same bound as
+    exact_dedup), and one reassembly aggregate keyed on the doc id
+    (array_sort over ≤ doc-length structs, no per-doc window).
+    """
+    if delimiter is None:
+        parts = F.split(F.trim(F.col(text_col)), r"\s+")
+    else:
+        parts = F.split(F.col(text_col), F.lit(delimiter), -1)
+    per_chunk = 1 if delimiter is not None else chunk_tokens
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(F.col("_parts")) / F.lit(per_chunk))
+    ).cast("int")
+    para = F.array_join(
+        F.slice(
+            F.col("_parts"), F.col("_i") * per_chunk + 1, per_chunk
+        ),
+        " " if delimiter is None else delimiter,
+    )
+    chunks = (
+        df.select(F.col(id_col), parts.alias("_parts"))
+        .select(
+            F.col(id_col),
+            F.col("_parts"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("_i"),
+        )
+        .select(F.col(id_col), F.col("_i"), para.alias("_p"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("_p").orderBy(F.col(id_col), F.col("_i"))
+    )
+    kept = chunks.withColumn("_keep", rn == 1)
+    joiner = " " if delimiter is None else delimiter
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paragraphs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(
+                                    F.col("_i"), F.col("_p").alias("_t")
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["_t"],
+                ),
+                joiner,
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 # ---------------------------------------------------------- shingling
 
 

@@ -2376,6 +2376,51 @@ def test_hll_incremental_distinct_invariants(spark):
         assert r.within_5pct  # estimate near exact
 
 
+def test_paragraph_dedup_modes(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as D,
+    )
+
+    # delimiter mode: doc 2 repeats doc 1's paragraph A; doc 1
+    # repeats its own B internally
+    rows = [
+        (1, "aaa x\n\nbbb y\n\nbbb y"),
+        (2, "aaa x\n\nccc z"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in D.paragraph_dedup(d, delimiter="\n\n").collect()
+    }
+    assert out[1].n_paragraphs == 3 and out[1].n_kept == 2
+    assert out[1].cleaned_text == "aaa x\n\nbbb y"
+    assert out[2].n_paragraphs == 2 and out[2].n_kept == 1
+    assert out[2].cleaned_text == "ccc z"
+
+    # chunk mode: 4-token chunks; doc 20 repeats doc 10's first chunk
+    rows = [
+        (10, "a b c d e f g h"),
+        (20, "a b c d zz"),
+    ]
+    d2 = spark.createDataFrame(rows, ["doc_id", "text"])
+    out2 = {
+        r.doc_id: r
+        for r in D.paragraph_dedup(d2, chunk_tokens=4).collect()
+    }
+    assert out2[10].n_paragraphs == 2 and out2[10].n_kept == 2
+    assert out2[10].cleaned_text == "a b c d e f g h"
+    assert out2[20].n_paragraphs == 2 and out2[20].n_kept == 1
+    assert out2[20].cleaned_text == "zz"
+    # deterministic under repartitioning
+    again = {
+        r.doc_id: r.cleaned_text
+        for r in D.paragraph_dedup(
+            d2.repartition(5), chunk_tokens=4
+        ).collect()
+    }
+    assert again == {k: v.cleaned_text for k, v in out2.items()}
+
+
 def test_token_budget_sample_fills_each_budget(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         mixing as MX,

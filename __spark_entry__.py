@@ -1824,6 +1824,47 @@ ORDER BY {_hash32_sql("doc_id")}, doc_id LIMIT 50
 """
 
 
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted exact-k sample without replacement
+    (Efraimidis–Spirakis, operators/mixing.py weighted_exact_k):
+    rank by quantized ln(u)/w with u drawn from the doc-id hash,
+    w = n_chars — longer docs proportionally likelier, exact count,
+    engine-reproducible. TakeOrderedAndProject plan (k-row heap per
+    partition, no full sort)."""
+    d = _t(spark, sf_dir, "documents")
+    return MX.weighted_exact_k(d, 50, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         FLOOR(LN(({_hash32_sql("doc_id")} + 1) / 4294967296.0)
+               / n_chars * 1000000) AS wk
+  FROM documents WHERE n_chars > 0
+) ORDER BY wk DESC, doc_id LIMIT 50
+"""
+
+
+def leakage_split_docs(spark, sf_dir):
+    """Contamination-aware train/test split (operators/dedup.py
+    leakage_safe_split): the split key is the near-dup CLUSTER id
+    (shared verified MinHash pair set → connected components;
+    singletons are their own cluster), so near-duplicates never
+    straddle the boundary — the leakage-safe eval split a curation
+    pipeline ships. split is a pure function of cluster_id (same
+    deterministic Bernoulli as the samplers)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.leakage_safe_split(
+        d, _minhash_pairs(spark, sf_dir), test_fraction=0.1
+    )
+
+
+# LEAKAGE_SPLIT_SQL is defined after DEDUP_CLUSTER_SQL (it embeds
+# the recursive-CTE cluster oracle).
+
+
 def classifier_score_docs(spark, sf_dir):
     """fasttext-style linear quality classifier over hashed BoW
     features (operators/scoring.py): broadcast (bucket, weight)
@@ -4222,6 +4263,16 @@ SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
 FROM reach GROUP BY src
 """
 
+LEAKAGE_SPLIT_SQL = f"""
+WITH cl AS ({DEDUP_CLUSTER_SQL})
+SELECT d.doc_id,
+       COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN {_hash32_sql("COALESCE(cl.cluster_id, d.doc_id)")}
+              < 429496729
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+"""
+
 
 def dedup_best_quality_docs(spark, sf_dir):
     """Quality-aware duplicate-cluster representative selection:
@@ -4905,6 +4956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_real": multimodal_decode_real,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_paragraph_docs": dedup_paragraph_docs,
+        "weighted_sample_docs": weighted_sample_docs,
+        "leakage_split_docs": leakage_split_docs,
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
@@ -5049,6 +5102,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode_real": MULTIMODAL_REAL_SQL,
         "dedup_exact_docs": DEDUP_EXACT_SQL,
         "dedup_paragraph_docs": DEDUP_PARAGRAPH_SQL,
+        "weighted_sample_docs": WEIGHTED_SAMPLE_SQL,
+        "leakage_split_docs": LEAKAGE_SPLIT_SQL,
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path

@@ -866,6 +866,51 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    test_fraction: float = 0.1,
+) -> DataFrame:
+    """Contamination-aware train/test split: near-duplicate documents
+    NEVER straddle the boundary. A hash split on the raw doc id
+    leaks — a test doc's near-copy lands in train and the eval
+    overstates generalization — so the split key is the near-dup
+    CLUSTER id (connected components over ``pairs``; docs in no pair
+    are their own singleton cluster), and the whole cluster goes
+    wherever its deterministic Bernoulli sends it.
+
+    Output: (id, cluster_id, split∈{train,test}). By construction
+    every cluster is entirely on one side — the gate's oracle checks
+    the assignment doc-by-doc, and ``COUNT(DISTINCT split) = 1`` per
+    cluster is a trivially provable invariant of the plan (split is
+    a function of cluster_id alone).
+
+    Scale shape: the CC label frame is O(docs-in-pairs) ≪ corpus;
+    the join back is one shuffle on the id; the split itself is a
+    pure filter expression (same engine-reproducible hash as the
+    samplers)."""
+    from .mixing import keep_fraction_expr
+
+    clusters = connected_components(pairs, src_col, dst_col)
+    return (
+        df.select(F.col(id_col))
+        .join(
+            clusters.withColumnRenamed("doc_id", id_col), [id_col], "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+        .withColumn(
+            "split",
+            F.when(
+                keep_fraction_expr("cluster_id", test_fraction),
+                F.lit("test"),
+            ).otherwise(F.lit("train")),
+        )
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -171,6 +171,39 @@ def stratified_exact_k(
     )
 
 
+def weighted_exact_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    key_col: str = "doc_id",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Deterministic weighted exact-k sample WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1] from the
+    hash of its key and ranks by u^(1/w) — equivalently ln(u)/w,
+    larger is better — so a row's inclusion probability scales with
+    its weight (quality score, token count, boost factor). The
+    standard way to bias a training mix toward high-quality docs
+    while keeping an exact count.
+
+    The rank key is quantized (``floor(ln(u)/w · quant)``) before
+    ordering so an independent engine reproduces the identical
+    sample despite last-ULP libm differences; ties break on the key
+    column. Plan shape: orderBy+limit = TakeOrderedAndProject — a
+    k-row heap per partition, no full sort, no full shuffle.
+    Rows with weight ≤ 0 or NULL are excluded (undefined draw)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (hash32_expr(key_col) + F.lit(1)) / F.lit(float(_MOD))
+    qkey = F.floor(F.log(u) / w * F.lit(quant)).cast("bigint")
+    return (
+        df.filter(w > 0)
+        .withColumn("_wk", qkey)
+        .orderBy(F.desc("_wk"), F.col(key_col))
+        .limit(k)
+        .drop("_wk")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict[str, int],

@@ -2421,6 +2421,79 @@ def test_paragraph_dedup_modes(spark):
     assert again == {k: v.cleaned_text for k, v in out2.items()}
 
 
+def test_weighted_exact_k_matches_python_reference(spark):
+    """The A-ES sample must equal a Python recomputation of the same
+    quantized rank formula (cross-impl determinism), drop nonpositive
+    weights, and favor heavy rows in aggregate."""
+    import math
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    MULT, MOD = 2654435761, 2**32
+    rows = [(i, (i * 13) % 97 + 1 if i % 11 else 0) for i in range(500)]
+    d = spark.createDataFrame(rows, ["doc_id", "w"])
+
+    def rank_key(i, w):
+        h = ((i % MOD) * MULT) % MOD
+        return math.floor(math.log((h + 1) / MOD) / w * 1e6)
+
+    expect = sorted(
+        ((rank_key(i, w), i) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:40]
+    got = MX.weighted_exact_k(d.repartition(7), 40, "w").collect()
+    assert sorted(r.doc_id for r in got) == sorted(i for _, i in expect)
+    # bias check: giant weight should (deterministically) be sampled
+    d2 = spark.createDataFrame(
+        [(i, 10**9 if i == 123 else 1) for i in range(400)],
+        ["doc_id", "w"],
+    )
+    assert 123 in {
+        r.doc_id for r in MX.weighted_exact_k(d2, 10, "w").collect()
+    }
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as D,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"]
+    )
+    # two chains + one triangle + singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 51), (60, 61), (61, 62), (60, 62)],
+        ["id_a", "id_b"],
+    )
+    out = D.leakage_safe_split(docs, pairs, test_fraction=0.3).collect()
+    assert len(out) == 200
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # invariant: one side per cluster
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # linked docs share a cluster (and hence a side)
+    m = {r.doc_id: r for r in out}
+    assert m[1].cluster_id == m[2].cluster_id == m[3].cluster_id == 1
+    assert m[60].cluster_id == m[61].cluster_id == m[62].cluster_id == 60
+    # singleton docs cluster to themselves
+    assert m[100].cluster_id == 100
+    # both sides populated at 30%
+    splits = {r.split for r in out}
+    assert splits == {"train", "test"}
+    # deterministic under repartitioning
+    again = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in D.leakage_safe_split(
+            docs.repartition(9), pairs, test_fraction=0.3
+        ).collect()
+    }
+    assert again == {r.doc_id: (r.cluster_id, r.split) for r in out}
+
+
 def test_token_budget_sample_fills_each_budget(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         mixing as MX,

@@ -9,7 +9,10 @@ across copies, so dedup finds the cross-copy duplicate groups
 (every doc gains N-1 identical siblings — which also exercises the
 giant-bucket guard) and kNN sees a genuinely larger corpus.
 
-Usage: python tools/scale_probe.py [sf_dir] [N]
+Usage: python tools/scale_probe.py [sf_dir] [N] [case,case,...]
+The optional third argument restricts the run to named cases — used
+for the deep-scale (25×) datapoints on the bounded-pair-growth
+operators, where running the whole suite would be wall-clock-bound.
 Prints one JSON line: {"sf_dir": ..., "scale": N,
 "ops": {op: {"t1": s, "tN": s, "ratio": r}}}.
 """
@@ -272,6 +275,18 @@ def main() -> None:
     cases["embed_cluster"] = embed_cluster
     inputs["embed_cluster"] = (emb, ["vec_id"])
 
+    _stateful_names = {
+        "incremental_dedup_batch",
+        "lsh_index_probe",
+        "lm_stored_model_score",
+    }
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only:
+        unknown = only - set(cases) - _stateful_names
+        if unknown:
+            raise SystemExit(f"unknown cases: {sorted(unknown)}")
+        cases = {k: v for k, v in cases.items() if k in only}
+
     ops = {}
     for name, fn in cases.items():
         base, id_cols = inputs[name]
@@ -295,6 +310,8 @@ def main() -> None:
         "lsh_index_probe": (emb, ["vec_id"], index_probe),
         "lm_stored_model_score": (docs, ["doc_id"], lm_model_probe),
     }
+    if only:
+        stateful = {k: v for k, v in stateful.items() if k in only}
     for name, (base, id_cols, build) in stateful.items():
         one = scaled(base, 1, id_cols).localCheckpoint(eager=True)
         big = scaled(base, n, id_cols).localCheckpoint(eager=True)

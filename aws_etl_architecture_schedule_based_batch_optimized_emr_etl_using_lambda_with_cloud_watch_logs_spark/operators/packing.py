@@ -137,6 +137,65 @@ def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping sliding-window chunking (the RAG / long-context
+    preprocessing step): split each document into ``chunk_size``-token
+    windows advancing by ``stride`` tokens (overlap = size − stride),
+    so retrieval-time context never loses a span to a hard boundary.
+
+    Chunk i covers tokens [i·stride, i·stride + size); windows are
+    emitted while their start is inside the document, and a doc at
+    most one window long yields exactly one chunk. Output:
+    (id, chunk_id, start_token, n_tokens, chunk_text) — chunk count
+    and offsets are a pure function of the token count, so the
+    trainer/indexer can locate any chunk without re-reading.
+
+    Scale shape: one ``sequence``+``explode`` fan-out (plan-time,
+    no UDF), no shuffle at all — chunking is embarrassingly parallel
+    and stays in whole-stage codegen; downstream embed/index stages
+    consume the chunk table directly."""
+    if stride <= 0 or stride > chunk_size:
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = tokens_col(text_col)
+    n = F.size(F.col("_toks"))
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.ceil((n - chunk_size) / F.lit(stride)) + 1
+    ).cast("int")
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            (F.col("chunk_id") * stride).cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(chunk_size),
+                F.size(F.col("_toks")) - F.col("chunk_id") * stride,
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(
+                    F.col("_toks"),
+                    F.col("chunk_id") * stride + 1,
+                    chunk_size,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def shard_column(id_col: str | Column, n_shards: int) -> Column:
     """Deterministic doc → shard assignment: hash32(id) mod
     n_shards. Engine-reproducible (overflow-safe two-limb multiply,

@@ -86,39 +86,45 @@ def cms_estimate(
     token_col: str = "token",
     depth: int = 4,
     width: int = 512,
+    check_depth: bool = True,
 ) -> DataFrame:
     """Point-query the sketch for each probe token: min over the
     depth rows of the matching cell counts (missing cell → 0).
     The sketch side is broadcast (≤ depth·width rows).
 
-    Fail-closed depth guard: probing with a LARGER depth than the
-    sketch was built with would join nonexistent j rows, coalesce
-    them to 0, and silently break the never-underestimate guarantee
-    — so the plan carries a one-row broadcast of the sketch's
-    ``max(j)`` and ``assert_true``s that every probe row's j is
-    covered (runtime error instead of a wrong 0). Probing with a
-    SMALLER depth stays legal: min over a subset of rows can only
-    be ≥ the full min, preserving one-sided error. The max-j agg
-    shares the sketch's shuffle exchange, so no extra corpus scan."""
+    Fail-closed depth guard (``check_depth``, default on): probing
+    with a LARGER depth than the sketch was built with would join
+    nonexistent j rows, coalesce them to 0, and silently break the
+    never-underestimate guarantee — so the plan carries a one-row
+    broadcast of the sketch's ``max(j)`` and ``assert_true``s that
+    every probe row's j is covered (runtime error instead of a
+    wrong 0). Probing with a SMALLER depth stays legal: min over a
+    subset of rows can only be ≥ the full min, preserving one-sided
+    error. Callers that pass the SAME depth variable to build and
+    probe (mismatch impossible by construction, e.g. heavy_hitters)
+    may disable the guard to skip its extra aggregate over the
+    sketch subplan."""
     cells = F.array(
         *[cms_cell(F.col(token_col), j, width) for j in range(depth)]
     )
-    guard = F.broadcast(sketch.agg(F.max("j").alias("_maxj")))
-    fan = (
-        probes.select(token_col, F.posexplode(cells).alias("j", "cell"))
-        .join(guard)
-        .withColumn(
-            "_depth_ok",
-            F.assert_true(
-                # empty sketch ⇒ nothing inserted ⇒ all-zero estimates
-                # are exact, so an absent max(j) passes the guard
-                F.col("j") <= F.coalesce(F.col("_maxj"), F.lit(depth - 1)),
-                F.lit("cms_estimate: probe depth exceeds sketch depth"),
-            ),
+    fan = probes.select(token_col, F.posexplode(cells).alias("j", "cell"))
+    if check_depth:
+        guard = F.broadcast(sketch.agg(F.max("j").alias("_maxj")))
+        fan = (
+            fan.join(guard)
+            .withColumn(
+                "_depth_ok",
+                F.assert_true(
+                    # empty sketch ⇒ nothing inserted ⇒ all-zero
+                    # estimates are exact, so absent max(j) passes
+                    F.col("j")
+                    <= F.coalesce(F.col("_maxj"), F.lit(depth - 1)),
+                    F.lit("cms_estimate: probe depth exceeds sketch depth"),
+                ),
+            )
+            .filter(F.col("_depth_ok").isNull())  # keeps the assert live
+            .drop("_maxj", "_depth_ok")
         )
-        .filter(F.col("_depth_ok").isNull())  # always true; keeps the assert live
-        .drop("_maxj", "_depth_ok")
-    )
     return (
         fan.join(F.broadcast(sketch), ["j", "cell"], "left")
         .groupBy(token_col)
@@ -151,7 +157,12 @@ def heavy_hitters(
         .orderBy(F.desc("exact_n"), "token")
         .limit(top_k)
     )
-    est = cms_estimate(sketch, exact.select("token"), "token", depth, width)
+    # same depth variable builds and probes → mismatch impossible;
+    # skip the guard's extra aggregate over the sketch subplan
+    est = cms_estimate(
+        sketch, exact.select("token"), "token", depth, width,
+        check_depth=False,
+    )
     return (
         exact.join(est, ["token"])
         .select(

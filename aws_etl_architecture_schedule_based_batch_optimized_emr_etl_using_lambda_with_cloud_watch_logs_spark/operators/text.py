@@ -9,7 +9,7 @@ engine (the DuckDB oracle) can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
@@ -344,6 +344,97 @@ def token_frequencies(
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
+    )
+
+
+def diversity_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n diversity metrics per group: for each n, the count
+    of n-gram occurrences, the count of DISTINCT n-grams, and their
+    ratio — the standard text-generation/corpus diversity diagnostic
+    (low distinct-2/distinct-3 ⇒ templated or repetitive data). One
+    corpus scan: each doc's n-gram arrays for every n are tagged and
+    concatenated, one explode, one (group, n, gram) aggregate, one
+    (group, n) roll-up. The ratio is integer-exact
+    (``distinct·10⁶ DIV total``) so any engine reproduces it.
+
+    At 100 TB both aggregates are map-side-combined shrinking
+    hash-aggregates keyed on (group, n, gram) then (group, n) — the
+    same shuffle bound as the word-count."""
+    from .dedup import ngrams_col
+
+    toks = tokens_col(text_col)
+
+    def _tag(n: int):
+        # a 2-arg lambda would make transform() pass (element, index)
+        # and bind the index over the closure default — close properly
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[
+            F.transform(ngrams_col(toks, n) if n > 1 else toks, _tag(n))
+            for n in ns
+        ]
+    )
+    per_gram = (
+        df.select(F.col(group_col), F.explode(tagged).alias("t"))
+        .select(group_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+        .groupBy(group_col, "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+            F.countDistinct("gram").cast("bigint").alias("distinct_ngrams"),
+        )
+    )
+    return per_gram.withColumn(
+        "distinct_ratio_q",
+        F.expr("CAST(distinct_ngrams * 1000000 DIV total_ngrams AS BIGINT)"),
+    )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Zipf-fit diagnostic: least-squares slope of ln(freq) over
+    ln(rank) for the top-k tokens. Natural corpora sit near −1;
+    a much flatter slope flags templated/synthetic data, a steeper
+    one flags tiny-vocabulary degeneracy — a one-row corpus health
+    check for dataset cards.
+
+    Plan: word-count aggregate → TakeOrderedAndProject top-k (rank
+    ties broken on the token so both engines agree) → closed-form
+    least squares from four sums over k rows. Results quantized at
+    1e4 (float enters only via ln over ≤k values)."""
+    freq = (
+        df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    xy = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    agg = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_tokens_fit"),
+        F.round(slope * F.lit(1e4)).cast("bigint").alias("slope_q"),
+        F.round(intercept * F.lit(1e4)).cast("bigint").alias("intercept_q"),
     )
 
 

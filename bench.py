@@ -164,6 +164,14 @@ HEADLINE = [
     "rp_project_vecs",
     "tfidf_keywords_docs",
     "sim_topk_rp",
+    # round-5 additions
+    "multimodal_decode_real",
+    "dedup_paragraph_docs",
+    "weighted_sample_docs",
+    "leakage_split_docs",
+    "text_diversity_docs",
+    "text_zipf_docs",
+    "chunk_docs_rag",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

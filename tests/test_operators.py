@@ -2421,6 +2421,84 @@ def test_paragraph_dedup_modes(spark):
     assert again == {k: v.cleaned_text for k, v in out2.items()}
 
 
+def test_diversity_report_hand_computed(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "en", "a b a b"), (2, "en", "a b"), (3, "fr", "x")],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        (r.lang, r.n): r for r in X.diversity_report(d).collect()
+    }
+    # en unigrams: a,b,a,b,a,b -> 6 total, 2 distinct
+    assert out[("en", 1)].total_ngrams == 6
+    assert out[("en", 1)].distinct_ngrams == 2
+    assert out[("en", 1)].distinct_ratio_q == 2 * 1_000_000 // 6
+    # en bigrams: doc1 "a b","b a","a b" + doc2 "a b" -> 4 total, 2 distinct
+    assert out[("en", 2)].total_ngrams == 4
+    assert out[("en", 2)].distinct_ngrams == 2
+    # fr doc has 1 token: n=2,3 fall back to the whole-text gram
+    assert out[("fr", 2)].total_ngrams == 1
+    assert out[("fr", 3)].distinct_ngrams == 1
+
+
+def test_zipf_slope_recovers_power_law(spark):
+    """A corpus built with freq(rank r) = round(1000/r) must fit a
+    slope near −1; a uniform corpus must fit a slope near 0."""
+    rows = []
+    for r in range(1, 31):
+        rows.extend((i, f"w{r:02d}") for i in range(round(1000 / r)))
+    d = spark.createDataFrame(rows, ["i", "text"])
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    out = X.zipf_slope(d, top_k=30).collect()[0]
+    assert out.n_tokens_fit == 30
+    assert abs(out.slope_q / 1e4 + 1.0) < 0.05
+    uni = spark.createDataFrame(
+        [(i, f"u{i % 20:02d}") for i in range(2000)], ["i", "text"]
+    )
+    out_u = X.zipf_slope(uni, top_k=20).collect()[0]
+    assert abs(out_u.slope_q / 1e4) < 0.05
+
+
+def test_chunk_documents_offsets_and_coverage(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    toks = [f"t{i}" for i in range(10)]
+    d = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = sorted(
+        PK.chunk_documents(d, chunk_size=4, stride=3).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    c1 = [r for r in out if r.doc_id == 1]
+    # 10 tokens, size 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert [r.start_token for r in c1] == [0, 3, 6]
+    assert [r.n_tokens for r in c1] == [4, 4, 4]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[2].chunk_text == "t6 t7 t8 t9"
+    # every token position covered by >= 1 chunk; overlap = 1
+    covered = set()
+    for r in c1:
+        covered |= set(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(10))
+    c2 = [r for r in out if r.doc_id == 2]
+    assert len(c2) == 1 and c2[0].chunk_text == "a b c" and c2[0].n_tokens == 3
+    # invalid stride rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PK.chunk_documents(d, chunk_size=4, stride=5)
+
+
 def test_weighted_exact_k_matches_python_reference(spark):
     """The A-ES sample must equal a Python recomputation of the same
     quantized rank formula (cross-impl determinism), drop nonpositive

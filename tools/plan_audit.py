@@ -42,6 +42,9 @@ ARROW_STAGE_OK = {
     "dedup_ngram_pairs",
     "text_bpe_token_stats",
     "multimodal_features_docs",
+    # real-codec fixture gate: same mapInPandas extract stage as
+    # multimodal_features_docs, decode_stub="auto"
+    "multimodal_decode_real",
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_bruteforce",

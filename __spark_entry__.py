@@ -1050,6 +1050,82 @@ FROM (SELECT DISTINCT user_id, event_type, ts FROM events)
 """
 
 
+def stream_sessionize_counts(spark, sf_dir):
+    """Third driver-verified streaming gate (K family): the CUSTOM
+    stateful operator — applyInPandasWithState sessionization with a
+    30-min inactivity gap, state carried across micro-batches
+    (streaming/ingest.py sessionize_stateful) — drained through an
+    AvailableNow memory sink in update mode. The final state per
+    user (n_events is strictly monotone, so max-row = final) must
+    equal the batch gaps-and-islands twin; DuckDB recomputes the
+    twin and pins the match flag, making the custom stateful path
+    driver-verified rather than pytest-only."""
+    batch = _events(spark, sf_dir)
+    raw_schema = _t(spark, sf_dir, "events").schema
+    stream = _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"stream_sess_gate_{next(_STREAM_GATE_SEQ)}"
+    streamed = SI.run_to_memory(
+        SI.sessionize_stateful(stream, gap_s=1800),
+        name,
+        output_mode="update",
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    s = (
+        streamed.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_sessions").alias("s_sessions"),
+            F.col("n_events").alias("s_events"),
+        )
+    )
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wb))
+    b = (
+        batch.withColumn(
+            "new_s",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").alias("b_sessions"),
+            F.count("*").alias("b_events"),
+        )
+    )
+    joined = s.join(b, ["user_id"], "full_outer")
+    ok = F.col("s_sessions").eqNullSafe(F.col("b_sessions")) & F.col(
+        "s_events"
+    ).eqNullSafe(F.col("b_events"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("b_sessions").cast("bigint").alias("total_sessions"),
+        F.coalesce(
+            F.min(F.when(ok, 1).otherwise(0)) == 1, F.lit(True)
+        ).alias("matches_batch_twin"),
+    )
+
+
+STREAM_SESS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(new_s) AS BIGINT) AS total_sessions,
+       TRUE AS matches_batch_twin
+FROM flagged
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap, gaps-and-islands via
     lag + cumulative flag. Exact µs arithmetic on both sides."""
@@ -3216,6 +3292,63 @@ def _exact_topk(spark, sf_dir) -> DataFrame:
     )
 
 
+def sim_topk_sq(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dimension int8 codes
+    (operators/projection.py scalar_quantize) cut the scan side to
+    64 bytes/vector (4× less memory bandwidth than float32 — the
+    FAISS-SQ8/Lucene-int8 scale lever), the shortlist is scored
+    over dequantized vectors, and the exact float rerank touches
+    only shortlist/corpus rows. Same recall-gate contract as
+    LSH/IVF/RP: DuckDB recomputes the exact top-k totals and pins
+    recall ≥ 0.5 (measured ≈1.0 — SQ8 reconstruction error ≪ the
+    cosine margins at these dims)."""
+    e = _t(spark, sf_dir, "embeddings")
+    codes, stats = PJ.scalar_quantize(e)
+    deq = PJ.dequantize_col(F.col("qvec"), F.col("_st"))
+    with_stats = codes.crossJoin(F.broadcast(stats))
+    base = with_stats.select(
+        F.col("vec_id").alias("n_id"), deq.alias("n_vec")
+    )
+    q = with_stats.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), deq.alias("q_vec")
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("n_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "n_id",
+        S.cosine_col(F.col("q_vec"), F.col("n_vec")).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("n_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("q_id", "n_id")
+    )
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    full = e.select(F.col("vec_id").alias("n_id"), dvec.alias("fn_vec"))
+    fullq = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), dvec.alias("fq_vec")
+    )
+    rerank = (
+        shortlist.join(full, ["n_id"])
+        .join(F.broadcast(fullq), ["q_id"])
+        .select(
+            "q_id",
+            "n_id",
+            S.cosine_col(F.col("fq_vec"), F.col("fn_vec")).alias("cosine"),
+        )
+    )
+    approx = (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "n_id")
+    )
+    return _ann_recall_gate(spark, sf_dir, approx)
+
+
 def _ann_recall_gate(spark, sf_dir, approx_df):
     """Oracle-checkable ANN output: the raw top-k is algorithm-
     specific, so the gate emits the RECALL of the approximate answer
@@ -5036,8 +5169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project_vecs": rp_project_vecs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "sim_topk_rp": sim_topk_rp,
+        "sim_topk_sq": sim_topk_sq,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_counts": stream_dedup_counts,
+        "stream_sessionize_counts": stream_sessionize_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
@@ -5130,6 +5265,7 @@ def oracle_sql() -> dict[str, str]:
         "rp_project_vecs": RP_PROJECT_SQL,
         "tfidf_keywords_docs": TFIDF_SQL,
         "sim_topk_rp": ANN_RECALL_SQL,
+        "sim_topk_sq": ANN_RECALL_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,
@@ -5193,6 +5329,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_window": TUMBLING_SQL,
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_counts": STREAM_DD_SQL,
+        "stream_sessionize_counts": STREAM_SESS_SQL,
         "token_budget_mix_docs": TOKEN_BUDGET_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,

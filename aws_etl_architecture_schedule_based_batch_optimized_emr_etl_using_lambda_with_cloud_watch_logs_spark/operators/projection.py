@@ -91,3 +91,80 @@ def rp_project(
         F.col(id_col),
         *[F.col(str(k)).alias(f"p{k}") for k in range(d_out)],
     )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-dimension scalar quantization (SQ8): map each float
+    component to an integer code in [0, 2^bits) using the corpus
+    per-dimension min/max — the standard memory-bandwidth lever for
+    vector search at scale (8-bit codes cut the scan bytes 4× vs
+    float32; FAISS's SQ8 / Lucene's int8 HNSW use exactly this
+    shape). Returns ``(codes_df, stats_df)``:
+
+    * codes_df — (id, qvec array<int>), code = floor((v − mn_i)·L /
+      (mx_i − mn_i)) clamped to [0, L], L = 2^bits − 1. Constant
+      dimensions (mx = mn) code to 0.
+    * stats_df — ONE row holding the sorted (pos, mn, mx) struct
+      array; broadcast wherever codes are dequantized. Reconstruct
+      with :func:`dequantize_col`; |v − v̂| < (mx−mn)/L per dim.
+
+    Plan shape: one posexplode aggregate for the stats (map-side
+    combined, 2·d values), then a broadcast cross join + one
+    ``transform`` over the vector — no shuffle of the corpus, no
+    Python. Codes are exact integers (floor of deterministic double
+    arithmetic), so quantization is reproducible across engines and
+    partitionings."""
+    levels = (1 << bits) - 1
+    stats = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "mn", "mx"))
+            ).alias("_st")
+        )
+    )
+
+    def _code(x, i):
+        st = F.element_at(F.col("_st"), i + 1)
+        mn, mx = st.getField("mn"), st.getField("mx")
+        raw = F.floor(
+            (x.cast("double") - mn) * F.lit(float(levels)) / (mx - mn)
+        )
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.least(F.lit(levels), F.greatest(F.lit(0), raw)))
+            .cast("int")
+        )
+
+    codes = (
+        df.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), _code).alias("qvec"),
+        )
+    )
+    return codes, stats
+
+
+def dequantize_col(qvec: Column, st: Column, bits: int = 8) -> Column:
+    """Reconstruct the float vector from SQ codes + the stats struct
+    array: v̂_i = mn_i + code_i · (mx_i − mn_i)/L (midpointless floor
+    convention, matching :func:`scalar_quantize`)."""
+    levels = float((1 << bits) - 1)
+
+    def _deq(c, i):
+        s = F.element_at(st, i + 1)
+        mn, mx = s.getField("mn"), s.getField("mx")
+        return mn + c.cast("double") * (mx - mn) / F.lit(levels)
+
+    return F.transform(qvec, _deq)

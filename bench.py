@@ -172,6 +172,8 @@ HEADLINE = [
     "text_diversity_docs",
     "text_zipf_docs",
     "chunk_docs_rag",
+    "sim_topk_sq",
+    "stream_sessionize_counts",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

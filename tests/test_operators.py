@@ -2421,6 +2421,42 @@ def test_paragraph_dedup_modes(spark):
     assert again == {k: v.cleaned_text for k, v in out2.items()}
 
 
+def test_scalar_quantize_codes_and_reconstruction(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    rows = [
+        (1, [0.0, -1.0, 5.0]),
+        (2, [1.0, 1.0, 5.0]),  # dim 2 is constant
+        (3, [0.5, 0.0, 5.0]),
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, stats = PJ.scalar_quantize(d)
+    got = {r.vec_id: r.qvec for r in codes.collect()}
+    # dim0 range [0,1]: 0.0 -> 0, 1.0 -> clamped 255, 0.5 -> 127
+    assert got[1][0] == 0 and got[2][0] == 255 and got[3][0] == 127
+    # dim1 range [-1,1]: -1 -> 0, 1 -> 255, 0.0 -> 127
+    assert got[1][1] == 0 and got[2][1] == 255 and got[3][1] == 127
+    # constant dim codes to 0 everywhere
+    assert all(got[i][2] == 0 for i in (1, 2, 3))
+    # reconstruction error < per-dim scale; constant dim exact
+    deq = PJ.dequantize_col(F.col("qvec"), F.col("_st"))
+    rec = {
+        r.vec_id: r.v
+        for r in codes.crossJoin(F.broadcast(stats))
+        .select("vec_id", deq.alias("v"))
+        .collect()
+    }
+    for vid, vec in rows:
+        for i, (orig, hat) in enumerate(zip(vec, rec[vid])):
+            scale = [1.0 / 255, 2.0 / 255, 0.0][i]
+            assert abs(orig - hat) <= scale + 1e-12, (vid, i)
+    # deterministic under repartitioning
+    codes2, _ = PJ.scalar_quantize(d.repartition(5))
+    assert {r.vec_id: r.qvec for r in codes2.collect()} == got
+
+
 def test_diversity_report_hand_computed(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         text as X,

@@ -93,3 +93,42 @@ def test_cms_never_underestimates_any_corpus(texts):
     for r in out:
         assert r.cms_est >= r.exact_n
         assert r.never_underest
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus, k=st.sampled_from([2, 4]))
+def test_paragraph_dedup_matches_python_reference(texts, k):
+    """paragraph_dedup (chunk mode) must equal a brute-force Python
+    reference for ANY corpus: global first occurrence kept, cleaned
+    text reassembled in chunk order."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as D,
+    )
+
+    # reference
+    chunks = []
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().split()
+        n = max(1, -(-len(toks) // k))
+        for i in range(n):
+            chunks.append((doc_id, i, " ".join(toks[i * k : (i + 1) * k])))
+    first = {}
+    for doc_id, i, p in sorted(chunks):
+        first.setdefault(p, (doc_id, i))
+    expect = {}
+    for doc_id, text in enumerate(texts):
+        mine = [(i, p) for d_, i, p in chunks if d_ == doc_id]
+        kept = [(i, p) for i, p in mine if first[p] == (doc_id, i)]
+        expect[doc_id] = (
+            len(mine),
+            len(kept),
+            " ".join(p for _, p in sorted(kept)),
+        )
+
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_paragraphs, r.n_kept, r.cleaned_text)
+        for r in D.paragraph_dedup(d, chunk_tokens=k).collect()
+    }
+    assert got == expect

@@ -52,6 +52,10 @@ ARROW_STAGE_OK = {
     # pure JVM; the Arrow stage is the shared exact-top-k truth side
     # of the recall gate (same as lsh/ivf)
     "sim_topk_rp",
+    # SQ8 shortlist+rerank: quantize/dequant/rerank are pure JVM;
+    # the Arrow stage is the shared exact-top-k truth side of the
+    # recall gate (same as lsh/ivf/rp)
+    "sim_topk_sq",
     "sim_neardup_exact",
     "embed_label_stats",
     "embed_label_spectrum",

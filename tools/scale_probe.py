@@ -197,6 +197,21 @@ def main() -> None:
         "token_budget_mix": lambda d: MX.token_budget_sample(
             d, {"en": 5000, "fr": 2000, "zh": 1500}
         ).count(),
+        "paragraph_dedup": lambda d: D.paragraph_dedup(
+            d, chunk_tokens=16
+        ).count(),
+        "weighted_sample": lambda d: MX.weighted_exact_k(
+            d, 50, F.length("text")
+        ).count(),
+        "leakage_split": lambda d: D.leakage_safe_split(
+            d,
+            D.minhash_lsh_dedup(d, bands=32, threshold=0.5),
+        ).count(),
+        "diversity_report": lambda d: X.diversity_report(d).count(),
+        "zipf_slope": lambda d: X.zipf_slope(d).count(),
+        "chunk_rag": lambda d: PK.chunk_documents(
+            d, chunk_size=64, stride=48
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -226,6 +241,12 @@ def main() -> None:
         "brute_force_knn": (emb, ["vec_id"]),
         "decontam_overlap": (docs, ["doc_id"]),
         "seq_packing": (docs, ["doc_id"]),
+        "paragraph_dedup": (docs, ["doc_id"]),
+        "weighted_sample": (docs, ["doc_id"]),
+        "leakage_split": (docs, ["doc_id"]),
+        "diversity_report": (docs, ["doc_id"]),
+        "zipf_slope": (docs, ["doc_id"]),
+        "chunk_rag": (docs, ["doc_id"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

@@ -1126,6 +1126,111 @@ FROM flagged
 """
 
 
+def stream_interval_join_counts(spark, sf_dir):
+    """Fourth driver-verified streaming gate: watermarked
+    stream-stream interval join (streaming/ingest.py
+    stream_stream_interval_join — both sides time-bounded so state
+    is evictable) drained AvailableNow. In a single finite pass the
+    inner join finds every pair, so streaming ≡ the batch self-join
+    twin; DuckDB recomputes the pair count and pins the flag."""
+    batch = _events(spark, sf_dir)
+    raw_schema = _t(spark, sf_dir, "events").schema
+    stream = _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"stream_ij_gate_{next(_STREAM_GATE_SEQ)}"
+    streamed = SI.run_to_memory(
+        SI.stream_stream_interval_join(stream, stream),
+        name,
+        output_mode="append",
+    )
+    s = streamed.agg(F.count(F.lit(1)).alias("n_s"))
+    b = (
+        batch.alias("l")
+        .join(
+            batch.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("r.ts") >= F.col("l.ts"))
+            & (
+                F.col("r.ts")
+                <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")
+            )
+            & (F.col("l.event_id") != F.col("r.event_id")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return s.crossJoin(b).select(
+        F.col("n_b").cast("bigint").alias("n_pairs"),
+        (F.col("n_s") == F.col("n_b")).alias("matches_batch_twin"),
+    )
+
+
+STREAM_IJ_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS matches_batch_twin
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+ AND CAST(r.ts AS TIMESTAMP)
+     <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+ AND l.event_id != r.event_id
+"""
+
+
+def stream_enrich_counts(spark, sf_dir):
+    """Fifth driver-verified streaming gate: stream-static
+    enrichment (streaming/ingest.py stream_static_enrich) — the
+    event stream decorated with the customer dimension (stateless,
+    broadcast when small; the static side re-reads per micro-batch,
+    which IS the slowly-changing-dim refresh semantics), then
+    per-segment counts, compared against the batch twin."""
+    batch = _events(spark, sf_dir)
+    raw_schema = _t(spark, sf_dir, "events").schema
+    stream = _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    name = f"stream_en_gate_{next(_STREAM_GATE_SEQ)}"
+    enriched = SI.stream_static_enrich(stream, dim).groupBy(
+        "segment"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    streamed = SI.run_to_memory(enriched, name, output_mode="complete")
+    b = (
+        SI.stream_static_enrich(batch, dim)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    joined = streamed.join(b, ["segment"], "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("n_b").cast("bigint").alias("n_events_total"),
+        F.coalesce(
+            F.min(
+                F.when(
+                    F.col("n_events").eqNullSafe(F.col("n_b")), 1
+                ).otherwise(0)
+            )
+            == 1,
+            F.lit(True),
+        ).alias("matches_batch_twin"),
+    )
+
+
+STREAM_EN_SQL = """
+SELECT CAST(COUNT(DISTINCT COALESCE(c.c_mktsegment, '<null>')) AS BIGINT)
+         AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_events_total,
+       TRUE AS matches_batch_twin
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def events_sessionize(spark, sf_dir):
     """Sessionization: 30-min inactivity gap, gaps-and-islands via
     lag + cumulative flag. Exact µs arithmetic on both sides."""
@@ -5173,6 +5278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_counts": stream_dedup_counts,
         "stream_sessionize_counts": stream_sessionize_counts,
+        "stream_interval_join_counts": stream_interval_join_counts,
+        "stream_enrich_counts": stream_enrich_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
@@ -5330,6 +5437,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_windowed_counts": STREAM_WC_SQL,
         "stream_dedup_counts": STREAM_DD_SQL,
         "stream_sessionize_counts": STREAM_SESS_SQL,
+        "stream_interval_join_counts": STREAM_IJ_SQL,
+        "stream_enrich_counts": STREAM_EN_SQL,
         "token_budget_mix_docs": TOKEN_BUDGET_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,

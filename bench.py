@@ -174,6 +174,8 @@ HEADLINE = [
     "chunk_docs_rag",
     "sim_topk_sq",
     "stream_sessionize_counts",
+    "stream_interval_join_counts",
+    "stream_enrich_counts",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

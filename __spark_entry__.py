@@ -2692,6 +2692,45 @@ FROM documents
 """
 
 
+def pack_boundaries_docs(spark, sf_dir):
+    """Trainer pack manifest (operators/packing.py pack_boundaries):
+    per-pack ordered doc lists + token boundary offsets — the
+    block-diagonal attention-mask contract. Pack ids are
+    partitioning-specific, so the gate emits the DuckDB-recomputable
+    corpus facts plus in-plan well-formedness flags: boundary lists
+    strictly increasing from > 0, one boundary per doc, last
+    boundary = the pack's token total, totals conserved."""
+    d = _t(spark, sf_dir, "documents")
+    pb = P_pack.pack_boundaries(P_pack.pack_sequences(d, max_tokens=256))
+    ok_shape = (F.size("boundaries") == F.col("n_docs")) & (
+        F.size("doc_ids") == F.col("n_docs")
+    )
+    ok_incr = (
+        F.col("boundaries")
+        == F.array_sort(F.array_distinct(F.col("boundaries")))
+    ) & (F.element_at("boundaries", 1) > 0)
+    ok_total = F.element_at("boundaries", -1) == F.col("total_tokens")
+    return pb.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.coalesce(
+            F.min(
+                F.when(ok_shape & ok_incr & ok_total, 1).otherwise(0)
+            )
+            == 1,
+            F.lit(True),
+        ).alias("boundaries_ok"),
+    )
+
+
+PACK_BOUNDARIES_SQL = f"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKENS})) AS BIGINT) AS total_tokens,
+       TRUE AS boundaries_ok
+FROM documents
+"""
+
+
 # ------------------------------------------------------- text family
 
 
@@ -5283,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
+        "pack_boundaries_docs": pack_boundaries_docs,
         "embed_label_spectrum": embed_label_spectrum,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
@@ -5488,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_docs": DECONTAM_SQL,
         "text_pii_redact": PII_SQL,
         "seq_packing_docs": SEQ_PACKING_SQL,
+        "pack_boundaries_docs": PACK_BOUNDARIES_SQL,
         "mix_sample_docs": MIX_SAMPLE_SQL,
         "boilerplate_ngrams_docs": BOILERPLATE_SQL,
         "events_session_window": SESSION_WINDOW_SQL,

@@ -137,6 +137,38 @@ def packing_invariants(packed: DataFrame, max_tokens: int) -> DataFrame:
     )
 
 
+def pack_boundaries(packed: DataFrame) -> DataFrame:
+    """Per-pack trainer manifest: the ordered doc list and the token
+    BOUNDARY offsets inside each packed sequence — the contract a
+    trainer needs to build block-diagonal attention masks (tokens
+    must not attend across document boundaries within a pack).
+
+    Docs within a pack are ordered by doc_id (the greedy packer
+    assigns in doc_id order, so this reproduces placement order);
+    ``boundaries[i]`` is the END offset of doc i, with the last
+    boundary equal to the pack's token total. One shuffle on
+    pack_id; the per-pack sort is bounded by docs-per-pack (≤
+    max_tokens / min-doc-len), never the corpus."""
+    per = packed.groupBy("pack_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("doc_id", "n_tokens"))
+        ).alias("_docs")
+    )
+    ends = F.expr(
+        """
+        transform(_docs, (d, i) ->
+          aggregate(slice(_docs, 1, i + 1), 0L, (acc, x) -> acc + x.n_tokens))
+        """
+    )
+    return per.select(
+        "pack_id",
+        F.size("_docs").alias("n_docs"),
+        F.transform(F.col("_docs"), lambda d: d["doc_id"]).alias("doc_ids"),
+        ends.alias("boundaries"),
+        F.element_at(ends, -1).alias("total_tokens"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_size: int = 64,

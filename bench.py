@@ -176,6 +176,7 @@ HEADLINE = [
     "stream_sessionize_counts",
     "stream_interval_join_counts",
     "stream_enrich_counts",
+    "pack_boundaries_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -2421,6 +2421,37 @@ def test_paragraph_dedup_modes(spark):
     assert again == {k: v.cleaned_text for k, v in out2.items()}
 
 
+def test_pack_boundaries_manifest(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    # pre-packed frame: pack 1 holds docs 1(3 tok),2(4),5(2); pack 7
+    # holds doc 7(10, oversize)
+    rows = [
+        (2, 4, 1, False),
+        (5, 2, 1, False),
+        (1, 3, 1, False),
+        (7, 10, 7, True),
+    ]
+    packed = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, pack_id long, oversize boolean"
+    )
+    out = {r.pack_id: r for r in PK.pack_boundaries(packed).collect()}
+    assert out[1].doc_ids == [1, 2, 5]
+    assert out[1].boundaries == [3, 7, 9]  # cumulative end offsets
+    assert out[1].total_tokens == 9 and out[1].n_docs == 3
+    assert out[7].doc_ids == [7] and out[7].boundaries == [10]
+    # deterministic under repartitioning
+    again = {
+        r.pack_id: (r.doc_ids, r.boundaries)
+        for r in PK.pack_boundaries(packed.repartition(3)).collect()
+    }
+    assert again == {
+        k: (v.doc_ids, v.boundaries) for k, v in out.items()
+    }
+
+
 def test_scalar_quantize_codes_and_reconstruction(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         projection as PJ,

@@ -61,6 +61,9 @@ ARROW_STAGE_OK = {
     "embed_label_spectrum",
     "events_sessionize",
     "seq_packing_docs",
+    # same mapInPandas greedy-packing stage as seq_packing_docs,
+    # consumed by the boundary-manifest aggregate
+    "pack_boundaries_docs",
     # incremental band store: per-batch minhash signature Arrow pass
     # + pudf exact verify (reviewed — same stages as dedup_minhash)
     "dedup_incremental_docs",

@@ -1206,7 +1206,16 @@ def stream_enrich_counts(spark, sf_dir):
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
-    joined = streamed.join(b, ["segment"], "full_outer")
+    # unmatched users aggregate under segment=NULL; a plain join key
+    # never matches NULL against NULL, which would double-count that
+    # group and flip the flag on CORRECT code — coalesce the key so
+    # the NULL groups pair up (mirrors the oracle's COALESCE)
+    nk = lambda c: F.coalesce(c, F.lit("<null>"))  # noqa: E731
+    joined = streamed.withColumn("segment", nk(F.col("segment"))).join(
+        b.withColumn("segment", nk(F.col("segment"))),
+        ["segment"],
+        "full_outer",
+    )
     return joined.agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum("n_b").cast("bigint").alias("n_events_total"),

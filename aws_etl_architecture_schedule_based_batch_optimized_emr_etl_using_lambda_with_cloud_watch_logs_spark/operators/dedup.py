@@ -85,7 +85,9 @@ def paragraph_dedup(
     if delimiter is None:
         parts = F.split(F.trim(F.col(text_col)), r"\s+")
     else:
-        parts = F.split(F.col(text_col), F.lit(delimiter), -1)
+        # F.split takes a Java REGEX — quote the delimiter so '.',
+        # '||', '\n\n' etc. all split literally
+        parts = F.split(F.col(text_col), "\\Q" + delimiter + "\\E", -1)
     per_chunk = 1 if delimiter is not None else chunk_tokens
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.size(F.col("_parts")) / F.lit(per_chunk))

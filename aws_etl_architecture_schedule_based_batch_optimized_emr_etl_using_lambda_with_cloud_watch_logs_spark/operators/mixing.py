@@ -231,33 +231,36 @@ def token_budget_sample(
 
     1. One map-side-combined aggregation computes token sums per
        (domain, bucket) where bucket = the top ``n_bucket_bits`` of
-       the doc hash — n_domains·2^bits rows of bounded METADATA
-       collected to the driver (same bounded-collect class as the
-       CC convergence scalar).
-    2. Driver arithmetic derives, per domain, (a) the running token
-       offset of every bucket and (b) the smallest bucket cutoff
-       whose prefix covers the budget.  Because the bucket is a hash
-       PREFIX, ordering by (bucket, hash, id) IS ordering by
-       (hash, id), so any doc the greedy selects lives in a bucket
-       ≤ cutoff — buckets beyond it are dropped by a pushed-down
-       filter before the shuffle.
-    3. The running total becomes offset[domain,bucket] (broadcast
-       join) + a window partitioned by (domain, bucket).
+       the doc hash — an n_domains·2^bits-row frame.
+    2. A window over THAT frame (per-domain, ≤ 2^bits rows — bounded
+       metadata scale, not corpus scale) derives each bucket's
+       running token offset; buckets whose offset already reaches
+       the budget are dropped, which is exactly the smallest
+       covering prefix because the bucket is a hash PREFIX —
+       ordering by (bucket, hash, id) IS ordering by (hash, id), so
+       any doc the greedy selects lives in a kept bucket.
+    3. The kept (domain, bucket, offset) frame broadcast-joins the
+       corpus (pruning the dropped buckets in the same join), and a
+       window partitioned by (domain, bucket) adds the in-bucket
+       running total.
 
     Parallelism is therefore n_domains·2^bits and per-task work is
     O(budget / 2^bits) tokens regardless of domain skew; the result
     is bit-identical to the one-stage window (pytest pins the
-    equivalence).  Costs one extra linear scan for the phase-1
-    aggregate.  Domains not in ``budgets`` are dropped."""
+    equivalence). Fully lazy — constructing the plan runs no jobs —
+    at the cost of one extra linear scan when executed. Domains not
+    in ``budgets`` are dropped."""
     from pyspark.sql import Window
 
     from .dedup import tokens_col
 
     doms = list(budgets)
-    spark = df.sparkSession
     toks = F.size(tokens_col(text_col)).cast("bigint")
     h = hash32_expr(id_col)
     bucket = F.shiftright(h, 32 - n_bucket_bits).cast("int")
+    budget_map = F.create_map(
+        *[x for d in doms for x in (F.lit(d), F.lit(int(budgets[d])))]
+    )
 
     base = (
         df.filter(F.col(domain_col).isin(doms))
@@ -265,58 +268,33 @@ def token_budget_sample(
         .withColumn("_bk", bucket)
     )
 
-    # Phase 1: (domain, bucket) token sums — bounded metadata.
-    sums = (
+    # Phases 1+2, in-plan: bucket token sums → per-domain running
+    # offsets over the TINY aggregate frame → covering-prefix filter
+    # (offset < budget ⟺ bucket ≤ the smallest covering cutoff).
+    woff = (
+        Window.partitionBy(domain_col)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
         base.groupBy(domain_col, "_bk")
         .agg(F.sum("_nt").alias("_bt"))
-        .collect()
-    )
-    per_dom: dict[str, dict[int, int]] = {}
-    for r in sums:
-        per_dom.setdefault(r[domain_col], {})[r["_bk"]] = r["_bt"]
-
-    # Phase 2: driver-side running offsets + smallest covering cutoff.
-    offsets: list[tuple[str, int, int]] = []  # (domain, bucket, offset)
-    cutoffs: dict[str, int] = {}
-    for d, by_bucket in per_dom.items():
-        run = 0
-        budget = int(budgets[d])
-        cutoffs[d] = max(by_bucket)  # keep everything if under budget
-        for b in sorted(by_bucket):
-            offsets.append((d, b, run))
-            run += by_bucket[b]
-            if run >= budget:
-                cutoffs[d] = b
-                break
-    if not offsets:
-        empty = base.select(
-            F.col(id_col),
-            F.col(domain_col),
-            F.col("_nt").alias("n_tokens"),
-            F.col("_nt").alias("tokens_before"),
+        .withColumn(
+            "_off", F.coalesce(F.sum("_bt").over(woff), F.lit(0))
         )
-        return empty.filter(F.lit(False))
-    off_df = F.broadcast(
-        spark.createDataFrame(
-            offsets, schema=f"{domain_col} string, _bk int, _off long"
-        )
-    )
-    cutoff_map = F.create_map(
-        *[x for d in cutoffs for x in (F.lit(d), F.lit(cutoffs[d]))]
-    )
-    budget_map = F.create_map(
-        *[x for d in doms for x in (F.lit(d), F.lit(int(budgets[d])))]
+        .filter(F.col("_off") < budget_map[F.col(domain_col)])
+        .select(domain_col, "_bk", "_off")
     )
 
-    # Phase 3: per-(domain,bucket) window + broadcast offset.
+    # Phase 3: broadcast-join the kept buckets (prunes the rest) and
+    # add the in-bucket running total.
     w = (
         Window.partitionBy(domain_col, "_bk")
         .orderBy(h, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        base.filter(F.col("_bk") <= cutoff_map[F.col(domain_col)])
-        .join(off_df, on=[domain_col, "_bk"], how="inner")
+        base.join(F.broadcast(offsets), on=[domain_col, "_bk"], how="inner")
         .withColumn(
             "_before",
             F.col("_off") + F.coalesce(F.sum("_nt").over(w), F.lit(0)),

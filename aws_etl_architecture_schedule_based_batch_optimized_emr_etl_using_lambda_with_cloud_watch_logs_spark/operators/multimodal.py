@@ -767,8 +767,10 @@ def _jpeg_decode_progressive(
                 for c in comps
             ]
             pred = [0] * n_comp
-        elif marker in _JPEG_SOF_MARKERS or marker in (0xC0, 0xC1):
-            return None  # arithmetic / lossless / mixed frames
+        elif marker in _JPEG_SOF_MARKERS:
+            # any non-C2 SOF: baseline (the caller already tried that
+            # path), arithmetic, lossless — not decodable here
+            return None
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:
@@ -954,10 +956,12 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes | N
                 prev = None
                 continue
             if code == eoi:
-                # the descriptor promised w·h pixels; an EOI before
-                # that is a truncated stream — fall back rather than
-                # report full-frame statistics over a partial buffer
-                return bytes(out) if len(out) >= n_pixels else None
+                # the descriptor promised w·h pixels, and a stream
+                # that produced them already returned from the
+                # early-exit below — reaching EOI means the stream
+                # was truncated; fall back rather than report
+                # full-frame statistics over a partial buffer
+                return None
             if prev is None:
                 if code >= len(table):
                     return None

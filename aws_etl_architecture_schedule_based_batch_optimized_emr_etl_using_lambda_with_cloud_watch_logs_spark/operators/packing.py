@@ -154,10 +154,19 @@ def pack_boundaries(packed: DataFrame) -> DataFrame:
             F.collect_list(F.struct("doc_id", "n_tokens"))
         ).alias("_docs")
     )
+    # single O(n) running-total fold (a transform-over-slice form
+    # re-sums a prefix per element — O(n²) per pack, which bites
+    # when max_tokens/min-doc-len is large)
     ends = F.expr(
         """
-        transform(_docs, (d, i) ->
-          aggregate(slice(_docs, 1, i + 1), 0L, (acc, x) -> acc + x.n_tokens))
+        aggregate(
+          _docs,
+          struct(CAST(0 AS BIGINT) AS run,
+                 CAST(array() AS ARRAY<BIGINT>) AS ends),
+          (acc, x) -> struct(acc.run + x.n_tokens AS run,
+                             array_append(acc.ends,
+                                          acc.run + x.n_tokens) AS ends),
+          acc -> acc.ends)
         """
     )
     return per.select(

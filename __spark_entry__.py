@@ -12,8 +12,11 @@ robust:
 * Every computed column is aliased identically on both sides.
 * Ranking ties always break on a unique key column.
 
-Queries whose results are algorithm-specific hashes (simhash, LSH
-probing) have no oracle entry → the driver records a rows-only check.
+Algorithm-specific results (LSH/IVF/RP/SQ top-k, pack assignments,
+streaming state) are gated through engine-recomputable CONTRACTS —
+recall vs the exact answer, invariant flags, batch twins — so every
+one of the 149 queries carries a full DuckDB oracle; none fall back
+to the driver's weaker rows-only check.
 """
 
 from __future__ import annotations

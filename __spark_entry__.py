@@ -2228,6 +2228,68 @@ FROM nc, UNNEST(range(m)) AS u(i)
 """
 
 
+def text_pmi_docs(spark, sf_dir):
+    """Top-20 collocations by quantized PMI (operators/text.py
+    pmi_collocations, min_count=5): the multiword-expression /
+    boilerplate-tell extractor. Two vocabulary-bounded aggregates +
+    joins, TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    return X.pmi_collocations(d, min_count=5, top_k=20)
+
+
+TEXT_PMI_SQL = f"""
+WITH toks AS (SELECT {_SQL_TOKENS} AS t FROM documents),
+uc AS (SELECT w, COUNT(*) AS c
+       FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+bi0 AS (SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+               unnest(list_slice(t, 2, len(t))) AS w2
+        FROM toks WHERE len(t) >= 2),
+bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi0 GROUP BY w1, w2
+       HAVING COUNT(*) >= 5),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM uc),
+m AS (SELECT CAST(SUM(GREATEST(len(t) - 1, 0)) AS DOUBLE) AS n_bi
+      FROM toks)
+SELECT w1, w2, CAST(c_ab AS BIGINT) AS n_pair,
+       CAST(ROUND(LN((c_ab / n_bi)
+                     / ((ca.c / n_tok) * (cb.c / n_tok))) * 1000000)
+            AS BIGINT) AS pmi_q
+FROM bc JOIN uc ca ON bc.w1 = ca.w
+        JOIN uc cb ON bc.w2 = cb.w, tot, m
+ORDER BY pmi_q DESC, w1, w2 LIMIT 20
+"""
+
+
+def source_overlap_docs(spark, sf_dir):
+    """Cross-slice contamination audit (operators/text.py
+    source_overlap_matrix): shared distinct 3-gram shingles and the
+    integer-exact overlap fraction for every source pair — high
+    overlap between 'independent' slices means duplicated
+    provenance. Distinct (slice, shingle) frame → shingle-keyed
+    self-join bounded by n_slices² per shingle."""
+    d = _t(spark, sf_dir, "documents")
+    return X.source_overlap_matrix(d)
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH sh AS (SELECT DISTINCT g, s FROM
+             (SELECT source AS g, unnest({_SQL_SHINGLES}) AS s
+              FROM documents)),
+sizes AS (SELECT g, COUNT(*) AS n FROM sh GROUP BY g),
+common AS (SELECT a.g AS source_a, b.g AS source_b,
+                  COUNT(*) AS n_common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+           GROUP BY 1, 2)
+SELECT source_a, source_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_common * 1000000 // LEAST(sa.n, sb.n) AS BIGINT)
+         AS overlap_q
+FROM common JOIN sizes sa ON common.source_a = sa.g
+            JOIN sizes sb ON common.source_b = sb.g
+"""
+
+
 def text_entropy_docs(spark, sf_dir):
     """Shannon-entropy quality signal (operators/text.py
     entropy_scores): per-doc token- and char-level entropy in nats,
@@ -5329,6 +5391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy_docs": text_entropy_docs,
         "text_diversity_docs": text_diversity_docs,
         "text_zipf_docs": text_zipf_docs,
+        "text_pmi_docs": text_pmi_docs,
+        "source_overlap_docs": source_overlap_docs,
         "chunk_docs_rag": chunk_docs_rag,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_filter_docs": gopher_filter_docs,
@@ -5426,6 +5490,8 @@ def oracle_sql() -> dict[str, str]:
         "text_entropy_docs": TEXT_ENTROPY_SQL,
         "text_diversity_docs": TEXT_DIVERSITY_SQL,
         "text_zipf_docs": TEXT_ZIPF_SQL,
+        "text_pmi_docs": TEXT_PMI_SQL,
+        "source_overlap_docs": SOURCE_OVERLAP_SQL,
         "chunk_docs_rag": CHUNK_RAG_SQL,
         "agg_countmin_tokens": COUNTMIN_SQL,
         "dsir_resample_docs": DSIR_SQL,

@@ -438,6 +438,133 @@ def zipf_slope(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the bigram
+    stream and p(·) over the token stream — the standard
+    multiword-expression / tokenizer-merge-candidate extractor, and
+    a templated-data tell (unnaturally high-PMI pairs at high count
+    ⇒ boilerplate). ``min_count`` filters the unstable low-frequency
+    tail; ranking is on the 1e6-quantized PMI with (w1, w2)
+    tie-breaks so any engine reproduces the list.
+
+    Plan: two map-side-combined aggregates (unigram + bigram counts)
+    + two joins of the bigram frame against the vocabulary-sized
+    unigram frame + one-row total frames cross-joined — all shuffles
+    keyed on words, bounded by vocabulary, then
+    TakeOrderedAndProject."""
+    from .lm import bigrams_col
+
+    toks = df.select(tokens_col(text_col).alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(F.explode(bigrams_col(F.col("t"))).alias("b"))
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    n_tok = uni.agg(F.sum("c").cast("double").alias("n_tok"))
+    n_bi = (
+        toks.select(
+            F.greatest(F.size("t") - 1, F.lit(0)).alias("m")
+        )
+        .agg(F.sum("m").cast("double").alias("n_bi"))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    pmi = (
+        F.log(
+            (F.col("c_ab") / F.col("n_bi"))
+            / ((F.col("c_a") / F.col("n_tok")) * (F.col("c_b") / F.col("n_tok")))
+        )
+        * F.lit(1e6)
+    )
+    return (
+        bi.join(c1, ["w1"])
+        .join(c2, ["w2"])
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            F.round(pmi).cast("bigint").alias("pmi_q"),
+        )
+        .orderBy(F.desc("pmi_q"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-slice contamination audit: for every pair of corpus
+    slices (sources, dumps, shards), the count of shared distinct
+    word n-gram shingles and the overlap fraction
+    |A∩B| / min(|A|,|B|) — high overlap between slices that claim to
+    be independent means duplicated provenance (a mirror, a re-crawl)
+    and inflated effective dataset size. The fraction is
+    integer-exact (``·10⁶ DIV min``).
+
+    Plan: distinct (slice, shingle) frame → per-slice sizes + a
+    self-join keyed on the shingle. Per-shingle fan-out is bounded
+    by n_slices² (slices are few — this is a slice-level audit, not
+    a doc-level one), so the join is linear in distinct shingles."""
+    from .dedup import shingles_col
+
+    sh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(
+                shingles_col(tokens_col(text_col), n)
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, ["sh"])
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("g").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("g").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        common.join(sa, ["source_a"])
+        .join(sb, ["source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST(n_common * 1000000 DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("overlap_q"),
+        )
+    )
+
+
 def entropy_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -177,6 +177,8 @@ HEADLINE = [
     "stream_interval_join_counts",
     "stream_enrich_counts",
     "pack_boundaries_docs",
+    "text_pmi_docs",
+    "source_overlap_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

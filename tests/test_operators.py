@@ -2525,6 +2525,48 @@ def test_diversity_report_hand_computed(spark):
     assert out[("fr", 3)].distinct_ngrams == 1
 
 
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    # "x y" always together (5x), "p q" never adjacent; filler tokens
+    docs = ["x y p", "x y q", "x y p", "x y q", "x y r"]
+    d = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = X.pmi_collocations(d, min_count=5, top_k=5).collect()
+    # only (x,y) reaches min_count=5
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2) == ("x", "y") and r.n_pair == 5
+    # N=15 tokens, M=10 bigrams, c_x=c_y=5:
+    expect = math.log((5 / 10) / ((5 / 15) * (5 / 15)))
+    assert r.pmi_q == round(expect * 1e6)
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    # srcA and srcB share the shingle "a b c"; srcC shares nothing
+    rows = [
+        (1, "A", "a b c d"),   # shingles: "a b c", "b c d"
+        (2, "B", "a b c"),     # shingle:  "a b c"
+        (3, "C", "x y z"),     # shingle:  "x y z"
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        (r.source_a, r.source_b): r
+        for r in X.source_overlap_matrix(d).collect()
+    }
+    ab = out[("A", "B")]
+    assert ab.n_common == 1 and ab.n_a == 2 and ab.n_b == 1
+    assert ab.overlap_q == 1_000_000  # |A∩B| / min = 1/1
+    assert ("A", "C") not in out and ("B", "C") not in out  # zero rows
+
+
 def test_zipf_slope_recovers_power_law(spark):
     """A corpus built with freq(rank r) = round(1000/r) must fit a
     slope near −1; a uniform corpus must fit a slope near 0."""

@@ -132,3 +132,49 @@ def test_paragraph_dedup_matches_python_reference(texts, k):
         for r in D.paragraph_dedup(d, chunk_tokens=k).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=_corpus,
+    size=st.sampled_from([3, 5, 8]),
+    stride=st.sampled_from([1, 2, 3]),
+)
+def test_chunk_documents_covers_every_token(texts, size, stride):
+    """For ANY corpus and any 0 < stride <= size: chunk offsets are
+    i·stride, every token position is covered, consecutive chunks
+    overlap by exactly size − stride (except the final partial), and
+    concatenating stride-aligned prefixes reconstructs the doc."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    if stride > size:
+        return
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = PK.chunk_documents(
+        d, chunk_size=size, stride=stride
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().split()
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert chunks[0].start_token == 0
+        covered = set()
+        for i, c in enumerate(chunks):
+            assert c.start_token == i * stride
+            assert c.n_tokens == min(size, len(toks) - i * stride)
+            assert c.chunk_text == " ".join(
+                toks[c.start_token : c.start_token + c.n_tokens]
+            )
+            covered |= set(range(c.start_token, c.start_token + c.n_tokens))
+        assert covered == set(range(len(toks)))
+        # reconstruction from stride-aligned prefixes
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split()[:stride])
+        rebuilt.extend(chunks[-1].chunk_text.split())
+        assert rebuilt == toks

@@ -14,9 +14,10 @@ robust:
 
 Algorithm-specific results (LSH/IVF/RP/SQ top-k, pack assignments,
 streaming state) are gated through engine-recomputable CONTRACTS —
-recall vs the exact answer, invariant flags, batch twins — so every
-one of the 149 queries carries a full DuckDB oracle; none fall back
-to the driver's weaker rows-only check.
+recall vs the exact answer, invariant flags, batch twins — so EVERY
+queries() entry carries a full DuckDB oracle (len(queries()) ==
+len(oracle_sql()), pinned by tests); none fall back to the driver's
+weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -937,6 +938,19 @@ FROM assigned GROUP BY 1, 2
 _STREAM_GATE_SEQ = iter(range(1, 1 << 30))
 
 
+def _events_stream(spark, sf_dir):
+    """Streaming twin of _events: the same events table as a
+    file-stream source (explicit schema, directory + glob because the
+    file source requires a directory), ts-normalized identically —
+    shared by every streaming gate so ingestion fixes land once."""
+    raw_schema = _t(spark, sf_dir, "events").schema
+    return _events_ts_norm(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def stream_windowed_counts(spark, sf_dir):
     """Structured Streaming gate with a batch oracle (K family,
     streaming/ingest.py windowed_event_counts): the SAME 1-hour
@@ -949,14 +963,7 @@ def stream_windowed_counts(spark, sf_dir):
     streaming runtime itself driver-verified rather than pytest-only.
     """
     batch = _events(spark, sf_dir)  # also sets the nanosAsLong conf
-    raw_schema = _t(spark, sf_dir, "events").schema
-    # the file-stream source requires a DIRECTORY: point it at the
-    # sf dir and glob-filter to the events table's file(s)
-    stream = _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     name = f"stream_wc_gate_{next(_STREAM_GATE_SEQ)}"
     streamed = SI.run_to_memory(
         SI.windowed_event_counts(stream, window_duration="1 hour"),
@@ -1012,12 +1019,7 @@ def stream_dedup_counts(spark, sf_dir):
     dedup ≡ batch distinct exactly; DuckDB recomputes the per-type
     distinct counts and pins the match flag."""
     batch = _events(spark, sf_dir)
-    raw_schema = _t(spark, sf_dir, "events").schema
-    stream = _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     keys = ["user_id", "event_type", "ts"]
     name = f"stream_dd_gate_{next(_STREAM_GATE_SEQ)}"
     streamed = SI.run_to_memory(
@@ -1069,12 +1071,7 @@ def stream_sessionize_counts(spark, sf_dir):
     twin and pins the match flag, making the custom stateful path
     driver-verified rather than pytest-only."""
     batch = _events(spark, sf_dir)
-    raw_schema = _t(spark, sf_dir, "events").schema
-    stream = _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     name = f"stream_sess_gate_{next(_STREAM_GATE_SEQ)}"
     streamed = SI.run_to_memory(
         SI.sessionize_stateful(stream, gap_s=1800),
@@ -1140,8 +1137,11 @@ def stream_interval_join_counts(spark, sf_dir):
     stream-stream interval join (streaming/ingest.py
     stream_stream_interval_join — both sides time-bounded so state
     is evictable) drained AvailableNow: each CLICK picks up the
-    VIEWs of the same user within the next 10 minutes (the
-    attribution-join shape; the type filters also bound the state
+    VIEWs of the same user within the next 12 hours (the
+    attribution-join shape — the window is sized so the pair set is
+    non-vacuous at EVERY fixture SF: 37 pairs at sf0.001, 465 at the
+    driver's sf0.01, 4291 at sf0.1, so a broken join cannot hide
+    behind 0 == 0; the type filters also bound the state
     the store carries — joining the full event firehose against
     itself is state-store work proportional to (|L|+|R|) inserts,
     which the filters cut ~5× with identical semantics coverage).
@@ -1149,17 +1149,16 @@ def stream_interval_join_counts(spark, sf_dir):
     streaming ≡ the batch self-join twin; DuckDB recomputes the
     pair count and pins the flag."""
     batch = _events(spark, sf_dir)
-    raw_schema = _t(spark, sf_dir, "events").schema
-    stream = _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     name = f"stream_ij_gate_{next(_STREAM_GATE_SEQ)}"
     clicks = stream.filter(F.col("event_type") == "click")
     views = stream.filter(F.col("event_type") == "view")
     streamed = SI.run_to_memory(
-        SI.stream_stream_interval_join(clicks, views),
+        # watermark must cover the join window or multi-batch runs
+        # could evict buffered rows before their matches arrive
+        SI.stream_stream_interval_join(
+            clicks, views, max_gap="12 hours", watermark="13 hours"
+        ),
         name,
         output_mode="append",
         shuffle_partitions=8,
@@ -1174,7 +1173,7 @@ def stream_interval_join_counts(spark, sf_dir):
             & (F.col("r.ts") >= F.col("l.ts"))
             & (
                 F.col("r.ts")
-                <= F.col("l.ts") + F.expr("INTERVAL 10 minutes")
+                <= F.col("l.ts") + F.expr("INTERVAL 12 hours")
             )
             & (F.col("l.event_id") != F.col("r.event_id")),
         )
@@ -1193,7 +1192,7 @@ FROM events l JOIN events r
  AND l.event_type = 'click' AND r.event_type = 'view'
  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
  AND CAST(r.ts AS TIMESTAMP)
-     <= CAST(l.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+     <= CAST(l.ts AS TIMESTAMP) + INTERVAL 12 HOUR
  AND l.event_id != r.event_id
 """
 
@@ -1206,12 +1205,7 @@ def stream_enrich_counts(spark, sf_dir):
     which IS the slowly-changing-dim refresh semantics), then
     per-segment counts, compared against the batch twin."""
     batch = _events(spark, sf_dir)
-    raw_schema = _t(spark, sf_dir, "events").schema
-    stream = _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
@@ -5311,16 +5305,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks entries
-    front-to-back under a budget (~50/round). Round-5 rotation per the
-    round-4 verdict: slots 1-39 are the 39 gates whose last driver row
-    is r01/r02 (TPC-H analogues, join/agg/approx/HOF basics) — the
-    backlog this window clears; slots 40-43 the four NEW round-5 gates
-    (real-codec decode, paragraph dedup, weighted exact-k sample,
-    leakage-safe split); slots 44-46 the gates whose operators CHANGED
-    this round (two-phase token-budget window, cms depth guard,
-    read-back shard manifest); slots 47-50 the oldest r03 entries.
-    Everything after slot 50 has a green r03/r04 driver row on
-    unchanged code.
+    front-to-back under a budget (~50/round). Round-5 layout: slots
+    1-39 are the 39 gates whose last driver row is r01/r02 (TPC-H
+    analogues, join/agg/approx/HOF basics) — the backlog this window
+    clears per the round-4 verdict; slots 40-43 four new round-5
+    gates (real-codec decode, paragraph dedup, weighted exact-k,
+    leakage-safe split); 44-46 the gates whose operators CHANGED
+    (two-phase token-budget window, cms depth guard, read-back shard
+    manifest); 47-50 the four most substantive remaining new gates
+    (SQ8 ANN recall, the three new streaming twins). Slots 51-56
+    queue the six round-5 diagnostic gates (diversity, Zipf, PMI,
+    source overlap, RAG chunking, pack boundaries) to lead the r06
+    window — they carry full local check_oracle evidence at sf0.01 +
+    sf0.1 but no driver row yet. Everything after has a green
+    r03/r04 driver row on unchanged code.
     """
     return {
         "union_by_name_customers": union_by_name_customers,
@@ -5369,6 +5367,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix_docs": token_budget_mix_docs,
         "agg_countmin_tokens": agg_countmin_tokens,
         "shard_manifest_docs": shard_manifest_docs,
+        "sim_topk_sq": sim_topk_sq,
+        "stream_sessionize_counts": stream_sessionize_counts,
+        "stream_interval_join_counts": stream_interval_join_counts,
+        "stream_enrich_counts": stream_enrich_counts,
+        "text_diversity_docs": text_diversity_docs,
+        "text_zipf_docs": text_zipf_docs,
+        "text_pmi_docs": text_pmi_docs,
+        "source_overlap_docs": source_overlap_docs,
+        "chunk_docs_rag": chunk_docs_rag,
+        "pack_boundaries_docs": pack_boundaries_docs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5389,11 +5397,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_vecs": semantic_dedup_vecs,
         "lm_perplexity_docs": lm_perplexity_docs,
         "text_entropy_docs": text_entropy_docs,
-        "text_diversity_docs": text_diversity_docs,
-        "text_zipf_docs": text_zipf_docs,
-        "text_pmi_docs": text_pmi_docs,
-        "source_overlap_docs": source_overlap_docs,
-        "chunk_docs_rag": chunk_docs_rag,
         "dsir_resample_docs": dsir_resample_docs,
         "gopher_filter_docs": gopher_filter_docs,
         "hard_negatives_vecs": hard_negatives_vecs,
@@ -5408,16 +5411,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_project_vecs": rp_project_vecs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "sim_topk_rp": sim_topk_rp,
-        "sim_topk_sq": sim_topk_sq,
         "stream_windowed_counts": stream_windowed_counts,
         "stream_dedup_counts": stream_dedup_counts,
-        "stream_sessionize_counts": stream_sessionize_counts,
-        "stream_interval_join_counts": stream_interval_join_counts,
-        "stream_enrich_counts": stream_enrich_counts,
         "keyset_paged_orders": keyset_paged_orders,
         "mix_sample_docs": mix_sample_docs,
         "seq_packing_docs": seq_packing_docs,
-        "pack_boundaries_docs": pack_boundaries_docs,
         "embed_label_spectrum": embed_label_spectrum,
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,

@@ -5,14 +5,18 @@ The Spark-side plumbing is real and tested: schema, Arrow-batched
 ``mapInPandas`` iteration, partition sizing, batch shapes.
 
 Decoding has a REAL stdlib codec path for the formats the standard
-library can parse — PNG (zlib inflate + per-scanline unfilter),
-PPM/PGM (P6/P5), and WAV (``wave`` module) — producing true pixel /
-sample statistics as the feature vector. Formats beyond the stdlib
-(JPEG, MP3, video containers) still fall back per-asset to a
-deterministic byte-hash feature vector, since PIL/ffmpeg are not in
-this environment; ``decode_stub="raise"`` marks that integration
-point with ``NotImplementedError`` and ``decode_stub="fake"`` forces
-the fallback for every asset (bit-stable output for oracle gates).
+library + numpy can parse — PNG (zlib inflate + per-scanline
+unfilter), PPM/PGM (P6/P5), WAV (``wave`` module), GIF including
+interlaced (LZW + appendix-E deinterlace), and JPEG both
+baseline-sequential and progressive (huffman + dequant + IDCT) —
+producing true pixel / sample statistics as the feature vector.
+The remaining formats (arithmetic/lossless/12-bit JPEG, MP3, video
+containers) fall back per-asset to a deterministic byte-hash feature
+vector, since PIL/ffmpeg are not in this environment — see
+COVERAGE.md's pinned format matrix; ``decode_stub="raise"`` marks
+that integration point with ``NotImplementedError`` and
+``decode_stub="fake"`` forces the fallback for every asset
+(bit-stable output for oracle gates).
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` modest and never collect; the
@@ -349,6 +353,9 @@ def _jpeg_decode_baseline(
         if content[pos] != 0xFF:
             return None
         marker = content[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -717,6 +724,9 @@ def _jpeg_decode_progressive(
         if content[pos] != 0xFF:
             return None
         marker = content[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -852,6 +862,9 @@ def _decode_jpeg(content: bytes, feat_dim: int) -> dict | None:
             if content[pos] != 0xFF:
                 return None
             marker = content[pos + 1]
+            if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers, no length
                 continue

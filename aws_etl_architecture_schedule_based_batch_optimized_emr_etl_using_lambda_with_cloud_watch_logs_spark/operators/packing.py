@@ -190,9 +190,12 @@ def chunk_documents(
     windows advancing by ``stride`` tokens (overlap = size − stride),
     so retrieval-time context never loses a span to a hard boundary.
 
-    Chunk i covers tokens [i·stride, i·stride + size); windows are
-    emitted while their start is inside the document, and a doc at
-    most one window long yields exactly one chunk. Output:
+    Chunk i covers tokens [i·stride, i·stride + size), for
+    i < n_chunks = ceil((n − size)/stride) + 1 (one chunk when
+    n ≤ size) — i.e. windows advance until one REACHES the document
+    end; no extra window starts past n − size, so the final chunk is
+    the only possibly-shorter one and every token is covered
+    (property-tested). Output:
     (id, chunk_id, start_token, n_tokens, chunk_text) — chunk count
     and offsets are a pure function of the token count, so the
     trainer/indexer can locate any chunk without re-reading.

@@ -103,7 +103,13 @@ def cms_estimate(
     error. Callers that pass the SAME depth variable to build and
     probe (mismatch impossible by construction, e.g. heavy_hitters)
     may disable the guard to skip its extra aggregate over the
-    sketch subplan."""
+    sketch subplan. Cost note: the guard aggregates the SKETCH
+    FRAME, so if the sketch is unpersisted lineage its corpus
+    explode re-runs for the one-row max(j) — a real pipeline builds
+    a sketch once and persists/writes it (the intended lifecycle,
+    same as the band stores), at which point the guard reads ≤
+    depth·width cached rows. The (j, cell, n) schema is the public
+    mergeable contract, so depth is not smuggled into the frame."""
     cells = F.array(
         *[cms_cell(F.col(token_col), j, width) for j in range(depth)]
     )

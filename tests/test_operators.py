@@ -902,6 +902,22 @@ def test_multimodal_jpeg_progressive_pixel_decode():
     )
     assert p2["features"] == base["features"]
 
+    # legal 0xFF fill bytes before markers (spec B.1.1.2) must not
+    # derail either walker: pad before SOS and before EOI
+    prog_bytes = _encode_jpeg_progressive([gray], [1], [1])
+    sos_at = prog_bytes.index(b"\xff\xda")
+    padded = (
+        prog_bytes[:sos_at] + b"\xff\xff\xff" + prog_bytes[sos_at:]
+    )
+    p_pad = _decode_jpeg(padded, feat_dim=8)
+    assert p_pad["features"] == base["features"]
+    base_bytes = _encode_jpeg([gray], [1], [1])
+    sos_at = base_bytes.index(b"\xff\xda")
+    b_pad = _decode_jpeg(
+        base_bytes[:sos_at] + b"\xff" + base_bytes[sos_at:], feat_dim=8
+    )
+    assert b_pad["features"] == base["features"]
+
     # color 4:2:0 (subsampled chroma, interleaved DC, per-comp AC)
     h, w = 20, 12
     yy, xx = np.mgrid[0:h, 0:w]

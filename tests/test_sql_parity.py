@@ -57,3 +57,11 @@ def test_oracle_sql_runs_on_spark(spark, name):
     assert canon(df_api.collect(), df_api.columns) == canon(
         df_sql.collect(), df_sql.columns
     )
+
+
+def test_every_query_has_an_oracle():
+    """The contract the module docstring claims: full oracle
+    coverage, no rows-only fallbacks, no orphan oracles."""
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(os_)
+    assert len(qs) == len(os_)

@@ -415,6 +415,9 @@ def zipf_slope(
         .orderBy(F.desc("n"), "token")
         .limit(top_k)
     )
+    # Global (unpartitioned) window — Spark warns, but the input is
+    # the already-limited top_k ≤ 100 frame, so the single-partition
+    # WindowExec touches ≤ 100 rows regardless of corpus size.
     w = Window.orderBy(F.desc("n"), "token")
     xy = freq.withColumn("rank", F.row_number().over(w)).select(
         F.log(F.col("rank").cast("double")).alias("x"),

@@ -52,3 +52,64 @@ def test_semi_anti_compile_to_joins(spark):
     assert "LeftSemi" in plan
     plan = formatted_plan(entry.queries()["join_anti_customers"](spark, SF_DIR))
     assert "LeftAnti" in plan
+
+
+def test_ann_shortlists_have_no_nlj(spark):
+    """r06 de-shuffle pin (round-5 verdict #1 plan defect): the
+    exact-scoring stages of the ANN gates must run through the Arrow
+    local-top-k kernel, NOT a broadcast nested-loop join on a
+    ``n_id != q_id`` condition whose q_id-partitioned window funnels
+    the whole corpus into |Q| tasks. Allowed BNLJs are the
+    condition-free 1-row Cross builds (recall-gate crossJoin, SQ8
+    stats attach) — so the pin is: every BroadcastNestedLoopJoin
+    node is an unconditioned Cross, and the kernel's MapInPandas
+    stage is present."""
+    for name in [
+        "sim_topk_rp",
+        "sim_topk_sq",
+        "sim_topk_bruteforce",
+        "hard_negatives_vecs",
+    ]:
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        nlj_lines = [
+            ln for ln in plan.splitlines() if "BroadcastNestedLoopJoin" in ln
+        ]
+        for ln in nlj_lines:
+            assert "Cross" in ln and "NOT" not in ln and "q_id" not in ln, (
+                name,
+                ln.strip(),
+            )
+        assert "MapInPandas" in plan, name
+
+
+def test_plan_allowlist_is_pinned():
+    """A NEW Arrow-stage allowlist entry must fail CI until it is
+    consciously re-pinned here with a review comment in
+    tools/plan_audit.py (round-5 verdict stretch item: the
+    allowlist runs in CI, not ad hoc)."""
+    assert sorted(ARROW_STAGE_OK) == [
+        "decontam_fuzzy_docs",
+        "dedup_incremental_docs",
+        "dedup_minhash_pairs",
+        "dedup_ngram_pairs",
+        "dedup_simhash_pairs",
+        "dedup_winnow_pairs",
+        "embed_cluster_vecs",
+        "embed_label_spectrum",
+        "embed_label_stats",
+        "events_sessionize",
+        "hard_negatives_vecs",
+        "multimodal_decode_real",
+        "multimodal_features_docs",
+        "pack_boundaries_docs",
+        "semantic_dedup_vecs",
+        "seq_packing_docs",
+        "sim_neardup_exact",
+        "sim_topk_bruteforce",
+        "sim_topk_ivf",
+        "sim_topk_lsh",
+        "sim_topk_rp",
+        "sim_topk_sq",
+        "text_bpe_token_stats",
+    ]

@@ -48,14 +48,19 @@ ARROW_STAGE_OK = {
     "sim_topk_lsh",
     "sim_topk_ivf",
     "sim_topk_bruteforce",
-    # project-shortlist-rerank: the projection/shortlist/rerank are
-    # pure JVM; the Arrow stage is the shared exact-top-k truth side
-    # of the recall gate (same as lsh/ivf)
+    # project-shortlist-rerank: the stage-1 shortlist runs the Arrow
+    # local-top-k kernel (r06 de-shuffle — no conditioned NLJ, no
+    # q_id window over the N·Q frame; pinned by
+    # tests/test_plans.py::test_ann_shortlists_have_no_nlj); the
+    # other Arrow stage is the recall gate's exact truth side
     "sim_topk_rp",
-    # SQ8 shortlist+rerank: quantize/dequant/rerank are pure JVM;
-    # the Arrow stage is the shared exact-top-k truth side of the
-    # recall gate (same as lsh/ivf/rp)
+    # SQ8 shortlist+rerank: same Arrow shortlist kernel over the
+    # JVM-dequantized vectors + the recall-gate truth side
     "sim_topk_sq",
+    # hard-negative mining: stage-1 label-masked Arrow local-top-k
+    # candidates, JVM rounded-cosine rerank (r06 — replaced the
+    # broadcast cross join + window over the N·Q scored frame)
+    "hard_negatives_vecs",
     "sim_neardup_exact",
     "embed_label_stats",
     "embed_label_spectrum",

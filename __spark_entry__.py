@@ -2645,6 +2645,28 @@ FROM ppl, t GROUP BY 1
 """
 
 
+def ccnet_buckets_docs_sf01(spark, sf_dir):
+    """SF-robustness driver gate (r05 verdict #6): the CCNet
+    bucketing re-run pinned to the sf0.1 documents table REGARDLESS
+    of the driver's sf parameter, so quantized-order-statistic
+    robustness at 10× the data gets a driver CORRECTNESS row rather
+    than only the local ORACLE_SF01.md sweep. The paired oracle SQL
+    reads the same sf0.1 parquet via read_parquet(), bypassing the
+    driver's sf0.01 views — both engines see identical input."""
+    return ccnet_buckets_docs(spark, "/root/testdata/sf0.1")
+
+
+# Same query text as CCNET_BUCKETS_SQL with the lone `documents`
+# reference swapped for the absolute sf0.1 parquet path (asserted
+# single occurrence below so a future SQL edit cannot silently leave
+# the oracle reading the wrong SF).
+assert CCNET_BUCKETS_SQL.count("FROM documents") == 1
+CCNET_BUCKETS_SF01_SQL = CCNET_BUCKETS_SQL.replace(
+    "FROM documents",
+    "FROM read_parquet('/root/testdata/sf0.1/documents.parquet')",
+)
+
+
 def hard_negatives_vecs(spark, sf_dir):
     """Contrastive hard-negative mining (operators/similarity.py
     hard_negative_topk): per query vector, the top-3 most similar
@@ -5327,6 +5349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
         "seq_packing_docs": seq_packing_docs,
+        "ccnet_buckets_docs_sf01": ccnet_buckets_docs_sf01,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5490,6 +5513,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": GOPHER_FILTER_SQL,
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
+        "ccnet_buckets_docs_sf01": CCNET_BUCKETS_SF01_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,

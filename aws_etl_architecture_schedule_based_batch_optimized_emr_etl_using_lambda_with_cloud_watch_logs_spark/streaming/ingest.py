@@ -259,6 +259,7 @@ def stream_ingest_with_catalog(
     partition_cols: list[str] | None = None,
     legacy_day: bool = True,
     drift_mode: str = "incremental",
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """The COMPLETE reference semantics in streaming form:
     ``foreachBatch`` runs the batch sink write + catalog sync
@@ -274,6 +275,18 @@ def stream_ingest_with_catalog(
     quadratic total scan over the stream's life — the ledger-based
     O(metadata) decision is the only shape that survives a long-lived
     100 TB/day stream. "full" keeps the reference-parity re-read.
+
+    ``reader_options``: extra file-source options
+    (``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` — the real
+    micro-batch right-sizing levers; also how the restart test
+    forces one-file batches to kill the query mid-drain).
+
+    Failure semantics: foreachBatch is at-least-once per micro-batch
+    on restart, but the batch writer lands data under a temporary
+    directory and the catalog sync is idempotent, so a batch that
+    dies BEFORE its sink commit replays cleanly from the checkpoint
+    ledger — pinned by
+    tests/test_streaming.py::test_stream_restart_mid_drain_exactly_once.
     """
     from ..catalog import sync_catalog, sync_catalog_incremental
     from ..sources.readers import read_parquet_merged
@@ -302,6 +315,7 @@ def stream_ingest_with_catalog(
 
     return (
         spark.readStream.schema(schema)
+        .options(**(reader_options or {}))
         .json(source_path)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)

@@ -397,3 +397,92 @@ def test_stream_static_enrich_broadcasts_and_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM enriched").collect()
     }
     assert got == expected  # stateless left enrich: unmatched keys kept
+
+
+def test_stream_restart_mid_drain_exactly_once(spark, tmp_path):
+    """Kill the catalog-synced ingest MID-DRAIN and resume from the
+    same checkpoint (r05 verdict #5): the reference's archive
+    protocol (emr_json_parquet_schema_drift_etl.py:24-51) exists
+    precisely to survive reruns, and the streaming twin must prove
+    the same. Sequence: run 1 drains batch b1 and commits; run 2 is
+    forced to one-file micro-batches and its SECOND batch dies
+    before the sink write (simulated executor/driver loss); run 3
+    restarts from the checkpoint ledger. Pins: (a) the committed
+    batches are NOT reprocessed (no duplicate rows — exactly-once
+    from the ledger + fail-before-commit), (b) the killed batch IS
+    replayed (no loss), (c) the final catalog state matches the
+    sink read-back exactly."""
+    import json as _json
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources import (
+        writers as writers_mod,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_ingest_with_catalog,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    chk = str(tmp_path / "chk")
+    _write_json(os.path.join(src, "b1.json"), RECORDS)
+    schema = spark.read.json(src).schema
+
+    def run(**kw):
+        q = stream_ingest_with_catalog(
+            spark, source_path=src, sink_path=sink, checkpoint_path=chk,
+            schema=schema, catalog_db="restart_db", table_prefix="rst", **kw,
+        )
+        run_available_now(q)
+
+    run()
+    assert spark.read.parquet(sink).count() == 3  # c1×2 tags + c2
+
+    # two new single-record files → two micro-batches at
+    # maxFilesPerTrigger=1; the second one dies BEFORE its write.
+    _write_json(
+        os.path.join(src, "b2.json"),
+        [dict(RECORDS[1], customerid="c3", tags=["x"])],
+    )
+    _write_json(
+        os.path.join(src, "b3.json"),
+        [dict(RECORDS[1], customerid="c4", tags=["y"])],
+    )
+
+    real_write = writers_mod.write_partitioned
+    calls = {"n": 0}
+
+    def dying_write(df, path, partition_cols, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated mid-drain crash")
+        return real_write(df, path, partition_cols, **kw)
+
+    writers_mod.write_partitioned = dying_write
+    try:
+        import pyspark.errors
+
+        try:
+            run(reader_options={"maxFilesPerTrigger": "1"})
+            raise AssertionError("expected the injected crash to fail the query")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+        assert calls["n"] == 2  # first new batch committed, second died
+        committed = spark.read.parquet(sink)
+        assert committed.count() == 4  # b1's 3 rows + exactly one new batch
+    finally:
+        writers_mod.write_partitioned = real_write
+
+    # resume from the same checkpoint: ONLY the dead batch replays
+    run()
+    out = spark.read.parquet(sink)
+    per_customer = {
+        r["customerid"]: r["n"]
+        for r in out.groupBy("customerid").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_customer == {"c1": 2, "c2": 1, "c3": 1, "c4": 1}
+
+    # catalog state (sink-as-truth) reflects the complete drain
+    state = _json.load(open(os.path.join(sink, "_catalog_state.json")))
+    assert {
+        p.split("/")[0] for p in state["partitions"]
+    } == {"customerid=c1", "customerid=c2", "customerid=c3", "customerid=c4"}

@@ -2118,6 +2118,118 @@ FROM toks LEFT JOIN sc ON toks.doc_id = sc.doc_id
 """
 
 
+def kn_bigram_model_docs(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model export (operators/lm.py
+    kneser_ney_bigrams): discounted ML term + continuation-count
+    backoff — the smoothing CCNet's real filter LM uses. One corpus
+    explode; every other aggregate is over the vocabulary-bounded
+    model frame. Top-30 by raw count (count-desc, then words) with
+    the smoothed probability and its component counts."""
+    d = _t(spark, sf_dir, "documents")
+    return LM.kneser_ney_bigrams(d, discount=0.75, top_k=30)
+
+
+KN_BIGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+bi AS (
+  SELECT u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                      for i in range(1, len(t))]) AS u
+        FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+nf AS (SELECT w1, COUNT(*) AS n_followers FROM c2 GROUP BY w1),
+nc AS (SELECT w2, COUNT(*) AS n_continuations FROM c2 GROUP BY w2),
+nt AS (SELECT COUNT(*) AS n_types FROM c2)
+SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+       CAST(n_followers AS BIGINT) AS n_followers,
+       CAST(n_continuations AS BIGINT) AS n_continuations,
+       ROUND(GREATEST(c2 - 0.75, 0.0) / c1
+             + (0.75 / c1) * n_followers
+               * (n_continuations / (1.0 * n_types)), 6) AS p_kn
+FROM c2 JOIN c1 USING (w1) JOIN nf USING (w1) JOIN nc USING (w2), nt
+ORDER BY c2 DESC, w1, w2 LIMIT 30
+"""
+
+
+def doremi_weights_docs(spark, sf_dir):
+    """DoReMi-style domain reweighting (operators/lm.py
+    doremi_domain_weights): one exponentiated-gradient step — token
+    share × exp(excess bigram NLL / T), normalized over domains via
+    an integer-quantized sum. One row per source with the full
+    audit trail (share, NLL, excess, weight)."""
+    d = _t(spark, sf_dir, "documents")
+    return LM.doremi_domain_weights(d, temperature=1.0)
+
+
+DOREMI_SQL = f"""
+WITH toks AS (SELECT source AS domain, {_SQL_TOKENS} AS t
+              FROM documents),
+bi AS (
+  SELECT domain, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT domain,
+               unnest([{{'w1': t[i], 'w2': t[i+1]}}
+                       for i in range(1, len(t))]) AS u
+        FROM toks WHERE len(t) >= 2)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(t) AS w FROM toks)),
+dom AS (
+  SELECT domain, COUNT(*) AS n_bigrams,
+         SUM(CAST(ROUND(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * vocab))
+                        * 1000000.0) AS BIGINT)) AS sq
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+  GROUP BY domain),
+tot AS (SELECT SUM(n_bigrams) AS nt, SUM(sq) AS sqt FROM dom),
+raw AS (
+  SELECT domain, n_bigrams,
+         -sq / (n_bigrams * 1000000.0) AS nll_d,
+         -sqt / (nt * 1000000.0) AS nll_c,
+         nt,
+         CAST(ROUND((n_bigrams / (1.0 * nt))
+                    * exp((-sq / (n_bigrams * 1000000.0))
+                          - (-sqt / (nt * 1000000.0)))
+                    * 1000000000000.0) AS BIGINT) AS qraw
+  FROM dom, tot),
+z AS (SELECT SUM(qraw) AS z FROM raw)
+SELECT domain, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(nll_d, 6) AS domain_nll,
+       ROUND(nll_d - nll_c, 6) AS excess_nll,
+       ROUND(n_bigrams / (1.0 * nt), 6) AS token_share,
+       ROUND(qraw / (1.0 * z), 6) AS weight
+FROM raw, z
+"""
+
+
+def length_packing_docs(spark, sf_dir):
+    """Sequence-length histogram + packing-efficiency bounds
+    (operators/packing.py length_packing_report): per power-of-2
+    length bucket, doc/token/chunk counts and the pad-waste /
+    efficiency a chunk-to-512-and-pad layout would pay — the report
+    that chooses max_seq. Exact integer math (bin()-length buckets,
+    ceil-div, integer-scaled floor-div); one metadata aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return P_pack.length_packing_report(d, max_seq=512)
+
+
+LENGTH_PACKING_SQL = f"""
+WITH per AS (
+  SELECT CAST(LENGTH(bin(len({_SQL_TOKENS}))) - 1 AS INT) AS len_bucket,
+         CAST(len({_SQL_TOKENS}) AS BIGINT) AS n,
+         CAST((len({_SQL_TOKENS}) + 511) // 512 AS BIGINT) AS chunks
+  FROM documents)
+SELECT len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(chunks) * 512 - SUM(n) AS BIGINT) AS pad_waste,
+       CAST((SUM(n) * 1000000) // (SUM(chunks) * 512) AS BIGINT)
+         AS efficiency_q
+FROM per GROUP BY len_bucket
+"""
+
+
 def text_diversity_docs(spark, sf_dir):
     """Distinct-n diversity report per language (operators/text.py
     diversity_report): n-gram occurrence vs distinct counts and the
@@ -2415,6 +2527,55 @@ FROM s
 """
 
 
+def quality_percentile_docs(spark, sf_dir):
+    """Per-source percentile curation (operators/scoring.py
+    percentile_filter_by_group): classifier-score every doc with the
+    deterministic synthetic model, then keep the top 25% WITHIN each
+    source — the CCNet/FineWeb per-group normalization. The cutoff
+    comes from a per-(source, quantized-score) histogram (running
+    count touches one row per distinct score per source, never a
+    per-doc window), broadcast back as an O(sources) frame."""
+    d = _t(spark, sf_dir, "documents")
+    w = SC.synthetic_weights(spark, 4096)
+    scored = SC.score_documents(d, w, 4096).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return SC.percentile_filter_by_group(
+        scored, group_col="source", score_col="score", keep_frac=0.25
+    )
+
+
+QUALITY_PCT_SQL = f"""
+WITH w AS (SELECT i AS bucket, {_hash32_sql("i")} AS weight_q
+           FROM range(4096) t(i)),
+tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+b AS (SELECT doc_id,
+             CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT)
+               % 4096 AS bucket
+      FROM tok),
+s AS (SELECT doc_id, SUM(weight_q) AS sq, COUNT(*) AS n
+      FROM b JOIN w USING (bucket) GROUP BY doc_id),
+sc AS (SELECT s.doc_id, d.source,
+              ROUND(1.0 / (1.0 + exp(-(sq / (n * 4294967296.0) - 0.5))),
+                    6) AS score
+       FROM s JOIN documents d USING (doc_id)),
+q AS (SELECT doc_id, source, score,
+             CAST(ROUND(score * 1000000.0) AS BIGINT) AS qs
+      FROM sc),
+hist AS (SELECT source, qs, COUNT(*) AS c FROM q GROUP BY source, qs),
+cum AS (SELECT source, qs,
+               SUM(c) OVER (PARTITION BY source ORDER BY qs DESC
+                            ROWS UNBOUNDED PRECEDING) AS cumc
+        FROM hist),
+tot AS (SELECT source, COUNT(*) AS n FROM q GROUP BY source),
+cut AS (SELECT source, MAX(qs) AS cutoff
+        FROM cum JOIN tot USING (source)
+        WHERE cumc >= CEIL(0.25 * n) GROUP BY source)
+SELECT doc_id, source, score, qs >= cutoff AS keep
+FROM q JOIN cut USING (source)
+"""
+
+
 def dedup_incremental_docs(spark, sf_dir):
     """Incremental near-dup detection vs a persistent band store
     (operators/dedup.py incremental_minhash_dedup): feed the corpus
@@ -2692,6 +2853,44 @@ SELECT q_id, n_id, cosine, CAST(rank AS INT) AS rank FROM (
          ROW_NUMBER() OVER (PARTITION BY q_id
                             ORDER BY cosine DESC, n_id) AS rank
   FROM scored) WHERE rank <= 3
+"""
+
+
+def triplet_mining_vecs(spark, sf_dir):
+    """Contrastive triplet export (operators/similarity.py
+    triplet_mining): per anchor its hardest positive (nearest
+    same-label) and hardest negative (nearest cross-label) with the
+    triplet margin — two Arrow local-top-k corpus scans reduced to
+    |Q| rows each, JVM rounded-cosine rerank on the candidates, one
+    tiny join. A negative margin flags a likely mislabel."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.triplet_mining(e, query_ids=list(range(10)))
+
+
+TRIPLET_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, vec AS q_vec, label AS q_label
+      FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, n.vec_id AS n_id, n.label AS n_label, q.q_label,
+         ROUND(list_dot_product(q.q_vec, n.vec)
+               / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                  * sqrt(list_dot_product(n.vec, n.vec))), 6) AS cosine
+  FROM q JOIN v n ON n.vec_id != q.q_id),
+pos AS (SELECT q_id, n_id AS pos_id, cosine AS pos_cosine FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id) AS r
+  FROM scored WHERE n_label = q_label) WHERE r = 1),
+neg AS (SELECT q_id, n_id AS neg_id, cosine AS neg_cosine FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, n_id) AS r
+  FROM scored WHERE n_label <> q_label) WHERE r = 1)
+SELECT q_id AS anchor_id, pos_id, neg_id, pos_cosine, neg_cosine,
+       ROUND(pos_cosine - neg_cosine, 6) AS margin
+FROM pos JOIN neg USING (q_id)
 """
 
 
@@ -5330,10 +5529,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shortlist/rerank de-shuffle: rp/sq/bruteforce/hard-negatives got
     the Arrow local-top-k kernel, lsh/ivf got documented bucket
     bounds; seq_packing rides along as the r05 bench watch item);
-    then the sf0.1-promoted CCNet gate; then the r03/r04-row backlog
-    in its standing order so the oldest driver rows refresh first.
-    The tail is the block driver-checked green in r05 on code
-    untouched since.
+    then the sf0.1-promoted CCNet gate and the five NEW round-6
+    operators (per-source percentile curation, Kneser-Ney bigram
+    model, DoReMi domain weights, length/packing-efficiency report,
+    triplet mining — each with sf0.01 + sf0.1 check_oracle evidence);
+    then the r03/r04-row backlog in its standing order so the oldest
+    driver rows refresh first. The tail is the block driver-checked
+    green in r05 on code untouched since.
     """
     return {
         "text_diversity_docs": text_diversity_docs,
@@ -5350,6 +5552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": sim_topk_ivf,
         "seq_packing_docs": seq_packing_docs,
         "ccnet_buckets_docs_sf01": ccnet_buckets_docs_sf01,
+        "quality_percentile_docs": quality_percentile_docs,
+        "kn_bigram_model_docs": kn_bigram_model_docs,
+        "doremi_weights_docs": doremi_weights_docs,
+        "length_packing_docs": length_packing_docs,
+        "triplet_mining_vecs": triplet_mining_vecs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5514,6 +5721,11 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
         "ccnet_buckets_docs_sf01": CCNET_BUCKETS_SF01_SQL,
+        "quality_percentile_docs": QUALITY_PCT_SQL,
+        "kn_bigram_model_docs": KN_BIGRAM_SQL,
+        "doremi_weights_docs": DOREMI_SQL,
+        "length_packing_docs": LENGTH_PACKING_SQL,
+        "triplet_mining_vecs": TRIPLET_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,

@@ -332,3 +332,154 @@ def perplexity_with_model(
         "doc_id", F.explode(bigrams_col(F.col("t"))).alias("b")
     ).select("doc_id", "b.w1", "b.w2")
     return _score_bigrams(toks, bi, c2, c1, vocab)
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    discount: float = 0.75,
+    top_k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model export — the smoothing
+    CCNet's actual filter LM uses (vs the add-1 stand-in above):
+
+        P_KN(w2|w1) = max(c2 − D, 0)/c1
+                      + (D/c1) · N1+(w1,•) · N1+(•,w2)/N1+(•,•)
+
+    with fixed discount D, where N1+(w1,•) is the distinct-follower
+    count, N1+(•,w2) the continuation (distinct-predecessor) count,
+    and N1+(•,•) the total bigram-type count. Emits the ``top_k``
+    bigrams by raw count (count-desc, then words — deterministic
+    without float ordering) with the smoothed probability and its
+    components; the full model is the same frame without the limit.
+
+    Scale plan: ONE corpus explode builds the (w1, w2) count frame;
+    every other aggregate (c1, follower, continuation, type totals)
+    re-derives from that vocabulary-bounded MODEL frame, never from
+    the corpus — identical posture to perplexity_scores. The two
+    word-keyed joins are model-sized; the scalar type count is a
+    one-row broadcast. P_KN is a ratio of exact integer counts
+    (D = 3/4 is dyadic), so the IEEE division + 6-decimal round is
+    engine-identical."""
+    toks = df.select(tokens_col(text_col).alias("t"))
+    bi = toks.filter(F.size("t") >= 2).select(
+        F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    n_follow = c2.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n_followers")
+    )
+    n_cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_continuations")
+    )
+    n_types = c2.agg(F.count(F.lit(1)).alias("n_types"))
+    d = F.lit(discount)
+    p_kn = (
+        F.greatest(F.col("c2") - d, F.lit(0.0)) / F.col("c1")
+        + (d / F.col("c1"))
+        * F.col("n_followers")
+        * (F.col("n_continuations") / F.col("n_types"))
+    )
+    return (
+        c2.join(c1, "w1")
+        .join(n_follow, "w1")
+        .join(n_cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").cast("bigint").alias("c2"),
+            F.col("n_followers").cast("bigint").alias("n_followers"),
+            F.col("n_continuations").cast("bigint").alias(
+                "n_continuations"
+            ),
+            F.round(p_kn, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c2"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def doremi_domain_weights(
+    df: DataFrame,
+    temperature: float = 1.0,
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style domain reweighting (one exponentiated-gradient
+    step of Xie et al.'s Group DRO objective, with the corpus's own
+    bigram NLL standing in for the proxy-model excess loss): domains
+    whose text is more surprising than the corpus average get
+    up-weighted relative to their token share —
+
+        w(d) ∝ share(d) · exp( (nll(d) − nll(corpus)) / T )
+
+    normalized over domains. Emits one row per domain with the
+    component statistics, so the output is both the sampling-weight
+    vector for the mixing pass (token_budget_sample /
+    temperature_fractions take it as input) and the audit trail.
+
+    Scale plan: the add-1 bigram model trains exactly as
+    perplexity_scores (one corpus explode, vocabulary-bounded model
+    frames); the NLL aggregate is keyed by DOMAIN, not doc — a
+    handful of groups — and every division/exp happens on
+    O(domains) rows from integer-exact numerators (the quantized
+    log-prob sums), so results are partitioning-invariant and
+    engine-identical."""
+    toks = df.select(
+        F.col(domain_col).alias("domain"), tokens_col(text_col).alias("t")
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        "domain", F.explode(bigrams_col(F.col("t"))).alias("b")
+    ).select("domain", "b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).persist()
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    qlp = F.round(
+        F.log(
+            (F.col("c2") + F.lit(1.0))
+            / (F.col("c1") + F.lit(1.0) * F.col("vocab"))
+        )
+        * F.lit(_Q)
+    ).cast("bigint")
+    dom = (
+        bi.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(qlp).alias("_sq"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_bigrams").alias("_nt"), F.sum("_sq").alias("_sqt")
+    )
+    nll_d = -F.col("_sq") / (F.col("n_bigrams") * F.lit(_Q))
+    nll_c = -F.col("_sqt") / (F.col("_nt") * F.lit(_Q))
+    raw = (F.col("n_bigrams") / F.col("_nt")) * F.exp(
+        (nll_d - nll_c) / F.lit(temperature)
+    )
+    # Quantize the un-normalized weight to a 1e12 integer BEFORE the
+    # normalizing sum: an integer Σ is order/partitioning-invariant
+    # where a double Σ of exp() terms is not — same discipline as
+    # the quantized log-prob numerators above.
+    qraw = F.round(raw * F.lit(1e12)).cast("bigint")
+    scored = dom.crossJoin(F.broadcast(tot)).withColumn("_qraw", qraw)
+    z = scored.agg(F.sum("_qraw").alias("_z"))
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "domain",
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.round(nll_d, 6).alias("domain_nll"),
+            F.round(nll_d - nll_c, 6).alias("excess_nll"),
+            F.round(F.col("n_bigrams") / F.col("_nt"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("_qraw") / F.col("_z"), 6).alias("weight"),
+        )
+    )

@@ -331,3 +331,54 @@ def write_training_shards(
     out = df.sparkSession.createDataFrame(rows, manifest.schema)
     out.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
     return out
+
+
+def length_packing_report(
+    df: DataFrame,
+    max_seq: int = 512,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence-length histogram + packing-efficiency bounds — the
+    report a pipeline reads BEFORE choosing ``max_seq``: per
+    power-of-2 length bucket, how many documents/tokens land there
+    and what a chunk-to-``max_seq``-and-pad layout would waste
+    (n_chunks = Σ ceil(len/max_seq); pad_waste = n_chunks·max_seq −
+    tokens; efficiency = tokens/(n_chunks·max_seq)).
+
+    Exact integer math throughout: the bucket is
+    ``length(bin(n)) − 1`` (= floor(log2 n) without float log —
+    both engines' ``bin()`` agree bit-for-bit), ceil-division is
+    ``(n + max_seq − 1) div max_seq``, and the efficiency ratio is
+    an integer-scaled floor division. One map-side-combined
+    aggregate over the (doc, n_tokens) metadata; the text never
+    shuffles."""
+    n = F.size(tokens_col(text_col))
+    chunks = F.floor((n + F.lit(max_seq) - 1) / F.lit(max_seq))
+    per_doc = df.select(
+        (F.length(F.bin(n.cast("bigint"))) - 1).alias("len_bucket"),
+        n.cast("bigint").alias("_n"),
+        chunks.cast("bigint").alias("_chunks"),
+    )
+    return (
+        per_doc.groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("n_tokens"),
+            F.sum("_chunks").alias("n_chunks"),
+        )
+        .select(
+            F.col("len_bucket").cast("int").alias("len_bucket"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            (F.col("n_chunks") * max_seq - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("pad_waste"),
+            # integer floor-div (DIV), not double `/` + cast: exact
+            # and engine-identical at any magnitude
+            F.expr(
+                f"CAST((n_tokens * 1000000) DIV (n_chunks * {max_seq})"
+                " AS BIGINT)"
+            ).alias("efficiency_q"),
+        )
+    )

@@ -98,3 +98,68 @@ def score_documents(
         F.round(score, 6).alias("score"),
         (score >= threshold).alias("keep"),
     )
+
+
+def percentile_filter_by_group(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+    keep_frac: float = 0.25,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group percentile curation: keep the top ``keep_frac`` of
+    documents WITHIN each group (source/domain/language), ties at
+    the cutoff included — the normalization CCNet applies per
+    language and FineWeb-style pipelines apply per dump, so one
+    well-behaved source cannot crowd out the rest of the mix under
+    a single global threshold.
+
+    Scale plan (no per-doc window): a naive
+    ``percent_rank() OVER (PARTITION BY group)`` sorts every
+    document of a group in one task — per-task O(n_group) at 100 TB
+    for the big sources. Instead the score is integer-quantized
+    (scores are produced 6-decimal-rounded, so ×1e6 is exact) and
+    the cutoff comes from the per-(group, qscore) HISTOGRAM: the
+    running-count window touches one row per DISTINCT quantized
+    score per group (≤1e6-ish, independent of corpus size), the
+    O(groups) cutoff frame broadcasts back, and the keep flag is a
+    map-side comparison. Same order-statistic-on-quantized-integers
+    method as lm.perplexity_buckets — exact, engine-identical.
+
+    Cutoff definition: the highest qscore at which the descending
+    cumulative count first reaches ceil(keep_frac · n_group); kept =
+    qscore ≥ cutoff (so ties at the boundary all survive —
+    deterministic regardless of partitioning).
+    """
+    from pyspark.sql import Window
+
+    qs = F.round(F.col(score_col) * 1e6).cast("bigint")
+    with_q = scored.select(
+        id_col, group_col, score_col, qs.alias("_qs")
+    )
+    hist = with_q.groupBy(group_col, "_qs").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    # one row per distinct quantized score per group — bounded
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("_qs"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    totals = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+    cutoffs = (
+        cum.join(totals, group_col)
+        .filter(F.col("_cum") >= F.ceil(F.lit(keep_frac) * F.col("_n")))
+        .groupBy(group_col)
+        .agg(F.max("_qs").alias("_cutoff"))
+    )
+    return (
+        with_q.join(F.broadcast(cutoffs), group_col)
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            (F.col("_qs") >= F.col("_cutoff")).alias("keep"),
+        )
+    )

@@ -179,6 +179,14 @@ HEADLINE = [
     "pack_boundaries_docs",
     "text_pmi_docs",
     "source_overlap_docs",
+    # round-6 additions (ccnet_buckets_docs_sf01 is excluded: it IS
+    # ccnet_buckets_docs pinned to sf0.1 — the same plan this bench
+    # already times at the bench SF)
+    "quality_percentile_docs",
+    "kn_bigram_model_docs",
+    "doremi_weights_docs",
+    "length_packing_docs",
+    "triplet_mining_vecs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

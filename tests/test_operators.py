@@ -2922,3 +2922,127 @@ def test_multimodal_gif_interlaced_decode():
     # every scanline appears exactly once for any height
     for h in (1, 2, 7, 8, 9, 16, 33):
         assert sorted(_gif_interlace_order(h)) == list(range(h))
+
+
+# ------------------------------------------------- round-6 operators
+
+
+def test_percentile_filter_by_group(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scoring as SC,
+    )
+
+    # two groups: a keeps top 25% of 8 docs = 2 (plus boundary
+    # ties), b has a 3-way tie at the cutoff — all must survive
+    rows = [(i, "a", i / 10.0) for i in range(1, 9)]
+    rows += [(100, "b", 0.9), (101, "b", 0.5), (102, "b", 0.5),
+             (103, "b", 0.5)]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, source string, score double"
+    )
+    out = SC.percentile_filter_by_group(
+        scored, keep_frac=0.25
+    ).collect()
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    # group a: ceil(0.25*8)=2 → docs 8, 7
+    # group b: ceil(0.25*4)=1 → doc 100 only (0.9 > tie block)
+    assert kept == {7, 8, 100}
+    assert len(out) == 12  # every doc emitted with a flag
+
+
+def test_percentile_filter_tie_inclusion(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scoring as SC,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "a", 0.5), (3, "a", 0.5), (4, "a", 0.1)],
+        "doc_id long, source string, score double",
+    )
+    out = SC.percentile_filter_by_group(scored, keep_frac=0.25).collect()
+    kept = {r["doc_id"] for r in out if r["keep"]}
+    assert kept == {1, 2, 3}  # cutoff lands on the tie → all kept
+
+
+def test_kneser_ney_bigrams_hand_check(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    out = {(r["w1"], r["w2"]): r for r in LM.kneser_ney_bigrams(d).collect()}
+    ab = out[("a", "b")]
+    assert ab["c2"] == 2 and ab["n_followers"] == 2
+    assert ab["n_continuations"] == 1  # only 'a' precedes 'b'
+    # P_KN(b|a) = (2-.75)/3 + (.75/3)*2*(1/3)
+    assert ab["p_kn"] == pytest.approx(
+        (2 - 0.75) / 3 + (0.75 / 3) * 2 * (1 / 3), abs=1e-6
+    )
+    # probabilities out of a context sum to ≤ 1 (KN is normalized)
+    p_a = sum(r["p_kn"] for (w1, _), r in out.items() if w1 == "a")
+    assert p_a <= 1.0 + 1e-6
+
+
+def test_doremi_weights_sum_to_one_and_upweight_surprising(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    # domain "rep" is highly repetitive (low NLL), "div" diverse
+    d = spark.createDataFrame(
+        [(i, "rep", "x y x y x y x y") for i in range(5)]
+        + [(10 + i, "div", t) for i, t in enumerate(
+            ["p q r s", "s r q p", "q s p r", "r p s q", "p s q r"]
+        )],
+        "doc_id long, source string, text string",
+    )
+    out = {r["domain"]: r for r in LM.doremi_domain_weights(d).collect()}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    assert out["div"]["excess_nll"] > 0 > out["rep"]["excess_nll"]
+    # diverse domain gains weight over its token share
+    assert out["div"]["weight"] > out["div"]["token_share"]
+    assert out["rep"]["weight"] < out["rep"]["token_share"]
+
+
+def test_length_packing_report_exact(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "w " * 3), (2, "w " * 5), (3, "w " * 600)],
+        "doc_id long, text string",
+    )
+    out = {r["len_bucket"]: r for r in
+           PK.length_packing_report(d, max_seq=512).collect()}
+    # 3 tokens → bucket 1; 5 → bucket 2; 600 → bucket 9
+    assert out[1]["n_docs"] == 1 and out[1]["n_chunks"] == 1
+    assert out[2]["n_tokens"] == 5
+    b9 = out[9]
+    assert b9["n_chunks"] == 2  # ceil(600/512)
+    assert b9["pad_waste"] == 2 * 512 - 600
+    assert b9["efficiency_q"] == 600 * 1_000_000 // 1024
+
+
+def test_triplet_mining_margins(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),   # near-same-label neighbor of 0
+            (2, [0.95, 0.05, 0.0], 1),  # even nearer impostor
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.9, 0.1], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["anchor_id"]: r for r in
+           S.triplet_mining(emb, query_ids=[0, 3]).collect()}
+    t0 = out[0]
+    assert t0["pos_id"] == 1 and t0["neg_id"] == 2
+    # impostor 2 is closer than positive 1 → negative margin
+    assert t0["margin"] < 0
+    t3 = out[3]
+    assert t3["pos_id"] == 4 and t3["margin"] > 0

@@ -112,4 +112,5 @@ def test_plan_allowlist_is_pinned():
         "sim_topk_rp",
         "sim_topk_sq",
         "text_bpe_token_stats",
+        "triplet_mining_vecs",
     ]

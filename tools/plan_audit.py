@@ -61,6 +61,9 @@ ARROW_STAGE_OK = {
     # candidates, JVM rounded-cosine rerank (r06 — replaced the
     # broadcast cross join + window over the N·Q scored frame)
     "hard_negatives_vecs",
+    # triplet export: two labeled_topk passes (same reviewed Arrow
+    # kernel + JVM rerank as hard_negatives_vecs)
+    "triplet_mining_vecs",
     "sim_neardup_exact",
     "embed_label_stats",
     "embed_label_spectrum",

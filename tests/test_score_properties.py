@@ -178,3 +178,83 @@ def test_chunk_documents_covers_every_token(texts, size, stride):
             rebuilt.extend(c.chunk_text.split()[:stride])
         rebuilt.extend(chunks[-1].chunk_text.split())
         assert rebuilt == toks
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    scores=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    keep_frac=st.sampled_from([0.1, 0.25, 0.5, 0.9]),
+)
+def test_percentile_filter_matches_naive_reference(scores, keep_frac):
+    """percentile_filter_by_group's histogram-cutoff plan must agree
+    with the obvious per-group sort reference (keep top
+    ceil(frac·n) by score, ties at the cutoff included) for ANY
+    score distribution — including heavy ties and single-doc
+    groups."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scoring as SC,
+    )
+
+    spark = _spark()
+    rows = [
+        (i, g, q / 20.0) for i, (g, q) in enumerate(scores)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, score double"
+    )
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in SC.percentile_filter_by_group(
+            df, keep_frac=keep_frac
+        ).collect()
+    }
+    # naive reference on the driver
+    import math as _math
+    from collections import defaultdict
+
+    by_group = defaultdict(list)
+    for i, (g, q) in enumerate(scores):
+        by_group[g].append((q / 20.0, i))
+    expect = {}
+    for g, items in by_group.items():
+        items.sort(key=lambda t: -t[0])
+        k = _math.ceil(keep_frac * len(items))
+        cutoff = items[k - 1][0]
+        for s, i in items:
+            expect[i] = s >= cutoff
+    assert out == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=_corpus)
+def test_kneser_ney_contexts_subnormalized(texts):
+    """For every context w1, the summed KN probability over the
+    OBSERVED continuations must stay within (0, 1]: the discount
+    reserves mass for unseen continuations, so the observed sum is
+    strictly positive and never exceeds one."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = LM.kneser_ney_bigrams(df, top_k=100000).collect()
+    if not rows:  # no bigrams in the generated corpus
+        return
+    from collections import defaultdict
+
+    per_ctx = defaultdict(float)
+    for r in rows:
+        assert r["p_kn"] > 0
+        per_ctx[r["w1"]] += r["p_kn"]
+    for w1, total in per_ctx.items():
+        assert total <= 1.0 + 1e-4, (w1, total)

@@ -212,6 +212,16 @@ def main() -> None:
         "chunk_rag": lambda d: PK.chunk_documents(
             d, chunk_size=64, stride=48
         ).count(),
+        "quality_percentile": lambda d: SC.percentile_filter_by_group(
+            SC.score_documents(d, SC.synthetic_weights(d.sparkSession, 4096), 4096)
+            .join(d.select("doc_id", "source"), "doc_id"),
+        ).count(),
+        "kn_bigrams": lambda d: LM.kneser_ney_bigrams(d).count(),
+        "doremi_weights": lambda d: LM.doremi_domain_weights(d).count(),
+        "length_packing": lambda d: PK.length_packing_report(d).count(),
+        "triplet_mining": lambda e: S2.triplet_mining(
+            e, query_ids=list(range(10))
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -247,6 +257,11 @@ def main() -> None:
         "diversity_report": (docs, ["doc_id"]),
         "zipf_slope": (docs, ["doc_id"]),
         "chunk_rag": (docs, ["doc_id"]),
+        "quality_percentile": (docs, ["doc_id"]),
+        "kn_bigrams": (docs, ["doc_id"]),
+        "doremi_weights": (docs, ["doc_id"]),
+        "length_packing": (docs, ["doc_id"]),
+        "triplet_mining": (emb, ["vec_id"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

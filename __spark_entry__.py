@@ -44,6 +44,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     packing as P_pack,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    governance as GV,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     signatures as G,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -2894,6 +2897,81 @@ FROM pos JOIN neg USING (q_id)
 """
 
 
+def purge_audit_docs(spark, sf_dir):
+    """Right-to-be-forgotten purge audit (operators/governance.py
+    purge_audit): a takedown names doc ids, the obligation attaches
+    to the CONTENT — ids expand to normalized-content fingerprints
+    and every copy is flagged via one broadcast anti/semi join.
+    Per-source before/removed/after counts; the removal set is the
+    deterministic doc_id ≡ 0 (mod 97) sample."""
+    d = _t(spark, sf_dir, "documents")
+    return GV.purge_audit(d, list(range(0, 10000, 97)))
+
+
+PURGE_AUDIT_SQL = """
+WITH seeds AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents
+  WHERE doc_id % 97 = 0 AND doc_id >= 0 AND doc_id < 10000),
+f AS (SELECT source, md5(lower(trim(text))) AS fp FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM seeds)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM seeds)
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM f GROUP BY source
+"""
+
+
+def cdc_chunks_docs(spark, sf_dir):
+    """Content-defined chunking block-dedup audit (operators/
+    packing.py cdc_chunk_stats): hash-of-trailing-window boundaries
+    (insertion-robust, unlike fixed blocks), per-source chunk
+    dedup ratio + mean chunk length. Map-side chunking, one
+    (source, chunk-hash)-keyed distinct aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return P_pack.cdc_chunk_stats(d, window=16, divisor=64)
+
+
+CDC_CHUNKS_SQL = """
+WITH b1 AS (
+  SELECT source, text, length(text) AS n,
+         CASE WHEN length(text) >= 16 THEN
+           [p for p in range(16, length(text) + 1)
+            if CAST(concat('0x', substr(md5(substr(text, CAST(p AS INT) - 15, 16)), 1, 8))
+                    AS BIGINT) % 64 = 0]
+         ELSE CAST([] AS BIGINT[]) END AS cuts
+  FROM documents),
+b2 AS (
+  SELECT source, text,
+         list_prepend(CAST(1 AS BIGINT),
+                      [c + 1 for c in cuts]) AS starts,
+         list_append(cuts, CAST(n AS BIGINT)) AS ends
+  FROM b1),
+ch AS (
+  SELECT source, chunk FROM (
+    SELECT source,
+           unnest([substr(text, CAST(starts[i] AS INT),
+                          CAST(ends[i] - starts[i] + 1 AS INT))
+                   for i in range(1, len(starts) + 1)]) AS chunk
+    FROM b2)
+  WHERE length(chunk) > 0),
+agg AS (
+  SELECT source, COUNT(*) AS n_chunks,
+         COUNT(DISTINCT md5(chunk)) AS n_distinct,
+         SUM(length(chunk)) AS chars
+  FROM ch GROUP BY source),
+d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(((n_chunks - n_distinct) * 1000000) // n_chunks AS BIGINT)
+         AS dup_ratio_q,
+       CAST((chars * 1000000) // n_chunks AS BIGINT) AS avg_chunk_len_q
+FROM agg JOIN d USING (source)
+"""
+
+
 def gopher_filter_docs(spark, sf_dir):
     """Gopher-style composite quality filter (operators/text.py
     gopher_filter): the rule-chain curation pass — keep/drop per
@@ -5557,6 +5635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights_docs": doremi_weights_docs,
         "length_packing_docs": length_packing_docs,
         "triplet_mining_vecs": triplet_mining_vecs,
+        "cdc_chunks_docs": cdc_chunks_docs,
+        "purge_audit_docs": purge_audit_docs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5726,6 +5806,8 @@ def oracle_sql() -> dict[str, str]:
         "doremi_weights_docs": DOREMI_SQL,
         "length_packing_docs": LENGTH_PACKING_SQL,
         "triplet_mining_vecs": TRIPLET_SQL,
+        "cdc_chunks_docs": CDC_CHUNKS_SQL,
+        "purge_audit_docs": PURGE_AUDIT_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,

@@ -1,0 +1,120 @@
+"""Data-governance removals (right-to-be-forgotten / opt-out) —
+LLM-data-pipeline extension. A takedown request names document ids,
+but the obligation attaches to the CONTENT: every copy of the text
+(exact dups, re-crawls under new ids, copies in other sources) must
+leave the corpus, and the pipeline must be able to prove it did —
+and keep honoring the request when the next crawl re-ingests the
+same text.
+
+Three pieces:
+
+* :func:`content_fingerprint` — the normalized-content key
+  (md5 of lower(trim(text)): engine-portable, matches the exact-
+  dedup normalization so "copy" means the same thing in both
+  passes).
+* :func:`purge_by_ids` — expand the id list to content
+  fingerprints, then one broadcast anti-join drops every copy.
+* :func:`tombstone_ledger` — the durable (fingerprint, copies
+  removed) record: written next to the sink, unioned into the seed
+  side of future purges (the same merge-by-addition contract the
+  incremental dedup band store uses), and the audit artifact a
+  compliance review reads.
+
+At 100 TB: the seed/ledger side is requests-sized (thousands of
+rows vs billions of docs) — always broadcast; the corpus side is
+one linear scan with a map-side fingerprint, no shuffle. The purge
+composes into the same Catalyst plan as the rest of the curation
+chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_fingerprint(text_col: str = "text") -> Column:
+    """Normalized content key: md5 over lower(trim(text))."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
+def purge_by_ids(
+    docs: DataFrame,
+    removal_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop EVERY copy of the content named by ``removal_ids`` (not
+    just the listed rows): ids → distinct content fingerprints →
+    broadcast anti-join. Returns the surviving corpus with its
+    original columns."""
+    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
+    seeds = (
+        with_fp.filter(F.col(id_col).isin(removal_ids))
+        .select("_fp")
+        .distinct()
+    )
+    return with_fp.join(F.broadcast(seeds), "_fp", "left_anti").drop("_fp")
+
+
+def tombstone_ledger(
+    docs: DataFrame,
+    removal_ids: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-fingerprint removal record: (fingerprint, n_copies
+    removed, min/max removed id). Union-able across purge batches
+    (counts add, ids min/max-merge); re-applying the ledger to a
+    future batch is ``anti-join on fingerprint`` — recurring
+    re-crawls of purged content never re-enter."""
+    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
+    seeds = (
+        with_fp.filter(F.col(id_col).isin(removal_ids))
+        .select("_fp")
+        .distinct()
+    )
+    return (
+        with_fp.join(F.broadcast(seeds), "_fp")
+        .groupBy(F.col("_fp").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def purge_audit(
+    docs: DataFrame,
+    removal_ids: list[int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group compliance summary of a purge: docs before, copies
+    removed (by content, so it can exceed the request count), docs
+    after. One scan + the broadcast seed join."""
+    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
+    seeds = (
+        with_fp.filter(F.col(id_col).isin(removal_ids))
+        .select("_fp")
+        .distinct()
+    )
+    flagged = with_fp.join(
+        F.broadcast(seeds.withColumn("_purge", F.lit(True))),
+        "_fp",
+        "left",
+    )
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("_purge"), 1).otherwise(0)
+            ).cast("bigint").alias("n_purged"),
+            F.sum(
+                F.when(F.col("_purge").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+        )
+    )

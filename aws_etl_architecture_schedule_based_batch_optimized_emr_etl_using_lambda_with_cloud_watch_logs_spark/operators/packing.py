@@ -382,3 +382,89 @@ def length_packing_report(
             ).alias("efficiency_q"),
         )
     )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    window: int = 16,
+    divisor: int = 64,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (CDC) block-dedup audit: cut each
+    document where the hash of the trailing ``window`` characters
+    ≡ 0 (mod ``divisor``) — boundaries move WITH the content, so an
+    insertion only re-chunks its neighborhood (the property that
+    makes block-level dedup robust where fixed-size blocks shift) —
+    then report, per group, how much chunk-level duplication a
+    block store would reclaim: chunk counts, distinct chunk hashes,
+    the duplicate ratio and mean chunk length (integer-scaled).
+
+    The boundary hash is the same engine-portable md5-fold the
+    classifier's feature hash uses (first 32 bits), evaluated as a
+    JVM ``transform``/``filter`` over positions — O(len·window) per
+    doc, embarrassingly parallel, oracle-reproducible in any SQL
+    engine. A production 100 TB pass would swap the per-position
+    md5 for a Gear/Rabin ROLLING hash in an Arrow kernel (O(len),
+    same boundaries contract); the plan shape — map-side chunking,
+    one (group, hash)-keyed distinct aggregate — is unchanged.
+    Expected chunk length ≈ ``divisor`` windows; min length 1, no
+    max (a pathological doc with no matching window is one chunk).
+    """
+    text = F.col(text_col)
+    n = F.length(text)
+    whash = lambda p: F.pmod(  # noqa: E731 — window-end position → hash
+        F.conv(
+            F.md5(text.substr(p - window + 1, F.lit(window))).substr(1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(divisor),
+    )
+    cuts = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda p: whash(p) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)
+    )
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: text.substr(s, e - s + 1)
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    per_chunk = df.select(
+        F.col(group_col).alias("grp"), F.explode(chunks).alias("chunk")
+    ).select("grp", F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
+    return (
+        per_chunk.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum("l").alias("_chars"),
+        )
+        .join(
+            df.groupBy(F.col(group_col).alias("grp")).agg(
+                F.count(F.lit(1)).alias("n_docs")
+            ),
+            "grp",
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            F.expr(
+                "CAST(((n_chunks - n_distinct) * 1000000) DIV n_chunks"
+                " AS BIGINT)"
+            ).alias("dup_ratio_q"),
+            F.expr(
+                "CAST((_chars * 1000000) DIV n_chunks AS BIGINT)"
+            ).alias("avg_chunk_len_q"),
+        )
+    )

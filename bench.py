@@ -187,6 +187,8 @@ HEADLINE = [
     "doremi_weights_docs",
     "length_packing_docs",
     "triplet_mining_vecs",
+    "cdc_chunks_docs",
+    "purge_audit_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
 ]

@@ -3046,3 +3046,85 @@ def test_triplet_mining_margins(spark):
     assert t0["margin"] < 0
     t3 = out[3]
     assert t3["pos_id"] == 4 and t3["margin"] > 0
+
+
+def test_purge_removes_all_copies(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        governance as GV,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (0, "a", "secret text to forget"),
+            (1, "a", "  Secret Text To Forget  "),  # copy (normalized)
+            (2, "b", "secret text to forget"),      # copy, other source
+            (3, "b", "innocent other document"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    kept = GV.purge_by_ids(d, [0]).collect()
+    assert {r["doc_id"] for r in kept} == {3}  # ALL copies gone
+
+    ledger = GV.tombstone_ledger(d, [0]).collect()
+    assert len(ledger) == 1
+    assert ledger[0]["n_copies"] == 3
+    assert (ledger[0]["min_doc_id"], ledger[0]["max_doc_id"]) == (0, 2)
+
+    audit = {r["source"]: r for r in GV.purge_audit(d, [0]).collect()}
+    assert audit["a"]["n_purged"] == 2 and audit["a"]["n_kept"] == 0
+    assert audit["b"]["n_purged"] == 1 and audit["b"]["n_kept"] == 1
+
+    # recurrence: a future batch re-ingesting the content is blocked
+    # by anti-joining the ledger fingerprints
+    future = spark.createDataFrame(
+        [(100, "c", "SECRET TEXT TO FORGET"), (101, "c", "fresh doc")],
+        "doc_id long, source string, text string",
+    )
+    fp = GV.content_fingerprint("text")
+    blocked = future.withColumn("_fp", fp).join(
+        F.broadcast(
+            GV.tombstone_ledger(d, [0]).select(
+                F.col("fingerprint").alias("_fp")
+            )
+        ),
+        "_fp",
+        "left_anti",
+    )
+    assert [r["doc_id"] for r in blocked.collect()] == [101]
+
+
+def test_cdc_chunk_insertion_locality(spark):
+    """The CDC property fixed-size blocks lack: prepending text to a
+    document only re-chunks the neighborhood of the edit, so most
+    chunk hashes survive and block-dedup still finds the shared
+    content."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    import random as _random
+
+    rng = _random.Random(7)
+    words = ["".join(rng.choices("abcdefghij", k=5)) for _ in range(400)]
+    base = " ".join(words)
+    edited = "INSERTED PREFIX >>> " + base
+    d = spark.createDataFrame(
+        [(1, "orig", base), (2, "edit", edited)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in PK.cdc_chunk_stats(
+            d, divisor=16, group_col="source"
+        ).collect()
+    }
+    assert out["orig"]["n_chunks"] > 10  # boundaries actually fire
+    both = PK.cdc_chunk_stats(
+        d.withColumn("source", F.lit("all")), divisor=16, group_col="source"
+    ).collect()[0]
+    # if chunking were edit-fragile the union would have ~n_orig +
+    # n_edit distinct chunks; CDC must share most of them
+    n_union_distinct = both["n_distinct"]
+    n_orig = out["orig"]["n_distinct"]
+    n_edit = out["edit"]["n_distinct"]
+    assert n_union_distinct < n_orig + n_edit * 0.5

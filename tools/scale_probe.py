@@ -38,6 +38,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     packing as PK,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    governance as GV,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     similarity as S,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -222,6 +225,10 @@ def main() -> None:
         "triplet_mining": lambda e: S2.triplet_mining(
             e, query_ids=list(range(10))
         ).count(),
+        "cdc_chunks": lambda d: PK.cdc_chunk_stats(d).count(),
+        "purge_audit": lambda d: GV.purge_audit(
+            d, list(range(0, 10000, 97))
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -262,6 +269,8 @@ def main() -> None:
         "doremi_weights": (docs, ["doc_id"]),
         "length_packing": (docs, ["doc_id"]),
         "triplet_mining": (emb, ["vec_id"]),
+        "cdc_chunks": (docs, ["doc_id"]),
+        "purge_audit": (docs, ["doc_id"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

@@ -2925,9 +2925,10 @@ FROM f GROUP BY source
 
 def cdc_chunks_docs(spark, sf_dir):
     """Content-defined chunking block-dedup audit (operators/
-    packing.py cdc_chunk_stats): hash-of-trailing-window boundaries
-    (insertion-robust, unlike fixed blocks), per-source chunk
-    dedup ratio + mean chunk length. Map-side chunking, one
+    packing.py cdc_chunk_stats): word-aligned hash-of-trailing-
+    window boundaries (insertion-robust, unlike fixed blocks; the
+    whitespace precondition short-circuits the hash), per-source
+    chunk dedup ratio + mean chunk length. Map-side chunking, one
     (source, chunk-hash)-keyed distinct aggregate."""
     d = _t(spark, sf_dir, "documents")
     return P_pack.cdc_chunk_stats(d, window=16, divisor=64)
@@ -2938,7 +2939,8 @@ WITH b1 AS (
   SELECT source, text, length(text) AS n,
          CASE WHEN length(text) >= 16 THEN
            [p for p in range(16, length(text) + 1)
-            if CAST(concat('0x', substr(md5(substr(text, CAST(p AS INT) - 15, 16)), 1, 8))
+            if substr(text, CAST(p AS INT), 1) = ' '
+               AND CAST(concat('0x', substr(md5(substr(text, CAST(p AS INT) - 15, 16)), 1, 8))
                     AS BIGINT) % 64 = 0]
          ELSE CAST([] AS BIGINT[]) END AS cuts
   FROM documents),

@@ -400,16 +400,22 @@ def cdc_chunk_stats(
     block store would reclaim: chunk counts, distinct chunk hashes,
     the duplicate ratio and mean chunk length (integer-scaled).
 
-    The boundary hash is the same engine-portable md5-fold the
-    classifier's feature hash uses (first 32 bits), evaluated as a
-    JVM ``transform``/``filter`` over positions — O(len·window) per
-    doc, embarrassingly parallel, oracle-reproducible in any SQL
-    engine. A production 100 TB pass would swap the per-position
-    md5 for a Gear/Rabin ROLLING hash in an Arrow kernel (O(len),
-    same boundaries contract); the plan shape — map-side chunking,
-    one (group, hash)-keyed distinct aggregate — is unchanged.
-    Expected chunk length ≈ ``divisor`` windows; min length 1, no
-    max (a pathological doc with no matching window is one chunk).
+    Boundaries are WORD-ALIGNED: only positions whose window ends
+    at a whitespace character are candidates (chunks then align to
+    token boundaries — what text block-dedup wants, since an edit
+    inside a word can't smear hashes across the neighboring chunks)
+    — and the short-circuit cuts the hash evaluations to the space
+    density (~1/6 of positions in natural text). The boundary hash
+    is the same engine-portable md5-fold the classifier's feature
+    hash uses (first 32 bits), evaluated as a JVM
+    ``transform``/``filter`` over positions, embarrassingly
+    parallel, oracle-reproducible in any SQL engine. A production
+    100 TB pass would swap the per-position md5 for a Gear/Rabin
+    ROLLING hash in an Arrow kernel (O(len), same boundaries
+    contract); the plan shape — map-side chunking, one
+    (group, hash)-keyed distinct aggregate — is unchanged.
+    Expected chunk length ≈ ``divisor`` qualifying windows; min
+    length 1, no max (a doc with no matching window is one chunk).
     """
     text = F.col(text_col)
     n = F.length(text)
@@ -421,12 +427,26 @@ def cdc_chunk_stats(
         ).cast("bigint"),
         F.lit(divisor),
     )
+    # Candidate positions = the whitespace offsets, derived from the
+    # word lengths with one O(n_words) fold — NOT a filter over a
+    # length-of-text sequence, which pays a per-CHARACTER lambda
+    # eval (measured 1.4× slower at sf0.1 even with the whitespace
+    # short-circuit first in the conjunction).
+    spaces = F.expr(
+        f"""
+        aggregate(
+          slice(split({text_col}, ' '),
+                1, greatest(size(split({text_col}, ' ')) - 1, 0)),
+          struct(CAST(0 AS INT) AS run, CAST(array() AS ARRAY<INT>) AS pos),
+          (acc, w) -> struct(acc.run + length(w) + 1,
+                             array_append(acc.pos,
+                                          acc.run + length(w) + 1)),
+          acc -> acc.pos)
+        """
+    )
     cuts = F.when(
         n >= window,
-        F.filter(
-            F.sequence(F.lit(window), n),
-            lambda p: whash(p) == 0,
-        ),
+        F.filter(spaces, lambda p: (p >= window) & (whash(p) == 0)),
     ).otherwise(F.array().cast("array<int>"))
     starts = F.concat(
         F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)

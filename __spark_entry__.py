@@ -2634,6 +2634,80 @@ SELECT COUNT(*) AS n_pairs, TRUE AS incremental_matches_oneshot FROM pairs
 """
 
 
+def stream_incremental_dedup_docs(spark, sf_dir):
+    """Streaming twin of the incremental band-store dedup
+    (streaming/ingest.py stream_incremental_dedup): the corpus is
+    re-played as a 2-file JSON stream, each micro-batch signatures
+    only ITS documents and joins the accumulated band store
+    (foreachBatch — the store is the durable artifact the nightly
+    batch path shares), and the cumulative pair union must equal the
+    one-shot LSH result. The order-independence invariant pinned for
+    the batch incremental path is what licenses the arbitrary
+    micro-batch split. Same oracle as dedup_incremental_docs: DuckDB
+    recomputes n_pairs from the exact all-pairs n-gram truth and
+    pins the flag."""
+    import shutil
+    import tempfile
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        run_available_now,
+        stream_incremental_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="stream_incr_")
+    src = tmp + "/src"
+    try:
+        # two source files → two micro-batches at maxFilesPerTrigger=1
+        d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        d.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        schema = spark.read.json(src).schema
+        q = stream_incremental_dedup(
+            spark,
+            source_path=src,
+            store_path=tmp + "/bands",
+            corpus_sink=tmp + "/corpus",
+            pairs_sink=tmp + "/pairs",
+            checkpoint_path=tmp + "/chk",
+            schema=schema,
+            reader_options={"maxFilesPerTrigger": "1"},
+            n=3,
+            num_hashes=64,
+            bands=32,
+            threshold=0.5,
+        )
+        run_available_now(q)
+        incremental = (
+            spark.read.parquet(tmp + "/pairs")
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    oneshot = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    missing = oneshot.join(incremental, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_missing")
+    )
+    extra = incremental.join(oneshot, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("n_extra")
+    )
+    total = oneshot.agg(F.count("*").alias("n_pairs"))
+    return (
+        total.crossJoin(missing)
+        .crossJoin(extra)
+        .select(
+            "n_pairs",
+            ((F.col("n_missing") == 0) & (F.col("n_extra") == 0)).alias(
+                "incremental_matches_oneshot"
+            ),
+        )
+    )
+
+
 def text_repetition_docs(spark, sf_dir):
     """Gopher-style repetition signals: per-doc top-2-gram fraction
     and duplicate-2-gram fraction (operators/text.py
@@ -5639,6 +5713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triplet_mining_vecs": triplet_mining_vecs,
         "cdc_chunks_docs": cdc_chunks_docs,
         "purge_audit_docs": purge_audit_docs,
+        "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5810,6 +5885,7 @@ def oracle_sql() -> dict[str, str]:
         "triplet_mining_vecs": TRIPLET_SQL,
         "cdc_chunks_docs": CDC_CHUNKS_SQL,
         "purge_audit_docs": PURGE_AUDIT_SQL,
+        "stream_incremental_dedup_docs": DEDUP_INCREMENTAL_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,

@@ -337,3 +337,64 @@ def stream_static_enrich(
     refresh semantics a pipeline wants; Spark broadcasts it when
     small. Stateless: no join buffers, unlike stream-stream."""
     return stream.join(dim, [key_col], how)
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    source_path: str,
+    store_path: str,
+    corpus_sink: str,
+    pairs_sink: str,
+    checkpoint_path: str,
+    schema: StructType,
+    reader_options: dict | None = None,
+    **dedup_kwargs,
+) -> StreamingQuery:
+    """Streaming near-dup detection against the persistent minhash
+    band store: each micro-batch of documents is signatured ONCE,
+    joined against the accumulated band buckets (new-vs-store +
+    new-vs-new), its pairs appended to ``pairs_sink``, and its bands
+    merged into the store — the continuous-ingest form of
+    operators/dedup.py ``incremental_minhash_dedup``, whose
+    order-independence invariant (pytest-pinned) is exactly what
+    makes the micro-batch split safe: ANY partition of the corpus
+    into batches yields the same cumulative pair set.
+
+    foreachBatch (not a stateful operator) because the two durable
+    artifacts are batch-shared: the band store (signatures) and the
+    ``corpus_sink`` parquet (texts — appended per batch, read back
+    as the ``old_docs`` side of the exact-Jaccard verify, exactly
+    the corpus table a real pipeline already maintains). A nightly
+    batch backfill and this stream compose on the same pair of
+    stores. Per-batch cost: one signature pass over the BATCH, a
+    bucket semi-join against the store, and a verify join whose
+    old-side scan is pruned to candidate doc ids — never a corpus
+    re-signature."""
+    from ..operators.dedup import incremental_minhash_dedup
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            old_docs = spark.read.parquet(corpus_sink)
+        except Exception:
+            old_docs = None
+        pairs = incremental_minhash_dedup(
+            batch_df, store_path, old_docs=old_docs, **dedup_kwargs
+        )
+        # pairs write is an ACTION: it forces the verify join against
+        # the pre-append corpus before the batch itself is appended
+        pairs.select("id_a", "id_b").write.mode("append").parquet(
+            pairs_sink
+        )
+        batch_df.write.mode("append").parquet(corpus_sink)
+
+    return (
+        spark.readStream.schema(schema)
+        .options(**(reader_options or {}))
+        .json(source_path)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

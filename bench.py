@@ -191,6 +191,11 @@ HEADLINE = [
     "purge_audit_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
+    # stream_incremental_dedup_docs is excluded for the same reason
+    # as dedup_incremental_docs: the gate re-plays the corpus into a
+    # fresh band store + corpus sink per call by design; the
+    # steady-state per-batch path it exercises is benched via the
+    # shared-signature gates
 ]
 
 

@@ -486,3 +486,61 @@ def test_stream_restart_mid_drain_exactly_once(spark, tmp_path):
     assert {
         p.split("/")[0] for p in state["partitions"]
     } == {"customerid=c1", "customerid=c2", "customerid=c3", "customerid=c4"}
+
+
+def test_stream_incremental_dedup_matches_oneshot(spark, tmp_path):
+    """Three micro-batches through the band-store dedup stream must
+    reproduce the one-shot LSH pair set exactly (cross-batch pairs
+    included — the corpus sink supplies historical texts for the
+    verify join), and the artifacts must accumulate: store bands,
+    corpus rows, pair files."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about query engines"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "another unrelated piece of writing entirely"),
+        (6, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    src = str(tmp_path / "src")
+    # one file per doc-pair → 3 micro-batches, dups split across them
+    for i in range(3):
+        _write_json(
+            os.path.join(src, f"b{i}.json"),
+            [{"doc_id": a, "text": t} for a, t in docs[2 * i : 2 * i + 2]],
+        )
+    schema = spark.read.json(src).schema
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+    q = stream_incremental_dedup(
+        spark,
+        source_path=src,
+        store_path=str(tmp_path / "bands"),
+        corpus_sink=str(tmp_path / "corpus"),
+        pairs_sink=str(tmp_path / "pairs"),
+        checkpoint_path=str(tmp_path / "chk"),
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": "1"},
+        **kwargs,
+    )
+    run_available_now(q)
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(all_docs, **kwargs).select(
+            "id_a", "id_b"
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    assert got == want and (1, 4) in got  # cross-batch dup found
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 6

@@ -3128,3 +3128,35 @@ def test_cdc_chunk_insertion_locality(spark):
     n_orig = out["orig"]["n_distinct"]
     n_edit = out["edit"]["n_distinct"]
     assert n_union_distinct < n_orig + n_edit * 0.5
+
+
+def test_gear_cdc_matches_contract_and_locality(spark):
+    """The Arrow Gear kernel honors the same contract as the JVM md5
+    variant: every doc yields ≥1 chunk, chunk lengths sum to the
+    byte total, exact duplicate docs produce duplicate chunk sets,
+    and a prefix edit only re-chunks its neighborhood."""
+    import random as _random
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    rng = _random.Random(11)
+    words = ["".join(rng.choices("abcdefghij", k=5)) for _ in range(400)]
+    base = " ".join(words)
+    d = spark.createDataFrame(
+        [(1, "dup", base), (2, "dup", base), (3, "edit", "XX " + base)],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in
+           PK.gear_cdc_chunk_stats(d, divisor=128).collect()}
+    dup = out["dup"]
+    assert dup["n_chunks"] >= 2 and dup["n_chunks"] % 2 == 0
+    assert dup["n_distinct"] == dup["n_chunks"] // 2  # exact dup halves
+    assert dup["avg_chunk_len_q"] * dup["n_chunks"] // 1_000_000 \
+        <= 2 * len(base.encode()) + dup["n_chunks"]
+    # locality: union of dup+edit shares most chunks
+    both = PK.gear_cdc_chunk_stats(
+        d.withColumn("source", F.lit("all")), divisor=128
+    ).collect()[0]
+    assert both["n_distinct"] < dup["n_distinct"] + out["edit"]["n_distinct"] * 0.5

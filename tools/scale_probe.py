@@ -226,6 +226,7 @@ def main() -> None:
             e, query_ids=list(range(10))
         ).count(),
         "cdc_chunks": lambda d: PK.cdc_chunk_stats(d).count(),
+        "gear_cdc": lambda d: PK.gear_cdc_chunk_stats(d).count(),
         "purge_audit": lambda d: GV.purge_audit(
             d, list(range(0, 10000, 97))
         ).count(),
@@ -270,6 +271,7 @@ def main() -> None:
         "length_packing": (docs, ["doc_id"]),
         "triplet_mining": (emb, ["vec_id"]),
         "cdc_chunks": (docs, ["doc_id"]),
+        "gear_cdc": (docs, ["doc_id"]),
         "purge_audit": (docs, ["doc_id"]),
     }
 

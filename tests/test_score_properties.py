@@ -258,3 +258,51 @@ def test_kneser_ney_contexts_subnormalized(texts):
         per_ctx[r["w1"]] += r["p_kn"]
     for w1, total in per_ctx.items():
         assert total <= 1.0 + 1e-4, (w1, total)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-3, max_value=3), min_size=4, max_size=4
+        ).filter(lambda v: any(v)),
+        min_size=3,
+        max_size=24,
+    ),
+    k=st.sampled_from([1, 3]),
+)
+def test_brute_force_topk_matches_naive(vecs, k):
+    """The Arrow local-top-k kernel must agree with a driver-side
+    exact ranking (cosine desc, n_id asc) for ANY vector set —
+    including ties from repeated/parallel vectors, which stress the
+    per-batch argpartition + global-window composition."""
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    spark = _spark()
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)  # force multi-partition local top-k
+    q_ids = [0, min(1, len(vecs) - 1)]
+    got = {
+        (r["q_id"], r["rank"]): r["n_id"]
+        for r in S.brute_force_topk(emb, q_ids, k=k).collect()
+    }
+    mat = np.array(vecs, dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in set(q_ids):
+        scores = unit @ unit[q]
+        order = sorted(
+            (i for i in range(len(vecs)) if i != q),
+            key=lambda i: (-round(scores[i], 12), i),
+        )
+        for rank, nid in enumerate(order[:k], start=1):
+            # ties at equal cosine may legitimately differ in float
+            # last-ulp between numpy batch matmul and the reference;
+            # accept either id when the scores match to 1e-9
+            if got[(q, rank)] != nid:
+                assert abs(scores[got[(q, rank)]] - scores[nid]) < 1e-9

@@ -111,6 +111,7 @@ def test_plan_allowlist_is_pinned():
         "sim_topk_lsh",
         "sim_topk_rp",
         "sim_topk_sq",
+        "stream_incremental_dedup_docs",
         "text_bpe_token_stats",
         "triplet_mining_vecs",
     ]

@@ -75,6 +75,10 @@ ARROW_STAGE_OK = {
     # incremental band store: per-batch minhash signature Arrow pass
     # + pudf exact verify (reviewed — same stages as dedup_minhash)
     "dedup_incremental_docs",
+    # streaming twin of the band-store dedup: the returned compare
+    # plan embeds the one-shot minhash truth side (same reviewed
+    # Arrow signature pass); the stream itself ran in foreachBatch
+    "stream_incremental_dedup_docs",
     # exact cosine pair source (oracle path) feeding CC clustering
     "embed_cluster_vecs",
     # SemDeDup: cell-assignment pandas_udf + cosine pudf (within-cell

@@ -1905,6 +1905,56 @@ FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
 """
 
 
+def span_clean_docs(spark, sf_dir):
+    """Span-removal rewrite (operators/spans.py
+    remove_duplicate_spans): every duplicated ≥8-token run (the
+    span_dedup_docs spans) surgically removed from the text — the
+    cleaning pass the stats gate decides on. Per-doc span arrays are
+    bounded by spans-per-doc; one JVM indexed-filter rebuilds the
+    text, no shuffle beyond the span pipeline's three."""
+    d = _t(spark, sf_dir, "documents")
+    return SP.remove_duplicate_spans(d)
+
+
+SPAN_CLEAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+sites AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (SELECT doc_id,
+               unnest([{{'pos': i,
+                         'g': array_to_string(t[i:i+7], ' ')}}
+                       for i in range(1, len(t) - 6)]) AS u
+        FROM toks WHERE len(t) >= 8)),
+dup AS (SELECT g FROM sites GROUP BY g HAVING COUNT(*) >= 2),
+ds AS (SELECT sites.doc_id, sites.pos FROM sites JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM ds),
+isl2 AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS island
+         FROM isl),
+spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) AS e
+          FROM isl2 GROUP BY doc_id, island),
+sp AS (SELECT doc_id, list({{'s': s, 'e': e}}) AS sp
+       FROM spans GROUP BY doc_id)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len([t[i] for i in range(1, len(t) + 1)
+             if len(list_filter(COALESCE(sp, []),
+                    x -> i >= x.s AND i <= x.e + 7)) = 0])
+            AS BIGINT) AS n_removed,
+       COALESCE(array_to_string([t[i] for i in range(1, len(t) + 1)
+             if len(list_filter(COALESCE(sp, []),
+                    x -> i >= x.s AND i <= x.e + 7)) = 0], ' '), '')
+         AS cleaned_text
+FROM toks LEFT JOIN sp ON toks.doc_id = sp.doc_id
+"""
+
+
 def bloom_decontam_docs(spark, sf_dir):
     """Bloom-accelerated decontamination semi-join
     (operators/bloom.py): benchmark shingles (doc_id % 10 == 0)
@@ -5714,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks_docs": cdc_chunks_docs,
         "purge_audit_docs": purge_audit_docs,
         "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
+        "span_clean_docs": span_clean_docs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
         "array_agg_nations": array_agg_nations,
@@ -5886,6 +5937,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks_docs": CDC_CHUNKS_SQL,
         "purge_audit_docs": PURGE_AUDIT_SQL,
         "stream_incremental_dedup_docs": DEDUP_INCREMENTAL_SQL,
+        "span_clean_docs": SPAN_CLEAN_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
         "text_novelty_docs": NOVELTY_SQL,

@@ -143,3 +143,55 @@ def span_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_sites: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """The REWRITE pass :func:`span_dedup_stats` decides on: emit
+    each document with its duplicated spans surgically removed
+    (every occurrence — the aggressive form; Lee et al.'s
+    keep-one-copy variant needs a global canonical-site election,
+    a deliberate non-goal here since boilerplate/license runs are
+    noise in every copy).
+
+    Plan: the span frame (per-doc, token offsets) aggregates to one
+    array per doc — bounded by spans-per-doc, not tokens — and a
+    single JVM ``filter(transform(tokens, index))`` drops covered
+    positions; no extra shuffle beyond duplicate_spans' three. The
+    coverage test is O(tokens × spans-per-doc) per doc,
+    whole-stage-codegen'd."""
+    spans = (
+        duplicate_spans(df, w, id_col, text_col, min_sites, hashed)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("start", "end_")).alias("_spans"))
+    )
+    toks = df.select(
+        F.col(id_col), tokens_col(text_col).alias("_t")
+    ).join(spans, id_col, "left")
+    sp = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<start:long,end_:long>>"),
+    )
+    indexed = F.expr("transform(_t, (t, i) -> struct(t AS t, i AS i))")
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            sp,
+            lambda s: (x["i"] >= s["start"])
+            & (x["i"] <= s["end_"] + F.lit(w - 1)),
+        ),
+    )
+    return toks.select(
+        id_col,
+        F.size("_t").cast("bigint").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda x: x["t"]), " "
+        ).alias("cleaned_text"),
+    )

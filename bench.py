@@ -189,6 +189,7 @@ HEADLINE = [
     "triplet_mining_vecs",
     "cdc_chunks_docs",
     "purge_audit_docs",
+    "span_clean_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

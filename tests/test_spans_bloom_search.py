@@ -652,3 +652,31 @@ def test_tfidf_keywords_rare_term_wins(spark):
     out = [r for r in SR.tfidf_keywords(d, topk=2).collect() if r.doc_id == 0]
     assert out[0].rank == 1 and out[0].term == "zebra"
     assert out[0].score > out[1].score
+
+
+def test_remove_duplicate_spans_surgical(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        spans as SP,
+    )
+
+    boiler = (
+        "this license text is repeated boilerplate everywhere in the corpus"
+    )
+    d = spark.createDataFrame(
+        [
+            (1, "unique intro words here " + boiler + " and a unique tail"),
+            (2, "different document start " + boiler + " closing words"),
+            (3, "totally original content with no duplication whatsoever"),
+            (4, boiler),  # fully duplicated → empty rewrite
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in SP.remove_duplicate_spans(d).collect()}
+    assert out[1]["cleaned_text"] == "unique intro words here and a unique tail"
+    assert out[2]["cleaned_text"] == "different document start closing words"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == "" and out[4]["n_removed"] == 10
+    # conservation: removed + kept == total
+    for r in out.values():
+        kept = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]

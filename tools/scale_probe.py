@@ -227,6 +227,7 @@ def main() -> None:
         ).count(),
         "cdc_chunks": lambda d: PK.cdc_chunk_stats(d).count(),
         "gear_cdc": lambda d: PK.gear_cdc_chunk_stats(d).count(),
+        "span_clean": lambda d: SP.remove_duplicate_spans(d).count(),
         "purge_audit": lambda d: GV.purge_audit(
             d, list(range(0, 10000, 97))
         ).count(),
@@ -272,6 +273,7 @@ def main() -> None:
         "triplet_mining": (emb, ["vec_id"]),
         "cdc_chunks": (docs, ["doc_id"]),
         "gear_cdc": (docs, ["doc_id"]),
+        "span_clean": (docs, ["doc_id"]),
         "purge_audit": (docs, ["doc_id"]),
     }
 

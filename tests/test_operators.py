@@ -3160,3 +3160,49 @@ def test_gear_cdc_matches_contract_and_locality(spark):
         d.withColumn("source", F.lit("all")), divisor=128
     ).collect()[0]
     assert both["n_distinct"] < dup["n_distinct"] + out["edit"]["n_distinct"] * 0.5
+
+
+def test_bpe_train_matches_reference(spark):
+    """bpe_train must reproduce the classic sequential reference
+    implementation (Sennrich et al.) on a hand corpus — same merges,
+    same order, same weighted counts."""
+    from collections import Counter
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        bpe as B,
+    )
+
+    texts = ["low low low lower lower newest newest newest newest widest"]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = B.bpe_train(d, n_merges=6)
+
+    # pure-python reference
+    vocab = Counter(texts[0].split())
+    words = {w: list(w) + ["</w>"] for w in vocab}
+    expect = []
+    for step in range(1, 7):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (l, r), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        expect.append((step, l, r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expect and len(got) == 6

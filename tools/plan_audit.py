@@ -64,6 +64,9 @@ ARROW_STAGE_OK = {
     # triplet export: two labeled_topk passes (same reviewed Arrow
     # kernel + JVM rerank as hard_negatives_vecs)
     "triplet_mining_vecs",
+    # JL projection: r06 Arrow int64-matmul kernel (exact-integer,
+    # byte-identical to the old posexplode/pivot form; reviewed)
+    "rp_project_vecs",
     "sim_neardup_exact",
     "embed_label_stats",
     "embed_label_spectrum",

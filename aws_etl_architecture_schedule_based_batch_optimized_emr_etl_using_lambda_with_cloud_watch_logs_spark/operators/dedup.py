@@ -544,6 +544,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     max_bucket_members: int | None = 1024,
     update_store: bool = True,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs for an incoming batch against a PERSISTENT band
     store — the recompute-free growth path for a corpus that gains
@@ -591,7 +592,12 @@ def incremental_minhash_dedup(
     ).persist()
 
     try:
-        old_bands = spark.read.parquet(store_path)
+        # tolerate provenance columns a partitioned store adds (e.g.
+        # the streaming path's ingest_batch) — band logic needs only
+        # the new_bands schema
+        old_bands = spark.read.parquet(store_path).select(
+            *new_bands.columns
+        )
         have_store = True
     except Exception:
         old_bands = None
@@ -649,7 +655,22 @@ def incremental_minhash_dedup(
         # done, so a forever-growing corpus doesn't pin one dead
         # frame per batch.
         pairs = pairs.localCheckpoint(eager=True)
-        new_bands.write.mode("append").parquet(store_path)
+        if batch_id is None:
+            new_bands.write.mode("append").parquet(store_path)
+        else:
+            # Idempotent append for replayed micro-batches (the
+            # foreachBatch recipe): the batch's bands live in their
+            # own ingest_batch partition and a replay dynamically
+            # OVERWRITES exactly that partition — a crash between
+            # this commit and the caller's sink commit cannot
+            # double-append bands.
+            (
+                new_bands.withColumn("ingest_batch", F.lit(batch_id))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .mode("overwrite")
+                .parquet(store_path)
+            )
         new_bands.unpersist()
     return pairs
 

@@ -17,6 +17,7 @@ the source to list files, exactly-once accounting in the checkpoint.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
@@ -376,18 +377,35 @@ def stream_incremental_dedup(
         if batch_df.isEmpty():
             return
         try:
-            old_docs = spark.read.parquet(corpus_sink)
+            old_docs = spark.read.parquet(corpus_sink).drop("ingest_batch")
         except Exception:
             old_docs = None
+        # EVERY artifact write is keyed by batch_id with dynamic
+        # partition overwrite — the foreachBatch idempotence recipe:
+        # a replayed batch overwrites exactly its own partitions, so
+        # a crash in ANY window (after the band-store commit, after
+        # the pairs commit) cannot duplicate bands, pairs, or corpus
+        # rows. Pinned by tests/test_streaming.py::
+        # test_stream_incremental_dedup_replay_idempotent.
         pairs = incremental_minhash_dedup(
-            batch_df, store_path, old_docs=old_docs, **dedup_kwargs
+            batch_df, store_path, old_docs=old_docs,
+            batch_id=batch_id, **dedup_kwargs
         )
-        # pairs write is an ACTION: it forces the verify join against
-        # the pre-append corpus before the batch itself is appended
-        pairs.select("id_a", "id_b").write.mode("append").parquet(
-            pairs_sink
+        (
+            pairs.select("id_a", "id_b")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .mode("overwrite")
+            .parquet(pairs_sink)
         )
-        batch_df.write.mode("append").parquet(corpus_sink)
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .mode("overwrite")
+            .parquet(corpus_sink)
+        )
 
     return (
         spark.readStream.schema(schema)

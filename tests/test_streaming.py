@@ -544,3 +544,92 @@ def test_stream_incremental_dedup_matches_oneshot(spark, tmp_path):
     }
     assert got == want and (1, 4) in got  # cross-batch dup found
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == 6
+
+
+def test_stream_incremental_dedup_replay_idempotent(spark, tmp_path):
+    """Worst-window crash for the dedup stream: the band store
+    commits INSIDE incremental_minhash_dedup, before the pairs/corpus
+    sinks — so a replayed batch would double-append its bands under
+    a plain append store. The batch_id dynamic-partition-overwrite
+    recipe must make the replay byte-idempotent: no duplicated
+    bands, pairs, or corpus rows after resume."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        dedup as dedup_mod,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about query engines"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    src = str(tmp_path / "src")
+    for i in range(2):
+        _write_json(
+            os.path.join(src, f"b{i}.json"),
+            [{"doc_id": a, "text": t} for a, t in docs[2 * i : 2 * i + 2]],
+        )
+    schema = spark.read.json(src).schema
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+
+    def run():
+        q = stream_incremental_dedup(
+            spark,
+            source_path=src,
+            store_path=str(tmp_path / "bands"),
+            corpus_sink=str(tmp_path / "corpus"),
+            pairs_sink=str(tmp_path / "pairs"),
+            checkpoint_path=str(tmp_path / "chk"),
+            schema=schema,
+            reader_options={"maxFilesPerTrigger": "1"},
+            **kwargs,
+        )
+        run_available_now(q)
+
+    real = dedup_mod.incremental_minhash_dedup
+    calls = {"n": 0}
+
+    def crash_after_store(*a, **kw):
+        pairs = real(*a, **kw)  # band store COMMITS in here
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash after store commit, before sinks")
+        return pairs
+
+    dedup_mod.incremental_minhash_dedup = crash_after_store
+    try:
+        import pyspark.errors
+
+        try:
+            run()
+            raise AssertionError("expected injected crash")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+    finally:
+        dedup_mod.incremental_minhash_dedup = real
+
+    run()  # resume: batch 2 replays; its store partition overwrites
+
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    assert bands.count() == bands.dropDuplicates(
+        ["doc_id", "band"]
+    ).count(), "replay duplicated band rows"
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(all_docs, **kwargs)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got_rows = spark.read.parquet(str(tmp_path / "pairs")).select(
+        "id_a", "id_b"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want and len(got_rows) == len(want)  # no dup rows
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 4

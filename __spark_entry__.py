@@ -5733,13 +5733,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     shortlist/rerank de-shuffle: rp/sq/bruteforce/hard-negatives got
     the Arrow local-top-k kernel, lsh/ivf got documented bucket
     bounds; seq_packing rides along as the r05 bench watch item);
-    then the sf0.1-promoted CCNet gate and the five NEW round-6
-    operators (per-source percentile curation, Kneser-Ney bigram
-    model, DoReMi domain weights, length/packing-efficiency report,
-    triplet mining — each with sf0.01 + sf0.1 check_oracle evidence);
-    then the r03/r04-row backlog in its standing order so the oldest
-    driver rows refresh first. The tail is the block driver-checked
-    green in r05 on code untouched since.
+    then the sf0.1-promoted CCNet gate and the NINE new round-6
+    gates (per-source percentile curation, Kneser-Ney bigram model,
+    DoReMi domain weights, length/packing-efficiency report, triplet
+    mining, CDC block-dedup audit, right-to-be-forgotten purge
+    audit, the streaming band-store dedup twin, span-removal rewrite
+    — each with sf0.01 check_oracle evidence, and sf0.1 where the
+    oracle is sub-quadratic); then the r03/r04-row backlog in its
+    standing order so the oldest driver rows refresh first. The tail
+    is the block driver-checked green in r05 on code untouched
+    since.
     """
     return {
         "text_diversity_docs": text_diversity_docs,

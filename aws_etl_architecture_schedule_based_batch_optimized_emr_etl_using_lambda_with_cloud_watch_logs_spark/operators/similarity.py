@@ -901,7 +901,10 @@ def triplet_mining(
     ``cos(anchor, pos) − cos(anchor, neg)`` — the rows a triplet-
     loss trainer consumes directly, and a label-quality audit (a
     negative margin means an impostor sits closer than any
-    same-class neighbor). Two :func:`labeled_topk` passes (each one
+    same-class neighbor). An anchor that is its label's ONLY member
+    has no positive and is dropped by the inner join — a triplet
+    without a positive is untrainable, so absence IS the contract
+    (pytest-pinned). Two :func:`labeled_topk` passes (each one
     Arrow corpus scan reduced to |Q| rows) joined on the anchor;
     both cosines carry the 6-decimal JVM rounding, so the margin is
     a difference of engine-identical doubles."""

@@ -3206,3 +3206,18 @@ def test_bpe_train_matches_reference(spark):
                     i += 1
             words[w] = out
     assert got == expect and len(got) == 6
+
+
+def test_triplet_mining_singleton_label_dropped(spark):
+    """An anchor whose label has no other member yields no positive
+    → no triplet row (inner-join contract, documented)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 7),   # label 7 has only this member
+            (1, [0.9, 0.1], 1),
+            (2, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.triplet_mining(emb, query_ids=[0, 1]).collect()
+    assert {r["anchor_id"] for r in out} == {1}  # anchor 0 dropped

@@ -3063,7 +3063,8 @@ WITH b1 AS (
   SELECT source, text, length(text) AS n,
          CASE WHEN length(text) >= 16 THEN
            [p for p in range(16, length(text) + 1)
-            if substr(text, CAST(p AS INT), 1) = ' '
+            if substr(text, CAST(p AS INT), 1)
+                 IN (' ', chr(9), chr(10), chr(12), chr(13))
                AND CAST(concat('0x', substr(md5(substr(text, CAST(p AS INT) - 15, 16)), 1, 8))
                     AS BIGINT) % 64 = 0]
          ELSE CAST([] AS BIGINT[]) END AS cuts

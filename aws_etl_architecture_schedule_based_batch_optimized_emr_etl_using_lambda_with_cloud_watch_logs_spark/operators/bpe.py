@@ -41,28 +41,50 @@ def _pairs_expr():
 def _merge_expr(left: str, right: str):
     """One left-to-right merge pass of (left, right) → left||right
     inside the symbol array: a single fold with one-symbol lookahead
-    state (pending), O(symbols) per word."""
-    l = left.replace("'", "\\'")
-    r = right.replace("'", "\\'")
-    return F.expr(
-        f"""
-        CASE WHEN size(syms) = 0 THEN syms ELSE
-          aggregate(
-            slice(syms, 2, size(syms) - 1),
-            struct(CAST(array() AS ARRAY<STRING>) AS out,
-                   syms[0] AS pending),
-            (acc, x) -> CASE
-              WHEN acc.pending = '{l}' AND x = '{r}'
-                THEN struct(array_append(acc.out, '{l}{r}') AS out,
-                            CAST(NULL AS STRING) AS pending)
-              WHEN acc.pending IS NULL
-                THEN struct(acc.out AS out, x AS pending)
-              ELSE struct(array_append(acc.out, acc.pending) AS out,
-                          x AS pending) END,
-            acc -> CASE WHEN acc.pending IS NULL THEN acc.out
-                        ELSE array_append(acc.out, acc.pending) END)
-        END
-        """
+    state (pending), O(symbols) per word.
+
+    The learned symbols are bound as ``F.lit`` columns — never
+    interpolated into a SQL string — so corpus tokens containing
+    quotes, backslashes, or any other metacharacter (common in
+    web/code text) can't break or corrupt the expression (ADVICE r06
+    low finding)."""
+    l, r = F.lit(left), F.lit(right)
+    merged = F.lit(left + right)
+    syms = F.col("syms")
+    tail = F.slice(syms, 2, F.size(syms) - 1)
+    init = F.struct(
+        F.expr("CAST(array() AS ARRAY<STRING>)").alias("out"),
+        syms[0].alias("pending"),
+    )
+
+    def step(acc, x):
+        return (
+            F.when(
+                (acc["pending"] == l) & (x == r),
+                F.struct(
+                    F.array_append(acc["out"], merged).alias("out"),
+                    F.lit(None).cast("string").alias("pending"),
+                ),
+            )
+            .when(
+                acc["pending"].isNull(),
+                F.struct(acc["out"].alias("out"), x.alias("pending")),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["out"], acc["pending"]).alias("out"),
+                    x.alias("pending"),
+                )
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["pending"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pending"])
+        )
+
+    return F.when(F.size(syms) == 0, syms).otherwise(
+        F.aggregate(tail, init, step, finish)
     )
 
 

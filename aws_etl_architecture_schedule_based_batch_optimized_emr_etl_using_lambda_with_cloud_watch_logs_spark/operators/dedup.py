@@ -595,9 +595,16 @@ def incremental_minhash_dedup(
         # tolerate provenance columns a partitioned store adds (e.g.
         # the streaming path's ingest_batch) — band logic needs only
         # the new_bands schema
-        old_bands = spark.read.parquet(store_path).select(
-            *new_bands.columns
-        )
+        old_bands = spark.read.parquet(store_path)
+        if batch_id is not None and "ingest_batch" in old_bands.columns:
+            # a replayed micro-batch may find its OWN bands already
+            # committed (crash after the store commit); treating them
+            # as history would double-count bucket members against
+            # the giant-bucket guard — partition-pruned filter
+            old_bands = old_bands.filter(
+                F.col("ingest_batch") != batch_id
+            )
+        old_bands = old_bands.select(*new_bands.columns)
         have_store = True
     except Exception:
         old_bands = None

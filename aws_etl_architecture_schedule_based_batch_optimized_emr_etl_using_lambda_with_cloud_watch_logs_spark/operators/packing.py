@@ -401,9 +401,13 @@ def cdc_chunk_stats(
     the duplicate ratio and mean chunk length (integer-scaled).
 
     Boundaries are WORD-ALIGNED: only positions whose window ends
-    at a whitespace character are candidates (chunks then align to
-    token boundaries — what text block-dedup wants, since an edit
-    inside a word can't smear hashes across the neighboring chunks)
+    at a whitespace character — the explicit class space/tab/
+    newline/CR/FF (engine-portable: Java ``\\s`` adds vertical tab,
+    RE2 doesn't, so the class is spelled out), so tab/newline-
+    separated documents chunk too (ADVICE r06) — are candidates (chunks then
+    align to token boundaries — what text block-dedup wants, since
+    an edit inside a word can't smear hashes across the neighboring
+    chunks)
     — and the short-circuit cuts the hash evaluations to the space
     density (~1/6 of positions in natural text). The boundary hash
     is the same engine-portable md5-fold the classifier's feature
@@ -432,12 +436,16 @@ def cdc_chunk_stats(
     # word lengths with one O(n_words) fold — NOT a filter over a
     # length-of-text sequence, which pays a per-CHARACTER lambda
     # eval (measured 1.4× slower at sf0.1 even with the whitespace
-    # short-circuit first in the conjunction).
+    # short-circuit first in the conjunction). The split class holds
+    # the literal \s characters (each separator is exactly ONE char,
+    # which the run arithmetic requires) rather than an escape
+    # sequence, dodging the SQL-literal/regex double-escape.
+    ws_class = "[ \t\n\f\r]"
     spaces = F.expr(
         f"""
         aggregate(
-          slice(split({text_col}, ' '),
-                1, greatest(size(split({text_col}, ' ')) - 1, 0)),
+          slice(split({text_col}, '{ws_class}'),
+                1, greatest(size(split({text_col}, '{ws_class}')) - 1, 0)),
           struct(CAST(0 AS INT) AS run, CAST(array() AS ARRAY<INT>) AS pos),
           (acc, w) -> struct(acc.run + length(w) + 1,
                              array_append(acc.pos,

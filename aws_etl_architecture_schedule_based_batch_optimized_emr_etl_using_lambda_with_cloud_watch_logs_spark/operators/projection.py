@@ -79,6 +79,19 @@ def rp_project(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # Dirty-input contract (matches the earlier posexplode/
+            # pivot form, ADVICE r06): a null or wrong-length vector
+            # contributes NO output row — np.stack on a ragged batch
+            # would otherwise kill the whole job.
+            ok = np.fromiter(
+                (v is not None and len(v) == d_in for v in pdf[vec_col]),
+                dtype=bool,
+                count=len(pdf),
+            )
+            if not ok.all():
+                pdf = pdf[ok]
+                if len(pdf) == 0:
+                    continue
             mat = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )

@@ -377,16 +377,28 @@ def stream_incremental_dedup(
         if batch_df.isEmpty():
             return
         try:
-            old_docs = spark.read.parquet(corpus_sink).drop("ingest_batch")
+            # Exclude this batch's own partition from the "old"
+            # corpus: a replayed batch (crash AFTER the corpus-sink
+            # commit but BEFORE the checkpoint commit) would
+            # otherwise see its own rows as history, and the verify
+            # join would emit every pair twice (new-old + new-new)
+            # inside its pairs partition.
+            old_docs = (
+                spark.read.parquet(corpus_sink)
+                .filter(F.col("ingest_batch") != batch_id)
+                .drop("ingest_batch")
+            )
         except Exception:
             old_docs = None
         # EVERY artifact write is keyed by batch_id with dynamic
         # partition overwrite — the foreachBatch idempotence recipe:
         # a replayed batch overwrites exactly its own partitions, so
         # a crash in ANY window (after the band-store commit, after
-        # the pairs commit) cannot duplicate bands, pairs, or corpus
-        # rows. Pinned by tests/test_streaming.py::
-        # test_stream_incremental_dedup_replay_idempotent.
+        # the pairs commit, even after the corpus commit) cannot
+        # duplicate bands, pairs, or corpus rows. Pinned by
+        # tests/test_streaming.py::
+        # test_stream_incremental_dedup_replay_idempotent and
+        # ..._replay_after_corpus_commit.
         pairs = incremental_minhash_dedup(
             batch_df, store_path, old_docs=old_docs,
             batch_id=batch_id, **dedup_kwargs

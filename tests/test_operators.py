@@ -2517,6 +2517,33 @@ def test_scalar_quantize_codes_and_reconstruction(spark):
     assert {r.vec_id: r.qvec for r in codes2.collect()} == got
 
 
+def test_rp_project_drops_null_and_ragged_vectors(spark):
+    """Dirty-input contract (ADVICE r06): null / wrong-length
+    embeddings emit no output row instead of crashing np.stack, and
+    clean rows still project exactly."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, [0.5, -0.25, 1.0]),
+            (2, None),            # null vector
+            (3, [0.5, -0.25]),    # ragged (d_in=3 expected)
+            (4, [1.0, 1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in PJ.rp_project(d, d_in=3, d_out=4).collect()}
+    assert set(out) == {1, 4}
+    signs = PJ.sign_matrix(3, 4)
+    q1 = [500000, -250000, 1000000]
+    for k in range(4):
+        assert out[1][f"p{k}"] == sum(
+            q * s for q, s in zip(q1, signs[k])
+        )
+
+
 def test_diversity_report_hand_computed(spark):
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
         text as X,
@@ -3130,6 +3157,41 @@ def test_cdc_chunk_insertion_locality(spark):
     assert n_union_distinct < n_orig + n_edit * 0.5
 
 
+def test_cdc_chunk_tab_newline_boundaries(spark):
+    """Tab/newline-separated documents must get candidate cuts too
+    (ADVICE r06: the old ASCII-space-only split collapsed them to
+    one chunk), and chunking must be identical to the same content
+    space-separated — the whitespace CLASS, not the separator
+    choice, defines word alignment."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    import random as _random
+
+    rng = _random.Random(11)
+    words = ["".join(rng.choices("abcdefghij", k=5)) for _ in range(400)]
+    space_doc = " ".join(words)
+    tab_doc = "\t".join(words)
+    nl_doc = "\n".join(words)
+    d = spark.createDataFrame(
+        [(1, "sp", space_doc), (2, "tab", tab_doc), (3, "nl", nl_doc)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in PK.cdc_chunk_stats(
+            d, divisor=16, group_col="source"
+        ).collect()
+    }
+    assert out["sp"]["n_chunks"] > 10
+    # the hash window covers the separator chars, so exact cut
+    # positions legitimately differ per separator — what must hold
+    # is that non-space separators produce candidate cuts AT ALL
+    assert out["tab"]["n_chunks"] > 10, "tab-separated doc got no cuts"
+    assert out["nl"]["n_chunks"] > 10, "newline-separated doc got no cuts"
+
+
 def test_gear_cdc_matches_contract_and_locality(spark):
     """The Arrow Gear kernel honors the same contract as the JVM md5
     variant: every doc yields ≥1 chunk, chunk lengths sum to the
@@ -3206,6 +3268,50 @@ def test_bpe_train_matches_reference(spark):
                     i += 1
             words[w] = out
     assert got == expect and len(got) == 6
+
+
+def test_bpe_train_metachar_tokens(spark):
+    """Corpus tokens containing backslashes and quotes (TeX/code
+    text) must train cleanly — the learned symbols are bound as lit
+    columns, not interpolated into SQL strings (ADVICE r06)."""
+    from collections import Counter
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        bpe as B,
+    )
+
+    text = r"\def \def \def \def don't don't don't a\'b a\'b"
+    d = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = B.bpe_train(d, n_merges=4)
+
+    vocab = Counter(text.lower().split())
+    words = {w: list(w) + ["</w>"] for w in vocab}
+    expect = []
+    for step in range(1, 5):
+        pairs = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += vocab[w]
+        if not pairs:
+            break
+        (l, r), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        expect.append((step, l, r, n))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    assert got == expect and len(got) == 4
+    assert any("\\" in l or "\\" in r for _, l, r, _ in got)
 
 
 def test_triplet_mining_singleton_label_dropped(spark):

@@ -635,6 +635,103 @@ def test_stream_incremental_dedup_replay_idempotent(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "corpus")).count() == 4
 
 
+def test_stream_incremental_dedup_replay_after_corpus_commit(
+    spark, tmp_path
+):
+    """Widest replay window: crash AFTER the corpus-sink commit but
+    BEFORE the checkpoint commit. The replayed batch then finds its
+    own rows in the corpus parquet and its own bands in the store —
+    without the ingest_batch != batch_id self-filters the verify
+    join sees each new doc twice (as 'new' and as 'old') and
+    duplicates every pair row in that batch's partition. Pins the
+    ADVICE r06 medium finding."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        minhash_lsh_dedup,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        stream_incremental_dedup,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "completely unrelated text about query engines"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    src = str(tmp_path / "src")
+    for i in range(2):
+        _write_json(
+            os.path.join(src, f"b{i}.json"),
+            [{"doc_id": a, "text": t} for a, t in docs[2 * i : 2 * i + 2]],
+        )
+    schema = spark.read.json(src).schema
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+
+    def run():
+        q = stream_incremental_dedup(
+            spark,
+            source_path=src,
+            store_path=str(tmp_path / "bands"),
+            corpus_sink=str(tmp_path / "corpus"),
+            pairs_sink=str(tmp_path / "pairs"),
+            checkpoint_path=str(tmp_path / "chk"),
+            schema=schema,
+            reader_options={"maxFilesPerTrigger": "1"},
+            **kwargs,
+        )
+        run_available_now(q)
+
+    # Each successful micro-batch issues exactly 3 DataFrameWriter
+    # .parquet() commits: bands (inside incremental), pairs, corpus.
+    # Crash AFTER the 6th commit returns — i.e. after batch 2's
+    # corpus write landed, with the checkpoint commit still pending.
+    real_parquet = DataFrameWriter.parquet
+    calls = {"n": 0}
+
+    def crash_after_corpus(self, path, **kw):
+        out = real_parquet(self, path, **kw)
+        calls["n"] += 1
+        if calls["n"] == 6:
+            raise RuntimeError("crash after corpus commit")
+        return out
+
+    DataFrameWriter.parquet = crash_after_corpus
+    try:
+        import pyspark.errors
+
+        try:
+            run()
+            raise AssertionError("expected injected crash")
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            pass
+    finally:
+        DataFrameWriter.parquet = real_parquet
+
+    run()  # resume: batch 2 replays against a store+corpus that
+    # already contain its own artifacts
+
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(all_docs, **kwargs)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got_rows = spark.read.parquet(str(tmp_path / "pairs")).select(
+        "id_a", "id_b"
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    assert got == want, f"pair SET wrong: {got} != {want}"
+    assert len(got_rows) == len(want), "replay duplicated pair rows"
+    assert spark.read.parquet(str(tmp_path / "corpus")).count() == 4
+    bands = spark.read.parquet(str(tmp_path / "bands"))
+    assert bands.count() == bands.dropDuplicates(
+        ["doc_id", "band"]
+    ).count(), "replay duplicated band rows"
+
+
 def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     """The property that makes applyInPandasWithState production-
     grade: per-user state lives in the CHECKPOINT, so a stopped

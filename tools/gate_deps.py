@@ -1,0 +1,356 @@
+"""Mechanical driver-window ordering (round-7 verdict task #1).
+
+Maps every ``queries()`` gate to the code that backs it — the gate
+function's own source (transitive closure over the top-level names it
+references in ``__spark_entry__.py``, INCLUDING its oracle-SQL
+constant) plus the package modules that closure imports (transitive
+over the package's internal import graph) — then asks git two
+questions per gate:
+
+* when was it last driver-checked? (scan ``CORRECTNESS_r*.json``)
+* did any backing code change since that round's boundary commit?
+  (``git diff --name-only`` for module files; a source-segment hash
+  of the entry-file closure, recomputed from
+  ``git show <boundary>:__spark_entry__.py``, for the gate body and
+  its oracle)
+
+and emits the next window order: never-checked gates first, then
+changed-since-check gates (stalest first), then the unchanged backlog
+(stalest first). ``queries()`` consumes the checked-in
+``tools/gate_order.json`` so the ordering IS the tool's output, not
+curated prose. ``--markdown`` prints the freshness dashboard table
+for COVERAGE.md.
+
+Usage: python tools/gate_deps.py [--markdown] [--write]
+"""
+
+from __future__ import annotations
+
+import ast
+import hashlib
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = (
+    "aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_"
+    "lambda_with_cloud_watch_logs_spark"
+)
+ENTRY = "__spark_entry__.py"
+
+
+# ---------------------------------------------------------- git helpers
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def round_boundaries() -> dict[int, str]:
+    """round number -> the driver's end-of-round commit sha (the code
+    state CORRECTNESS_r{N}.json was checked against)."""
+    out = {}
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subj)
+        if m:
+            out.setdefault(int(m.group(1)), sha)  # newest occurrence wins
+    return out
+
+
+def changed_files_since(commit: str) -> set[str]:
+    diff = _git("diff", "--name-only", commit, "HEAD")
+    changed = {ln.strip() for ln in diff.splitlines() if ln.strip()}
+    status = _git("status", "--porcelain")
+    for ln in status.splitlines():
+        changed.add(ln[3:].split(" -> ")[-1].strip())
+    return changed
+
+
+# ----------------------------------------- package import graph (files)
+
+
+def _resolve_module(parts: list[str]) -> str | None:
+    """Dotted module parts (relative to the package root) -> repo-
+    relative file path, or None if it isn't a package file."""
+    path = os.path.join(PKG, *parts) + ".py"
+    if os.path.exists(os.path.join(REPO, path)):
+        return path
+    init = os.path.join(PKG, *parts, "__init__.py")
+    if os.path.exists(os.path.join(REPO, init)):
+        return init
+    return None
+
+
+def package_import_graph() -> dict[str, set[str]]:
+    """file -> set of package files it imports (direct)."""
+    graph: dict[str, set[str]] = {}
+    for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.relpath(os.path.join(root, fn), REPO)
+            rel_pkg = os.path.relpath(os.path.dirname(os.path.join(root, fn)),
+                                      os.path.join(REPO, PKG))
+            pkg_parts = [] if rel_pkg == "." else rel_pkg.split(os.sep)
+            deps: set[str] = set()
+            try:
+                tree = ast.parse(open(os.path.join(REPO, path)).read())
+            except SyntaxError:
+                continue
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ImportFrom):
+                    if node.level:
+                        base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    elif node.module and node.module.startswith(PKG):
+                        base = node.module[len(PKG):].lstrip(".").split(".")
+                        base = [p for p in base if p]
+                        node = ast.ImportFrom(  # treat module as consumed
+                            module=None, names=node.names, level=0
+                        ) if False else node
+                    else:
+                        continue
+                    if node.level:
+                        mod_parts = base + (
+                            node.module.split(".") if node.module else []
+                        )
+                    else:
+                        mod_parts = (
+                            node.module[len(PKG):].lstrip(".").split(".")
+                            if node.module else []
+                        )
+                        mod_parts = [p for p in mod_parts if p]
+                    for alias in node.names:
+                        target = _resolve_module(mod_parts + [alias.name])
+                        if target is None:
+                            target = _resolve_module(mod_parts)
+                        if target:
+                            deps.add(target)
+                elif isinstance(node, ast.Import):
+                    for alias in node.names:
+                        if alias.name.startswith(PKG):
+                            parts = alias.name[len(PKG):].lstrip(".").split(".")
+                            parts = [p for p in parts if p]
+                            target = _resolve_module(parts)
+                            if target:
+                                deps.add(target)
+            graph[path] = deps - {path}
+    return graph
+
+
+def transitive(graph: dict[str, set[str]], seeds: set[str]) -> set[str]:
+    out, frontier = set(seeds), list(seeds)
+    while frontier:
+        for dep in graph.get(frontier.pop(), ()):  # noqa: B909
+            if dep not in out:
+                out.add(dep)
+                frontier.append(dep)
+    return out
+
+
+# --------------------------------------- entry-file closure per gate
+
+
+class _EntryAnalysis:
+    """Top-level defs, package-import aliases, and the queries()/
+    oracle_sql() name maps of one revision of __spark_entry__.py."""
+
+    def __init__(self, source: str):
+        self.tree = ast.parse(source)
+        self.source = source
+        self.defs: dict[str, ast.AST] = {}
+        self.alias_files: dict[str, str] = {}
+        for node in self.tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                self.defs[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        self.defs[t.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                node.target, ast.Name
+            ):
+                self.defs[node.target.id] = node
+            elif isinstance(node, ast.ImportFrom) and node.module and (
+                node.module.startswith(PKG)
+            ):
+                mod_parts = [
+                    p for p in node.module[len(PKG):].lstrip(".").split(".")
+                    if p
+                ]
+                for alias in node.names:
+                    name = alias.asname or alias.name
+                    target = _resolve_module(mod_parts + [alias.name])
+                    if target is None:
+                        target = _resolve_module(mod_parts)
+                    if target:
+                        self.alias_files[name] = target
+        self.query_fn = self._dict_map("queries")
+        self.oracle_const = self._dict_map("oracle_sql")
+
+    def _dict_map(self, fn_name: str) -> dict[str, str]:
+        """gate name -> top-level value name, from the dict literal
+        returned by ``fn_name``."""
+        fn = self.defs.get(fn_name)
+        out: dict[str, str] = {}
+        if fn is None:
+            return out
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                for k, v in zip(node.keys, node.values):
+                    if isinstance(k, ast.Constant) and isinstance(
+                        v, ast.Name
+                    ):
+                        out[k.value] = v.id
+        return out
+
+    def closure(self, names: list[str]) -> tuple[set[str], set[str]]:
+        """-> (top-level def names, package files) reachable."""
+        seen: set[str] = set()
+        files: set[str] = set()
+        frontier = [n for n in names if n in self.defs]
+        while frontier:
+            name = frontier.pop()
+            if name in seen:
+                continue
+            seen.add(name)
+            for node in ast.walk(self.defs[name]):
+                if isinstance(node, ast.Name):
+                    nid = node.id
+                    if nid in self.alias_files:
+                        files.add(self.alias_files[nid])
+                    elif nid in self.defs and nid not in seen:
+                        frontier.append(nid)
+        return seen, files
+
+    def gate_hash(self, gate: str) -> str | None:
+        roots = []
+        fn = self.query_fn.get(gate)
+        if fn is None:
+            return None
+        roots.append(fn)
+        const = self.oracle_const.get(gate)
+        if const:
+            roots.append(const)
+        names, _files = self.closure(roots)
+        segs = sorted(
+            ast.get_source_segment(self.source, self.defs[n]) or n
+            for n in names
+        )
+        return hashlib.sha256("\n".join(segs).encode()).hexdigest()[:16]
+
+    def gate_files(self, gate: str, graph: dict[str, set[str]]) -> set[str]:
+        roots = [self.query_fn[gate]]
+        const = self.oracle_const.get(gate)
+        if const:
+            roots.append(const)
+        _names, files = self.closure(roots)
+        return transitive(graph, files)
+
+
+# -------------------------------------------------------------- driver
+
+
+def last_checked() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for fn in sorted(os.listdir(REPO)):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        for gate in json.load(open(os.path.join(REPO, fn))):
+            out[gate] = max(out.get(gate, 0), rnd)
+    return out
+
+
+def analyze() -> list[dict]:
+    cur = _EntryAnalysis(open(os.path.join(REPO, ENTRY)).read())
+    graph = package_import_graph()
+    checked = last_checked()
+    bounds = round_boundaries()
+    old_analyses: dict[int, _EntryAnalysis | None] = {}
+    changed_since: dict[int, set[str]] = {}
+    for rnd, sha in bounds.items():
+        changed_since[rnd] = changed_files_since(sha)
+        try:
+            old_analyses[rnd] = _EntryAnalysis(
+                _git("show", f"{sha}:{ENTRY}")
+            )
+        except Exception:
+            old_analyses[rnd] = None
+
+    rows = []
+    for gate in cur.query_fn:
+        rnd = checked.get(gate)
+        files = sorted(cur.gate_files(gate, graph))
+        if rnd is None:
+            rows.append(
+                dict(gate=gate, last_round=None, changed=True,
+                     reason="never-checked", files=files)
+            )
+            continue
+        reasons = []
+        mod_hits = sorted(set(files) & changed_since.get(rnd, set()))
+        if mod_hits:
+            reasons.append("modules:" + ",".join(
+                os.path.basename(f) for f in mod_hits))
+        old = old_analyses.get(rnd)
+        if old is None or old.gate_hash(gate) != cur.gate_hash(gate):
+            reasons.append("entry-closure")
+        rows.append(
+            dict(gate=gate, last_round=rnd, changed=bool(reasons),
+                 reason=";".join(reasons), files=files)
+        )
+
+    def key(r):
+        never = r["last_round"] is None
+        return (
+            0 if never else (1 if r["changed"] else 2),
+            r["last_round"] or 0,
+            r["gate"],
+        )
+
+    rows.sort(key=key)
+    return rows
+
+
+def main() -> None:
+    rows = analyze()
+    order = [r["gate"] for r in rows]
+    n_never = sum(r["last_round"] is None for r in rows)
+    n_changed = sum(r["changed"] and r["last_round"] is not None
+                    for r in rows)
+    if "--write" in sys.argv:
+        head = _git("rev-parse", "HEAD").strip()
+        with open(os.path.join(REPO, "tools", "gate_order.json"), "w") as fh:
+            json.dump(
+                {"generated_from": head, "order": order}, fh, indent=0
+            )
+        print(f"gate_order.json: {len(order)} gates "
+              f"({n_never} never-checked, {n_changed} changed-stale)")
+    if "--markdown" in sys.argv:
+        print("| Gate | Last checked | Backing modules | Changed since? |")
+        print("|---|---|---|---|")
+        for r in rows:
+            mods = ", ".join(
+                os.path.basename(f) for f in r["files"]
+                if not f.endswith("__init__.py")
+            ) or "(entry-only)"
+            rnd = f"r{r['last_round']:02d}" if r["last_round"] else "never"
+            flag = r["reason"] if r["changed"] else ""
+            print(f"| `{r['gate']}` | {rnd} | {mods} | {flag} |")
+    if "--write" not in sys.argv and "--markdown" not in sys.argv:
+        for r in rows[:60]:
+            print(f"{r['gate']:40s} last={r['last_round']} "
+                  f"changed={r['changed']} {r['reason']}")
+        print(f"... {len(rows)} total; {n_never} never, "
+              f"{n_changed} changed-stale")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,7 @@ weaker rows-only check.
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
@@ -5724,28 +5725,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, SF001)
 
 
+def _gate_order() -> list[str]:
+    """The mechanically derived driver-window order, written by
+    ``python tools/gate_deps.py --write``: never-checked gates first,
+    then gates whose backing code changed since their last driver
+    check (stalest first), then the unchanged backlog (stalest
+    first). Checked in as ``tools/gate_order.json`` so the ordering
+    is the tool's output, not curated prose (r06/r07 verdict task
+    #1). Missing/garbled file → registry order (registry is complete
+    either way; the order only steers which rows the driver's ~50/
+    round budget refreshes)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "gate_order.json"
+    )
+    try:
+        with open(path) as fh:
+            return list(json.load(fh)["order"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return []
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered for the driver's correctness gate, which checks entries
-    front-to-back under a budget (~50/round). Round-6 layout: slots
-    1-6 are the six gates the round-5 verdict queued (diversity,
-    Zipf, PMI, source overlap, RAG chunking, pack boundaries) — the
-    only entries never driver-checked, promised to lead this window;
-    slots 7-13 the gates whose operators CHANGED this round (the ANN
-    shortlist/rerank de-shuffle: rp/sq/bruteforce/hard-negatives got
-    the Arrow local-top-k kernel, lsh/ivf got documented bucket
-    bounds; seq_packing rides along as the r05 bench watch item);
-    then the sf0.1-promoted CCNet gate and the NINE new round-6
-    gates (per-source percentile curation, Kneser-Ney bigram model,
-    DoReMi domain weights, length/packing-efficiency report, triplet
-    mining, CDC block-dedup audit, right-to-be-forgotten purge
-    audit, the streaming band-store dedup twin, span-removal rewrite
-    — each with sf0.01 check_oracle evidence, and sf0.1 where the
-    oracle is sub-quadratic); then the r03/r04-row backlog in its
-    standing order so the oldest driver rows refresh first. The tail
-    is the block driver-checked green in r05 on code untouched
-    since.
+    front-to-back under a budget (~50/round). The order is NOT hand-
+    curated: the literal dict below is the name->callable registry
+    (gate_deps.py parses it by AST to map gates to their code), and
+    the returned dict is re-keyed by ``tools/gate_order.json`` —
+    regenerate with ``python tools/gate_deps.py --write`` after
+    adding gates or landing driver results, so each round's window
+    drains the stalest/changed-code rows first instead of
+    re-checking last round's.
     """
-    return {
+    registry = {
         "text_diversity_docs": text_diversity_docs,
         "text_zipf_docs": text_zipf_docs,
         "text_pmi_docs": text_pmi_docs,
@@ -5908,6 +5919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_counts": stream_interval_join_counts,
         "stream_enrich_counts": stream_enrich_counts,
     }
+    ordered = {k: registry[k] for k in _gate_order() if k in registry}
+    ordered.update((k, v) for k, v in registry.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -65,3 +65,24 @@ def test_every_query_has_an_oracle():
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(qs) == set(os_)
     assert len(qs) == len(os_)
+
+
+def test_queries_order_is_gate_order_json():
+    """queries() iteration order IS tools/gate_order.json (the
+    mechanical stalest/changed-first window from gate_deps.py
+    --write), not a hand-curated sequence — the r06/r07 verdicts'
+    top task. Every registry gate must appear in the checked-in
+    order file, so adding a gate without regenerating the file
+    fails here."""
+    import json
+
+    path = os.path.join(os.path.dirname(entry.__file__),
+                        "tools", "gate_order.json")
+    order = json.load(open(path))["order"]
+    names = list(entry.queries())
+    assert names == [g for g in order if g in set(names)]
+    missing = set(names) - set(order)
+    assert not missing, (
+        f"gates missing from gate_order.json (run "
+        f"`python tools/gate_deps.py --write`): {sorted(missing)}"
+    )

@@ -53,13 +53,30 @@ def _git(*args: str) -> str:
 
 def round_boundaries() -> dict[int, str]:
     """round number -> the driver's end-of-round commit sha (the code
-    state CORRECTNESS_r{N}.json was checked against)."""
+    state CORRECTNESS_r{N}.json was checked against).
+
+    The driver has used two subject forms for the boundary commit —
+    ``round N: verdict/...`` and ``round N: end-of-round snapshot``
+    (round 7's is the latter, b545127); match both, newest wins (the
+    verdict commit only adds artifact files on top of the snapshot,
+    so either anchors the same code state). A round with NEITHER form
+    falls back to the newest commit touching its CORRECTNESS file —
+    without this, every gate checked in that round is reported
+    ``changed=True entry-closure`` against a nonexistent boundary and
+    the freshness flag degenerates to all-true noise (r07 verdict
+    "What's wrong" #1)."""
     out = {}
     for line in _git("log", "--format=%H %s").splitlines():
         sha, _, subj = line.partition(" ")
-        m = re.match(r"round (\d+): verdict", subj)
+        m = re.match(r"round (\d+): (?:verdict|end-of-round snapshot)", subj)
         if m:
             out.setdefault(int(m.group(1)), sha)  # newest occurrence wins
+    for fn in os.listdir(REPO):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
+        if m and int(m.group(1)) not in out:
+            sha = _git("log", "-1", "--format=%H", "--", fn).strip()
+            if sha:
+                out[int(m.group(1))] = sha
     return out
 
 

@@ -80,6 +80,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     projection as PJ,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    bpe as BP,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -3351,6 +3354,78 @@ FROM documents
 """
 
 
+def bpe_vocab_docs(spark, sf_dir):
+    """BPE tokenizer TRAINING as a driver gate (operators/bpe.py —
+    text_bpe_token_stats APPLIES a merge table; this gate LEARNS
+    one). Eight merges over the corpus word-type frame; output is
+    the ordered merge table (step, left, right, n) — the artifact a
+    tokenizer ships. Scale shape: one corpus pass builds the
+    vocabulary-bounded type frame; each merge iteration is an
+    explode + hash aggregate + 1-row argmax collect on that model-
+    sized frame, never a corpus rescan."""
+    d = _t(spark, sf_dir, "documents")
+    return BP.bpe_merge_table(d, n_merges=8)
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train. SQL has no
+    data-dependent loop, so the k merge iterations are k GENERATED
+    CTE stages (pure SQL once rendered; k is fixed). Word encoding:
+    symbols joined on a \\x1f\\x1f separator with a single \\x1f at
+    each end. One ``replace()`` per stage then reproduces the JVM
+    fold's greedy left-to-right non-overlapping merge exactly —
+    ``replace`` resumes scanning after each substitution, so a just-
+    merged token cannot act as the LEFT side of another merge within
+    the same pass, which is precisely the fold's pending-reset
+    behavior. When a stage's best pair falls under the n>=2 floor
+    the coalesce swaps in \\x1e (absent from the corpus) as a no-op
+    pattern and the stage's b-CTE is empty — the early-stop twin.
+    Every CTE is MATERIALIZED: each s-stage references its
+    predecessor three times (directly + twice through the b-stage
+    scalar subqueries), so inlined CTEs would re-evaluate the chain
+    3^k times — measured as a >2-minute hang at k=8 vs 0.08 s
+    materialized. Requires the corpus to contain no \\x1f/\\x1e
+    bytes (true of the test corpora; asserted in
+    tests/test_operators.py)."""
+    us, rs = "chr(31)", "chr(30)"
+    sep2 = f"{us} || {us}"
+    ctes = [
+        f"w0 AS MATERIALIZED (SELECT unnest({_SQL_TOKENS}) AS w"
+        " FROM documents)",
+        "s0 AS MATERIALIZED (SELECT"
+        " list_append(regexp_extract_all(w, '.'), '</w>')"
+        " AS syms, count(*) AS cnt FROM w0 GROUP BY w)",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT syms[j] AS l, syms[j + 1] AS r,"
+            f" CAST(sum(cnt) AS BIGINT) AS n"
+            f" FROM (SELECT unnest(range(1, len(syms))) AS j, syms, cnt"
+            f" FROM s{p}) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT * FROM (SELECT {i} AS step, l, r, n"
+            f" FROM p{i} ORDER BY n DESC, l, r LIMIT 1) WHERE n >= 2)"
+        )
+        enc = f"{us} || array_to_string(syms, {sep2}) || {us}"
+        pat = f"(SELECT {us} || l || {sep2} || r || {us} FROM b{i})"
+        rep = f"(SELECT {us} || l || r || {us} FROM b{i})"
+        ctes.append(
+            f"s{i} AS MATERIALIZED (SELECT string_split(trim(replace({enc},"
+            f" coalesce({pat}, {rs}), coalesce({rep}, {rs})), chr(31)),"
+            f" {sep2}) AS syms, cnt FROM s{p})"
+        )
+    union = " UNION ALL ".join(
+        f'SELECT step, l AS "left", r AS "right", n FROM b{i}'
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+BPE_VOCAB_SQL = _bpe_vocab_sql(8)
+
+
 def text_token_freq(spark, sf_dir):
     """Corpus token frequencies: explode -> map-side-combined count
     (the canonical word count), min-count filtered."""
@@ -5851,6 +5926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_docs": text_langid_docs,
         "text_fingerprint_docs": text_fingerprint_docs,
         "text_bpe_token_stats": text_bpe_token_stats,
+        "bpe_vocab_docs": bpe_vocab_docs,
         "text_token_freq": text_token_freq,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
@@ -6067,6 +6143,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid_docs": TEXT_LANGID_SQL,
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,
         "text_bpe_token_stats": BPE_TOKEN_SQL,
+        "bpe_vocab_docs": BPE_VOCAB_SQL,
         "text_token_freq": TOKEN_FREQ_SQL,
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,

@@ -114,9 +114,21 @@ def bpe_train(
             ).alias("syms"),
             "cnt",
         )
+        # the type frame is vocabulary-bounded (~1e5 rows even at
+        # web scale) — 32+ post-shuffle partitions are pure per-task
+        # overhead across the k iteration jobs; narrow without a
+        # shuffle
+        .coalesce(8)
     )
     merges: list[tuple[int, str, str, int]] = []
-    current = types.localCheckpoint()
+    # localCheckpoint: truncate the lineage each step so the plan
+    # doesn't grow k folds deep (same pattern as connected
+    # components' iteration). eager=False — the checkpoint
+    # materializes inside the next step's argmax job instead of
+    # scheduling a second job per iteration (halves job count; wall
+    # time is compile-dominated at toy SF, so the win shows at real
+    # vocabulary sizes, not the 31-type test corpus)
+    current = types.localCheckpoint(eager=False)
     for step in range(1, n_merges + 1):
         top = (
             current.select(F.explode(_pairs_expr()).alias("p"), "cnt")
@@ -130,12 +142,9 @@ def bpe_train(
             break  # nothing left worth merging
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
         merges.append((step, l, r, n))
-        # localCheckpoint: truncate the lineage each step so the plan
-        # doesn't grow k folds deep (same pattern as connected
-        # components' iteration)
         current = current.select(
             _merge_expr(l, r).alias("syms"), "cnt"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

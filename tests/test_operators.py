@@ -3314,6 +3314,40 @@ def test_bpe_train_metachar_tokens(spark):
     assert any("\\" in l or "\\" in r for _, l, r, _ in got)
 
 
+def test_bpe_oracle_separator_bytes_absent_from_corpora():
+    """BPE_VOCAB_SQL's word encoding joins symbols on \\x1f and uses
+    \\x1e as the early-stop no-op pattern (see _bpe_vocab_sql's
+    docstring) — sound only while the test corpora contain neither
+    byte. Scan every SF's documents table so a regenerated corpus
+    that violates the assumption fails here, not as a silent oracle
+    mismatch."""
+    import glob
+
+    import duckdb
+
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths
+    for p in paths:
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{p}' WHERE contains(text, chr(31))"
+            " OR contains(text, chr(30))"
+        ).fetchone()[0]
+        assert n == 0, f"{p} contains \\x1f/\\x1e bytes"
+
+
+def test_bpe_vocab_gate_merge_count(spark):
+    """The driver gate trains 8 merges on the sf0.001 corpus — pin
+    that the n>=2 early-stop does NOT trigger there (the oracle and
+    the Spark path would both stop, but a full 8-row result is the
+    contract the gate's row count asserts)."""
+    import __spark_entry__ as entry
+
+    out = entry.bpe_vocab_docs(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 8
+    assert [r["step"] for r in out] == list(range(1, 9))
+    assert all(r["n"] >= 2 for r in out)
+
+
 def test_triplet_mining_singleton_label_dropped(spark):
     """An anchor whose label has no other member yields no positive
     → no triplet row (inner-join contract, documented)."""

@@ -3693,6 +3693,55 @@ ORDER BY key DESC, d.doc_id LIMIT 50
 """
 
 
+def _sf01_docs_twin(sql: str, n_refs: int) -> str:
+    """Oracle twin for an sf0.1-pinned gate: swap every `documents`
+    table reference for the absolute sf0.1 parquet path so DuckDB
+    bypasses the driver's sf0.01 views and both engines see
+    identical input (the CCNET_BUCKETS_SF01_SQL pattern,
+    generalized). The reference count is asserted so a future SQL
+    edit cannot silently leave part of the oracle reading the wrong
+    SF. str.replace never rescans replaced text, so the
+    'documents.parquet' inside the replacement is safe."""
+    assert sql.count("documents") == n_refs, (sql.count("documents"), n_refs)
+    return sql.replace(
+        "documents",
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')",
+    )
+
+
+def dsir_resample_docs_sf01(spark, sf_dir):
+    """SF-robustness driver gate (r07 verdict task #6): DSIR's
+    quantized-integer log-ratio selection re-run pinned to the
+    sf0.1 documents table regardless of the driver's sf parameter —
+    the add-1 bucket models and Gumbel keys shift with corpus size,
+    so 10× data exercises fresh quantization edges under a driver
+    CORRECTNESS row rather than only the local ORACLE_SF01.md
+    sweep."""
+    return dsir_resample_docs(spark, "/root/testdata/sf0.1")
+
+
+def quality_percentile_docs_sf01(spark, sf_dir):
+    """SF-robustness driver gate (r07 verdict task #6): per-source
+    percentile curation at sf0.1 — the per-(source, quantized-score)
+    histogram cutoffs move with 10× more docs per source, stressing
+    the cumulative-count tie handling at the keep boundary."""
+    return quality_percentile_docs(spark, "/root/testdata/sf0.1")
+
+
+def kn_bigram_model_docs_sf01(spark, sf_dir):
+    """SF-robustness driver gate (r07 verdict task #6): the
+    interpolated Kneser-Ney export at sf0.1 — continuation/follower
+    type counts and the top-30 count-desc tie-break order are
+    corpus-size-sensitive in ways sf0.01 cannot probe."""
+    return kn_bigram_model_docs(spark, "/root/testdata/sf0.1")
+
+
+DSIR_SF01_SQL = _sf01_docs_twin(DSIR_SQL, 3)
+QUALITY_PCT_SF01_SQL = _sf01_docs_twin(QUALITY_PCT_SQL, 2)
+KN_BIGRAM_SF01_SQL = _sf01_docs_twin(KN_BIGRAM_SQL, 1)
+
+
+
 # --------------------------------------- scalar + aggregate extensions
 
 
@@ -5846,6 +5895,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_ivf": sim_topk_ivf,
         "seq_packing_docs": seq_packing_docs,
         "ccnet_buckets_docs_sf01": ccnet_buckets_docs_sf01,
+        "dsir_resample_docs_sf01": dsir_resample_docs_sf01,
+        "quality_percentile_docs_sf01": quality_percentile_docs_sf01,
+        "kn_bigram_model_docs_sf01": kn_bigram_model_docs_sf01,
         "quality_percentile_docs": quality_percentile_docs,
         "kn_bigram_model_docs": kn_bigram_model_docs,
         "doremi_weights_docs": doremi_weights_docs,
@@ -6023,6 +6075,9 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
         "ccnet_buckets_docs_sf01": CCNET_BUCKETS_SF01_SQL,
+        "dsir_resample_docs_sf01": DSIR_SF01_SQL,
+        "quality_percentile_docs_sf01": QUALITY_PCT_SF01_SQL,
+        "kn_bigram_model_docs_sf01": KN_BIGRAM_SF01_SQL,
         "quality_percentile_docs": QUALITY_PCT_SQL,
         "kn_bigram_model_docs": KN_BIGRAM_SQL,
         "doremi_weights_docs": DOREMI_SQL,

@@ -14,12 +14,17 @@ sys.path.insert(
 )
 
 import __spark_entry__ as entry
-from plan_audit import ARROW_STAGE_OK, audit_one, formatted_plan
+from plan_audit import ARROW_STAGE_EXPECTED, audit_one, formatted_plan
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_no_cartesian_no_row_python_anywhere(spark):
+    """Every query's plan: no CartesianProduct, no row-at-a-time
+    Python, and EXACTLY the reviewed number of Arrow stages (r07
+    verdict task #4 — a membership-only allowlist let an allowlisted
+    query grow a second, unreviewed Arrow stage without failing
+    CI)."""
     bad = {}
     for name, fn in entry.queries().items():
         row = audit_one(name, fn(spark, SF_DIR))
@@ -27,8 +32,11 @@ def test_no_cartesian_no_row_python_anywhere(spark):
             bad[name] = "CartesianProduct"
         if row["row_python"]:
             bad[name] = "BatchEvalPython (row-at-a-time Python UDF)"
-        if row["arrow_python"] and name not in ARROW_STAGE_OK:
-            bad[name] = "unexpected Python stage"
+        expected = ARROW_STAGE_EXPECTED.get(name, 0)
+        if row["n_arrow_stages"] != expected:
+            bad[name] = (
+                f"{row['n_arrow_stages']} Arrow stages, {expected} reviewed"
+            )
     assert not bad, bad
 
 
@@ -84,35 +92,33 @@ def test_ann_shortlists_have_no_nlj(spark):
 
 
 def test_plan_allowlist_is_pinned():
-    """A NEW Arrow-stage allowlist entry must fail CI until it is
-    consciously re-pinned here with a review comment in
-    tools/plan_audit.py (round-5 verdict stretch item: the
-    allowlist runs in CI, not ad hoc)."""
-    assert sorted(ARROW_STAGE_OK) == [
-        "decontam_fuzzy_docs",
-        "dedup_incremental_docs",
-        "dedup_minhash_pairs",
-        "dedup_ngram_pairs",
-        "dedup_simhash_pairs",
-        "dedup_winnow_pairs",
-        "embed_cluster_vecs",
-        "embed_label_spectrum",
-        "embed_label_stats",
-        "events_sessionize",
-        "hard_negatives_vecs",
-        "multimodal_decode_real",
-        "multimodal_features_docs",
-        "pack_boundaries_docs",
-        "rp_project_vecs",
-        "semantic_dedup_vecs",
-        "seq_packing_docs",
-        "sim_neardup_exact",
-        "sim_topk_bruteforce",
-        "sim_topk_ivf",
-        "sim_topk_lsh",
-        "sim_topk_rp",
-        "sim_topk_sq",
-        "stream_incremental_dedup_docs",
-        "text_bpe_token_stats",
-        "triplet_mining_vecs",
-    ]
+    """A NEW Arrow-stage budget entry — or a changed stage COUNT —
+    must fail CI until it is consciously re-pinned here with a
+    review comment in tools/plan_audit.py (r05 stretch item made
+    count-exact by r07 verdict task #4). Former set members
+    dedup_ngram_pairs / events_sessionize / text_bpe_token_stats
+    are gone: their plans carry zero Arrow stages."""
+    assert dict(sorted(ARROW_STAGE_EXPECTED.items())) == {
+        "decontam_fuzzy_docs": 3,
+        "dedup_incremental_docs": 3,
+        "dedup_minhash_pairs": 3,
+        "dedup_simhash_pairs": 3,
+        "dedup_winnow_pairs": 3,
+        "embed_label_spectrum": 2,
+        "embed_label_stats": 1,
+        "hard_negatives_vecs": 1,
+        "multimodal_decode_real": 1,
+        "multimodal_features_docs": 1,
+        "pack_boundaries_docs": 1,
+        "rp_project_vecs": 1,
+        "semantic_dedup_vecs": 2,
+        "seq_packing_docs": 2,
+        "sim_neardup_exact": 1,
+        "sim_topk_bruteforce": 1,
+        "sim_topk_ivf": 4,
+        "sim_topk_lsh": 6,
+        "sim_topk_rp": 3,
+        "sim_topk_sq": 2,
+        "stream_incremental_dedup_docs": 3,
+        "triplet_mining_vecs": 2,
+    }

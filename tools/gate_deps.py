@@ -336,6 +336,59 @@ def analyze() -> list[dict]:
     return rows
 
 
+def markdown_table(rows: list[dict]) -> str:
+    out = ["| Gate | Last checked | Backing modules | Changed since? |",
+           "|---|---|---|---|"]
+    for r in rows:
+        mods = ", ".join(
+            os.path.basename(f) for f in r["files"]
+            if not f.endswith("__init__.py")
+        ) or "(entry-only)"
+        rnd = f"r{r['last_round']:02d}" if r["last_round"] else "never"
+        flag = r["reason"] if r["changed"] else ""
+        out.append(f"| `{r['gate']}` | {rnd} | {mods} | {flag} |")
+    return "\n".join(out)
+
+
+COVERAGE_BEGIN = ("<!-- gate-freshness:begin "
+                  "(generated by tools/gate_deps.py --coverage) -->")
+COVERAGE_END = "<!-- gate-freshness:end -->"
+
+
+def rewrite_coverage(rows: list[dict]) -> None:
+    """Regenerate the freshness-dashboard section of COVERAGE.md in
+    place, between the sentinel comments (appended on first run)."""
+    n_never = sum(r["last_round"] is None for r in rows)
+    n_changed = sum(r["changed"] and r["last_round"] is not None
+                    for r in rows)
+    n_fresh = len(rows) - n_never - n_changed
+    block = (
+        f"{COVERAGE_BEGIN}\n\n"
+        "## Gate freshness dashboard (generated)\n\n"
+        "Per-gate driver-check staleness: when the driver last "
+        "value-checked the gate against DuckDB, which package modules "
+        "back it (transitive import+entry closure), and whether any "
+        "of that code changed since that round's boundary commit. "
+        "Regenerate with `python tools/gate_deps.py --coverage`; the "
+        "same ordering feeds `tools/gate_order.json` (= the driver "
+        "window order).\n\n"
+        f"{len(rows)} gates: {n_never} never checked, {n_changed} "
+        f"changed since last check, {n_fresh} fresh.\n\n"
+        f"{markdown_table(rows)}\n\n{COVERAGE_END}"
+    )
+    path = os.path.join(REPO, "COVERAGE.md")
+    text = open(path).read()
+    if COVERAGE_BEGIN in text and COVERAGE_END in text:
+        pre = text.split(COVERAGE_BEGIN)[0]
+        post = text.split(COVERAGE_END, 1)[1]
+        text = pre + block + post
+    else:
+        text = text.rstrip() + "\n\n\n" + block + "\n"
+    open(path, "w").write(text)
+    print(f"COVERAGE.md dashboard: {len(rows)} gates "
+          f"({n_never} never, {n_changed} changed-stale)")
+
+
 def main() -> None:
     rows = analyze()
     order = [r["gate"] for r in rows]
@@ -351,17 +404,10 @@ def main() -> None:
         print(f"gate_order.json: {len(order)} gates "
               f"({n_never} never-checked, {n_changed} changed-stale)")
     if "--markdown" in sys.argv:
-        print("| Gate | Last checked | Backing modules | Changed since? |")
-        print("|---|---|---|---|")
-        for r in rows:
-            mods = ", ".join(
-                os.path.basename(f) for f in r["files"]
-                if not f.endswith("__init__.py")
-            ) or "(entry-only)"
-            rnd = f"r{r['last_round']:02d}" if r["last_round"] else "never"
-            flag = r["reason"] if r["changed"] else ""
-            print(f"| `{r['gate']}` | {rnd} | {mods} | {flag} |")
-    if "--write" not in sys.argv and "--markdown" not in sys.argv:
+        print(markdown_table(rows))
+    if "--coverage" in sys.argv:
+        rewrite_coverage(rows)
+    if not ({"--write", "--markdown", "--coverage"} & set(sys.argv)):
         for r in rows[:60]:
             print(f"{r['gate']:40s} last={r['last_round']} "
                   f"changed={r['changed']} {r['reason']}")

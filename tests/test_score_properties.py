@@ -306,3 +306,34 @@ def test_brute_force_topk_matches_naive(vecs, k):
             # accept either id when the scores match to 1e-9
             if got[(q, rank)] != nid:
                 assert abs(scores[got[(q, rank)]] - scores[nid]) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus)
+def test_bpe_train_matches_duckdb_oracle(texts):
+    """Cross-engine property: operators/bpe.bpe_train and the
+    generated DuckDB oracle (entry _bpe_vocab_sql — the unrolled
+    MATERIALIZED-CTE twin the driver gate runs) must agree on ANY
+    corpus, not just the fixture tables: same merges, same order,
+    same weighted counts, including count-tie lexicographic breaks
+    and the n>=2 early stop (hypothesis corpora are small enough to
+    hit both constantly)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        bpe as B,
+    )
+
+    spark = _spark()
+    d = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = B.bpe_train(d, n_merges=3)
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    oracle = [
+        (int(s), l, r, int(n))
+        for s, l, r, n in con.sql(entry._bpe_vocab_sql(3)).fetchall()
+    ]
+    assert got == oracle

@@ -2937,6 +2937,22 @@ FROM ppl, t GROUP BY 1
 """
 
 
+def _sf01_docs_twin(sql: str, n_refs: int) -> str:
+    """Oracle twin for an sf0.1-pinned gate: swap every `documents`
+    table reference for the absolute sf0.1 parquet path so DuckDB
+    bypasses the driver's sf0.01 views and both engines see
+    identical input (the CCNET_BUCKETS_SF01_SQL pattern,
+    generalized). The reference count is asserted so a future SQL
+    edit cannot silently leave part of the oracle reading the wrong
+    SF. str.replace never rescans replaced text, so the
+    'documents.parquet' inside the replacement is safe."""
+    assert sql.count("documents") == n_refs, (sql.count("documents"), n_refs)
+    return sql.replace(
+        "documents",
+        "read_parquet('/root/testdata/sf0.1/documents.parquet')",
+    )
+
+
 def ccnet_buckets_docs_sf01(spark, sf_dir):
     """SF-robustness driver gate (r05 verdict #6): the CCNet
     bucketing re-run pinned to the sf0.1 documents table REGARDLESS
@@ -2948,15 +2964,7 @@ def ccnet_buckets_docs_sf01(spark, sf_dir):
     return ccnet_buckets_docs(spark, "/root/testdata/sf0.1")
 
 
-# Same query text as CCNET_BUCKETS_SQL with the lone `documents`
-# reference swapped for the absolute sf0.1 parquet path (asserted
-# single occurrence below so a future SQL edit cannot silently leave
-# the oracle reading the wrong SF).
-assert CCNET_BUCKETS_SQL.count("FROM documents") == 1
-CCNET_BUCKETS_SF01_SQL = CCNET_BUCKETS_SQL.replace(
-    "FROM documents",
-    "FROM read_parquet('/root/testdata/sf0.1/documents.parquet')",
-)
+CCNET_BUCKETS_SF01_SQL = _sf01_docs_twin(CCNET_BUCKETS_SQL, 1)
 
 
 def hard_negatives_vecs(spark, sf_dir):
@@ -3392,9 +3400,13 @@ def _bpe_vocab_sql(n_merges: int) -> str:
     ctes = [
         f"w0 AS MATERIALIZED (SELECT unnest({_SQL_TOKENS}) AS w"
         " FROM documents)",
+        # w <> '' mirrors bpe_train's empty-word-type filter (empty/
+        # whitespace-only docs tokenize to [''], where Spark's
+        # split('', '') -> [''] and regexp_extract_all -> [] disagree
+        # on the symbol frame)
         "s0 AS MATERIALIZED (SELECT"
         " list_append(regexp_extract_all(w, '.'), '</w>')"
-        " AS syms, count(*) AS cnt FROM w0 GROUP BY w)",
+        " AS syms, count(*) AS cnt FROM w0 WHERE w <> '' GROUP BY w)",
     ]
     for i in range(1, n_merges + 1):
         p = i - 1
@@ -3691,22 +3703,6 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
 ORDER BY key DESC, d.doc_id LIMIT 50
 """
-
-
-def _sf01_docs_twin(sql: str, n_refs: int) -> str:
-    """Oracle twin for an sf0.1-pinned gate: swap every `documents`
-    table reference for the absolute sf0.1 parquet path so DuckDB
-    bypasses the driver's sf0.01 views and both engines see
-    identical input (the CCNET_BUCKETS_SF01_SQL pattern,
-    generalized). The reference count is asserted so a future SQL
-    edit cannot silently leave part of the oracle reading the wrong
-    SF. str.replace never rescans replaced text, so the
-    'documents.parquet' inside the replacement is safe."""
-    assert sql.count("documents") == n_refs, (sql.count("documents"), n_refs)
-    return sql.replace(
-        "documents",
-        "read_parquet('/root/testdata/sf0.1/documents.parquet')",
-    )
 
 
 def dsir_resample_docs_sf01(spark, sf_dir):

@@ -105,6 +105,11 @@ def bpe_train(
     merge fold, all on the vocabulary-bounded type frame."""
     types = (
         df.select(F.explode(tokens_col(text_col)).alias("w"))
+        # empty/whitespace-only documents tokenize to [''] — drop the
+        # empty word type: a merge has no meaning there, and Spark's
+        # split('', '') -> [''] vs an oracle's char-extract -> []
+        # would otherwise let it learn a bogus ('', '</w>') merge
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(

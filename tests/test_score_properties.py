@@ -5,7 +5,7 @@ example-based tests pin exact values; these pin the algebra."""
 
 import math
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 
 def _spark():
@@ -308,16 +308,28 @@ def test_brute_force_topk_matches_naive(vecs, k):
                 assert abs(scores[got[(q, rank)]] - scores[nid]) < 1e-9
 
 
+_bpe_doc = st.one_of(
+    _doc,
+    st.sampled_from(["", "   ", " \t\n "]),  # empty/ws-only docs:
+    # Spark split('', '') -> [''] vs regexp char-extract -> [] is the
+    # divergence the empty-word-type filter exists for
+)
+_bpe_corpus = st.lists(_bpe_doc, min_size=1, max_size=8)
+
+
 @settings(max_examples=8, deadline=None)
-@given(texts=_corpus)
+@given(texts=_bpe_corpus)
+@example(texts=["", "", "", "a b", "a b"])  # the reproduced pre-fix
+# divergence: Spark learned (1, '', '</w>', 3) from the empty types
 def test_bpe_train_matches_duckdb_oracle(texts):
     """Cross-engine property: operators/bpe.bpe_train and the
     generated DuckDB oracle (entry _bpe_vocab_sql — the unrolled
     MATERIALIZED-CTE twin the driver gate runs) must agree on ANY
     corpus, not just the fixture tables: same merges, same order,
-    same weighted counts, including count-tie lexicographic breaks
-    and the n>=2 early stop (hypothesis corpora are small enough to
-    hit both constantly)."""
+    same weighted counts, including count-tie lexicographic breaks,
+    the n>=2 early stop, and empty/whitespace-only documents
+    (hypothesis corpora are small enough to hit all three
+    constantly)."""
     import duckdb
     import pandas as pd
 

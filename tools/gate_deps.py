@@ -74,9 +74,20 @@ def round_boundaries() -> dict[int, str]:
     for fn in os.listdir(REPO):
         m = re.match(r"CORRECTNESS_r(\d+)\.json$", fn)
         if m and int(m.group(1)) not in out:
-            sha = _git("log", "-1", "--format=%H", "--", fn).strip()
-            if sha:
-                out[int(m.group(1))] = sha
+            # OLDEST commit touching the file = the commit that added
+            # it, i.e. the code state the driver actually checked; the
+            # newest touch would let a later artifact-only edit
+            # silently move the boundary forward and mark genuinely
+            # changed gates fresh. A file present but never committed
+            # (mid-round run) anchors at HEAD — the check ran against
+            # roughly the current tree, and leaving the round
+            # boundary-less would flag every one of its gates
+            # changed=True 'entry-closure'.
+            log = _git("log", "--reverse", "--format=%H", "--", fn)
+            sha = log.splitlines()[0].strip() if log.strip() else (
+                _git("rev-parse", "HEAD").strip()
+            )
+            out[int(m.group(1))] = sha
     return out
 
 

@@ -3435,7 +3435,36 @@ def _bpe_vocab_sql(n_merges: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
+def _bpe_symbols_sql(n_merges: int, top_k: int) -> str:
+    """Oracle twin of operators/bpe.bpe_symbol_stats: reuse the
+    training-stage CTEs of ``_bpe_vocab_sql`` (everything up to the
+    final union) and aggregate the LAST stage's symbol frame into
+    the weighted vocabulary-coverage top-k instead of emitting the
+    merge table."""
+    base = _bpe_vocab_sql(n_merges)
+    stages = base[: base.rindex("\n")]  # drop the merge-table union
+    return (
+        f"{stages}\n"
+        "SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM ("
+        f"SELECT unnest(syms) AS symbol, cnt FROM s{n_merges})"
+        " GROUP BY symbol"
+        f" ORDER BY n_tokens DESC, symbol LIMIT {top_k}"
+    )
+
+
 BPE_VOCAB_SQL = _bpe_vocab_sql(8)
+BPE_SYMBOLS_SQL = _bpe_symbols_sql(8, 20)
+
+
+def bpe_symbols_docs(spark, sf_dir):
+    """Tokenizer vocabulary coverage (operators/bpe.py
+    bpe_symbol_stats): the corpus re-segmented by the 8 learned
+    merges, top-20 vocabulary symbols by absorbed token count — the
+    coverage report that tells you whether k merges earn their vocab
+    slots. Shares the training loop (and its scale shape) with
+    bpe_vocab_docs."""
+    d = _t(spark, sf_dir, "documents")
+    return BP.bpe_symbol_stats(d, n_merges=8, top_k=20)
 
 
 def text_token_freq(spark, sf_dir):
@@ -5975,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint_docs": text_fingerprint_docs,
         "text_bpe_token_stats": text_bpe_token_stats,
         "bpe_vocab_docs": bpe_vocab_docs,
+        "bpe_symbols_docs": bpe_symbols_docs,
         "text_token_freq": text_token_freq,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
@@ -6195,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint_docs": TEXT_FINGERPRINT_SQL,
         "text_bpe_token_stats": BPE_TOKEN_SQL,
         "bpe_vocab_docs": BPE_VOCAB_SQL,
+        "bpe_symbols_docs": BPE_SYMBOLS_SQL,
         "text_token_freq": TOKEN_FREQ_SQL,
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,

@@ -88,15 +88,15 @@ def _merge_expr(left: str, right: str):
     )
 
 
-def bpe_train(
+def _train(
     df: DataFrame,
-    n_merges: int = 10,
-    text_col: str = "text",
-    end_of_word: str = "</w>",
-) -> list[tuple[int, str, str, int]]:
-    """Learn ``n_merges`` BPE merges from the corpus. Returns the
-    ordered merge table ``[(step, left, right, weighted_count)]`` —
-    the artifact a tokenizer ships. The word-type frame carries an
+    n_merges: int,
+    text_col: str,
+    end_of_word: str,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared training loop: returns (merge table, the final
+    segmented word-type frame) — bpe_train ships the former,
+    bpe_symbol_stats aggregates the latter. The word-type frame carries an
     ``end_of_word`` sentinel symbol (standard: prevents merges
     across word boundaries from absorbing prefixes of other words).
 
@@ -150,7 +150,42 @@ def bpe_train(
         current = current.select(
             _merge_expr(l, r).alias("syms"), "cnt"
         ).localCheckpoint(eager=False)
-    return merges
+    return merges, current
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    ordered merge table ``[(step, left, right, weighted_count)]``."""
+    return _train(df, n_merges, text_col, end_of_word)[0]
+
+
+def bpe_symbol_stats(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Tokenizer vocabulary COVERAGE after training: segment the
+    corpus word types with the k learned merges and count how many
+    corpus tokens each vocabulary symbol absorbs — the coverage
+    report shipped next to the merge table (it is how you pick k and
+    spot wasted vocab slots). Top-``top_k`` symbols by weighted
+    count, count-desc then symbol. Same scale shape as training:
+    every aggregate after the first corpus pass runs on the
+    vocabulary-bounded type frame."""
+    _merges, final = _train(df, n_merges, text_col, "</w>")
+    return (
+        final.select(F.explode("syms").alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), "symbol")
+        .limit(top_k)
+    )
 
 
 def bpe_merge_table(

@@ -192,10 +192,12 @@ HEADLINE = [
     "span_clean_docs",
     # round-8 additions (the three *_sf01 twins are excluded like
     # ccnet_buckets_docs_sf01: each IS an already-benched plan pinned
-    # to sf0.1). bpe_vocab_docs is the 8-iteration tokenizer
-    # training loop — k+1 sequential jobs by design (each merge is
-    # data-dependent), so its wall time is iteration fixed cost at
-    # toy SF, not data volume.
+    # to sf0.1; bpe_symbols_docs is excluded because it re-runs the
+    # same training loop bpe_vocab_docs already times, plus one
+    # vocab-bounded aggregate). bpe_vocab_docs is the 8-iteration
+    # tokenizer training loop — k+1 sequential jobs by design (each
+    # merge is data-dependent), so its wall time is iteration fixed
+    # cost at toy SF, not data volume.
     "bpe_vocab_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)

@@ -122,3 +122,31 @@ def test_plan_allowlist_is_pinned():
         "stream_incremental_dedup_docs": 3,
         "triplet_mining_vecs": 2,
     }
+
+
+def test_arrow_stage_count_is_execution_stable(spark):
+    """Self-test of the auditor's counting primitive: one Arrow node
+    counts once, separate evaluations count separately, and — the
+    regression that motivated final-plan-only counting — the count
+    must NOT change after the frame executes (AQE then prints Final
+    + Initial sections and raw-text counting doubles every node)."""
+    import pandas as pd
+    from pyspark.sql.functions import col, pandas_udf
+
+    from plan_audit import arrow_stage_count
+
+    @pandas_udf("double")
+    def _double(x: pd.Series) -> pd.Series:
+        return x * 2.0
+
+    base = spark.range(100)
+    assert arrow_stage_count(base) == 0
+    one = base.select(_double("id").alias("a"))
+    assert arrow_stage_count(one) == 1
+    # a JVM stage between the two evals prevents fusion into one node
+    two = one.filter(col("a") > 1).select(_double("a").alias("b"))
+    assert arrow_stage_count(two) == 2
+    executed = base.select(_double("id").alias("a"))
+    n_before = arrow_stage_count(executed)
+    executed.count()
+    assert arrow_stage_count(executed) == n_before == 1

@@ -3375,26 +3375,11 @@ def bpe_vocab_docs(spark, sf_dir):
     return BP.bpe_merge_table(d, n_merges=8)
 
 
-def _bpe_vocab_sql(n_merges: int) -> str:
-    """Unrolled DuckDB twin of operators/bpe.bpe_train. SQL has no
-    data-dependent loop, so the k merge iterations are k GENERATED
-    CTE stages (pure SQL once rendered; k is fixed). Word encoding:
-    symbols joined on a \\x1f\\x1f separator with a single \\x1f at
-    each end. One ``replace()`` per stage then reproduces the JVM
-    fold's greedy left-to-right non-overlapping merge exactly —
-    ``replace`` resumes scanning after each substitution, so a just-
-    merged token cannot act as the LEFT side of another merge within
-    the same pass, which is precisely the fold's pending-reset
-    behavior. When a stage's best pair falls under the n>=2 floor
-    the coalesce swaps in \\x1e (absent from the corpus) as a no-op
-    pattern and the stage's b-CTE is empty — the early-stop twin.
-    Every CTE is MATERIALIZED: each s-stage references its
-    predecessor three times (directly + twice through the b-stage
-    scalar subqueries), so inlined CTEs would re-evaluate the chain
-    3^k times — measured as a >2-minute hang at k=8 vs 0.08 s
-    materialized. Requires the corpus to contain no \\x1f/\\x1e
-    bytes (true of the test corpora; asserted in
-    tests/test_operators.py)."""
+def _bpe_stage_ctes(n_merges: int) -> str:
+    """The WITH clause shared by _bpe_vocab_sql and _bpe_symbols_sql:
+    tokenize -> word-type symbol frame (s0) -> k unrolled merge
+    stages (p{i}/b{i}/s{i}). See _bpe_vocab_sql for the semantics
+    commentary."""
     us, rs = "chr(31)", "chr(30)"
     sep2 = f"{us} || {us}"
     ctes = [
@@ -3428,11 +3413,34 @@ def _bpe_vocab_sql(n_merges: int) -> str:
             f" coalesce({pat}, {rs}), coalesce({rep}, {rs})), chr(31)),"
             f" {sep2}) AS syms, cnt FROM s{p})"
         )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _bpe_vocab_sql(n_merges: int) -> str:
+    """Unrolled DuckDB twin of operators/bpe.bpe_train. SQL has no
+    data-dependent loop, so the k merge iterations are k GENERATED
+    CTE stages (pure SQL once rendered; k is fixed). Word encoding:
+    symbols joined on a \\x1f\\x1f separator with a single \\x1f at
+    each end. One ``replace()`` per stage then reproduces the JVM
+    fold's greedy left-to-right non-overlapping merge exactly —
+    ``replace`` resumes scanning after each substitution, so a just-
+    merged token cannot act as the LEFT side of another merge within
+    the same pass, which is precisely the fold's pending-reset
+    behavior. When a stage's best pair falls under the n>=2 floor
+    the coalesce swaps in \\x1e (absent from the corpus) as a no-op
+    pattern and the stage's b-CTE is empty — the early-stop twin.
+    Every CTE is MATERIALIZED: each s-stage references its
+    predecessor three times (directly + twice through the b-stage
+    scalar subqueries), so inlined CTEs would re-evaluate the chain
+    3^k times — measured as a >2-minute hang at k=8 vs 0.08 s
+    materialized. Requires the corpus to contain no \\x1f/\\x1e
+    bytes (true of the test corpora; asserted in
+    tests/test_operators.py)."""
     union = " UNION ALL ".join(
         f'SELECT step, l AS "left", r AS "right", n FROM b{i}'
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return f"{_bpe_stage_ctes(n_merges)}\n{union}"
 
 
 def _bpe_symbols_sql(n_merges: int, top_k: int) -> str:
@@ -3441,10 +3449,8 @@ def _bpe_symbols_sql(n_merges: int, top_k: int) -> str:
     final union) and aggregate the LAST stage's symbol frame into
     the weighted vocabulary-coverage top-k instead of emitting the
     merge table."""
-    base = _bpe_vocab_sql(n_merges)
-    stages = base[: base.rindex("\n")]  # drop the merge-table union
     return (
-        f"{stages}\n"
+        f"{_bpe_stage_ctes(n_merges)}\n"
         "SELECT symbol, CAST(sum(cnt) AS BIGINT) AS n_tokens FROM ("
         f"SELECT unnest(syms) AS symbol, cnt FROM s{n_merges})"
         " GROUP BY symbol"

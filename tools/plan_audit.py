@@ -40,9 +40,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 # Arrow stage without failing CI — and indeed three set entries
 # turned out to carry ZERO Arrow stages: dedup_ngram_pairs,
 # events_sessionize, and text_bpe_token_stats compile fully JVM-side
-# and are dropped from the map). A node here is one numbered
-# MapInPandas / ArrowEvalPython / FlatMapGroupsInPandas* entry in
-# explain(mode="formatted"); one ArrowEvalPython node may evaluate
+# and are dropped from the map). A node is one distinct MapInPandas /
+# ArrowEvalPython / FlatMapGroupsInPandas* line in the final physical
+# plan (see arrow_stage_count); one ArrowEvalPython node may evaluate
 # several pandas UDFs. Counts verified identical at sf0.001 and
 # sf0.01 (plan-structural, not data-dependent). Any query absent
 # from the map is held to zero.

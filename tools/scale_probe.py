@@ -29,6 +29,9 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    bpe as B,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     decontam as DC,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -138,6 +141,9 @@ def main() -> None:
             D.minhash_lsh_dedup(d, bands=32, threshold=0.5)
         ).count(),
         "winnow_fingerprints": lambda d: X.winnow_fingerprints(d).count(),
+        # tokenizer training: 8 data-dependent merge iterations on the
+        # word-TYPE frame — growth tracks vocabulary, not corpus
+        "bpe_train": lambda d: len(B.bpe_train(d, n_merges=8)),
         "brute_force_knn": lambda d: S.brute_force_topk(
             d, query_ids=list(range(10)), k=5
         ).count(),
@@ -261,6 +267,7 @@ def main() -> None:
         "minhash_lsh_pairs": (docs, ["doc_id"]),
         "dedup_clusters": (docs, ["doc_id"]),
         "winnow_fingerprints": (docs, ["doc_id"]),
+        "bpe_train": (docs, ["doc_id"]),
         "brute_force_knn": (emb, ["vec_id"]),
         "decontam_overlap": (docs, ["doc_id"]),
         "seq_packing": (docs, ["doc_id"]),

@@ -3458,8 +3458,29 @@ def _bpe_symbols_sql(n_merges: int, top_k: int) -> str:
     )
 
 
+def _bpe_doc_tokens_sql(n_merges: int) -> str:
+    """Oracle twin of operators/bpe.bpe_document_tokens: the shared
+    training-stage CTEs, a word -> n_symbols map recovered from the
+    last stage (concat(syms) minus the sentinel reconstructs the
+    original word — merges only concatenate adjacent symbols), and
+    one join from the exploded corpus words to that map."""
+    return (
+        f"{_bpe_stage_ctes(n_merges)},\n"
+        f"seg AS MATERIALIZED (SELECT"
+        f" left(array_to_string(syms, ''),"
+        f" length(array_to_string(syms, '')) - 4) AS w,"
+        f" len(syms) AS n_syms FROM s{n_merges}),\n"
+        f"cw AS (SELECT doc_id, w FROM (SELECT doc_id,"
+        f" unnest({_SQL_TOKENS}) AS w FROM documents) WHERE w <> '')\n"
+        "SELECT doc_id, COUNT(*) AS n_words,"
+        " CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens"
+        " FROM cw JOIN seg USING (w) GROUP BY doc_id"
+    )
+
+
 BPE_VOCAB_SQL = _bpe_vocab_sql(8)
 BPE_SYMBOLS_SQL = _bpe_symbols_sql(8, 20)
+BPE_DOC_TOKENS_SQL = _bpe_doc_tokens_sql(8)
 
 
 def bpe_symbols_docs(spark, sf_dir):
@@ -3471,6 +3492,17 @@ def bpe_symbols_docs(spark, sf_dir):
     bpe_vocab_docs."""
     d = _t(spark, sf_dir, "documents")
     return BP.bpe_symbol_stats(d, n_merges=8, top_k=20)
+
+
+def bpe_doc_tokens_docs(spark, sf_dir):
+    """Per-document sequence-length profile under the learned BPE
+    vocabulary (operators/bpe.py bpe_document_tokens): word and
+    token counts after segmenting with the 8 trained merges — what a
+    packing/curriculum stage consumes, computed with the real
+    tokenizer instead of a whitespace proxy. One broadcast join from
+    the corpus words to the model-sized segmentation map."""
+    d = _t(spark, sf_dir, "documents")
+    return BP.bpe_document_tokens(d, n_merges=8)
 
 
 def text_token_freq(spark, sf_dir):
@@ -6011,6 +6043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_token_stats": text_bpe_token_stats,
         "bpe_vocab_docs": bpe_vocab_docs,
         "bpe_symbols_docs": bpe_symbols_docs,
+        "bpe_doc_tokens_docs": bpe_doc_tokens_docs,
         "text_token_freq": text_token_freq,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
@@ -6232,6 +6265,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_token_stats": BPE_TOKEN_SQL,
         "bpe_vocab_docs": BPE_VOCAB_SQL,
         "bpe_symbols_docs": BPE_SYMBOLS_SQL,
+        "bpe_doc_tokens_docs": BPE_DOC_TOKENS_SQL,
         "text_token_freq": TOKEN_FREQ_SQL,
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,

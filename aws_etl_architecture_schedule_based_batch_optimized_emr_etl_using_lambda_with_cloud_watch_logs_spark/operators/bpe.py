@@ -188,6 +188,49 @@ def bpe_symbol_stats(
     )
 
 
+def bpe_document_tokens(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Corpus tokenization under the learned vocabulary: per-document
+    word and BPE-token counts after segmenting with the k learned
+    merges — the sequence-length profile a packing/curriculum stage
+    consumes, computed under the REAL tokenizer rather than a
+    whitespace proxy. Token counts include the end-of-word sentinel
+    when it survives unmerged (documented convention, identical on
+    both engines).
+
+    Scale shape: segmentation happens once on the word-TYPE frame;
+    the original word is recovered as concat(syms) minus the
+    sentinel (merges only concatenate adjacent symbols, so the
+    concatenation is invariant), giving a model-sized word ->
+    n_symbols map. The corpus pass is then ONE broadcast hash join
+    from the exploded words to that map — no per-document fold, no
+    shuffle of the corpus."""
+    _merges, final = _train(df, n_merges, text_col, end_of_word)
+    seg = final.select(
+        F.expr(
+            f"substring(concat_ws('', syms), 1,"
+            f" length(concat_ws('', syms)) - {len(end_of_word)})"
+        ).alias("w"),
+        F.size("syms").alias("n_syms"),
+    )
+    words = df.select(
+        doc_id_col, F.explode(tokens_col(text_col)).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        words.join(F.broadcast(seg), "w")
+        .groupBy(doc_id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_merge_table(
     df: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> DataFrame:

@@ -3361,3 +3361,25 @@ def test_triplet_mining_singleton_label_dropped(spark):
     )
     out = S.triplet_mining(emb, query_ids=[0, 1]).collect()
     assert {r["anchor_id"] for r in out} == {1}  # anchor 0 dropped
+
+
+def test_bpe_document_tokens_hand_corpus(spark):
+    """bpe_document_tokens on a corpus whose segmentation is fully
+    determined: after 2 merges on 'low low lower', types segment to
+    [low</w>] and [low, e, r, </w>] — doc token counts follow."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        bpe as B,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "low low lower"), (1, "low"), (2, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in B.bpe_document_tokens(d, n_merges=2).collect()
+    }
+    # merges learned: (l, o) n=3, then (lo, w) n=3 -> symbol 'low';
+    # 'low' word = [low, </w>] (2 tokens), 'lower' = [low, e, r, </w>]
+    # (4 tokens); the whitespace-only doc has no words -> no row
+    assert rows == {0: (3, 2 + 2 + 4), 1: (1, 2)}

@@ -5632,6 +5632,51 @@ GROUP BY label, dim
 """
 
 
+def embed_silhouette_vecs(spark, sf_dir):
+    """Label-coherence audit (operators/similarity.py
+    label_silhouette): simplified silhouette of every vector against
+    the per-label centroids (cosine distance), aggregated per label —
+    the cluster-quality check run before trusting labels as training
+    targets or SemDeDup cells. Centroids fold into ONE broadcast row;
+    the score pass is a per-row array fold (no vector shuffle, no
+    n×k intermediate)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return S.label_silhouette(e)
+
+
+EMBED_SILHOUETTE_SQL = """
+WITH pos AS (
+  SELECT label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS cvec
+  FROM (SELECT label, dim, AVG(v) AS cv FROM pos GROUP BY label, dim)
+  GROUP BY label
+),
+per_vec AS (
+  SELECT vec_id, label,
+         MIN(CASE WHEN c_label = label THEN d END) AS a,
+         MIN(CASE WHEN c_label <> label THEN d END) AS b
+  FROM (SELECT e.vec_id, e.label, c.c_label,
+               1.0 - list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(c.cvec, c.cvec))) AS d
+        FROM embeddings e CROSS JOIN cent c)
+  GROUP BY vec_id, label
+)
+SELECT label, COUNT(*) AS n_vectors,
+       ROUND(AVG(CASE WHEN greatest(a, b) > 0
+                      THEN (b - a) / greatest(a, b) ELSE 0 END), 6)
+         AS mean_silhouette,
+       CAST(SUM(CASE WHEN b < a THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misassigned
+FROM per_vec GROUP BY label
+"""
+
+
 def curation_pipeline_docs(spark, sf_dir):
     """End-to-end training-data curation as ONE Catalyst plan:
     quality gate (token count + alpha ratio) → exact near-dup
@@ -6048,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
         "embed_centroids": embed_centroids,
+        "embed_silhouette_vecs": embed_silhouette_vecs,
         "topk_orders": topk_orders,
         "setops_customers": setops_customers,
         "unpivot_lineitem_measures": unpivot_lineitem_measures,
@@ -6271,6 +6317,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_neardup_exact": SIM_NEARDUP_SQL,
         "embed_label_stats": EMBED_STATS_SQL,
         "embed_centroids": EMBED_CENTROIDS_SQL,
+        "embed_silhouette_vecs": EMBED_SILHOUETTE_SQL,
         "sim_topk_lsh": ANN_RECALL_SQL,
         "sim_topk_ivf": ANN_RECALL_SQL,
         "embed_label_spectrum": EMBED_SPECTRUM_SQL,

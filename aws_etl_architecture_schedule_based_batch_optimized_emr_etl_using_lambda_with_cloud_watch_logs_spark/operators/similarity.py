@@ -726,6 +726,89 @@ def label_spectrum(
     )
 
 
+def label_silhouette(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-coherence audit: simplified silhouette of each vector
+    against the per-label centroids (cosine distance), aggregated per
+    label — the cluster-quality check run before trusting labels as
+    training targets or SemDeDup cells.
+
+    Per vector: ``a`` = cosine distance to its OWN label centroid,
+    ``b`` = min distance to any OTHER label centroid, silhouette =
+    ``(b - a) / max(a, b)`` (0 when both are 0). ``n_misassigned``
+    counts vectors whose nearest centroid is a different label.
+
+    Scale shape: the centroid pass is the posexplode → (label, dim)
+    hash aggregate (k·dim result rows, map-side combined), folded
+    into ONE broadcast row holding all k centroids; the score pass is
+    then a per-row fold over that array — no shuffle of the vectors,
+    no n×k intermediate, no pairwise blowup. All expression-level
+    (zip_with/aggregate/array HOFs), no Python workers."""
+    cents = (
+        embeddings.select(
+            label_col,
+            F.posexplode(
+                F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+            ).alias("dim", "v"),
+        )
+        .groupBy(label_col, "dim")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .agg(
+            F.collect_list(
+                F.struct(F.col(label_col).alias("c_label"), "cvec")
+            ).alias("cents")
+        )
+    )
+    dvec = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+    scored = embeddings.select(
+        id_col, label_col, dvec.alias("dv")
+    ).crossJoin(F.broadcast(cents))
+    dists = F.transform(
+        "cents",
+        lambda c: F.struct(
+            c["c_label"].alias("c_label"),
+            (F.lit(1.0) - cosine_col(F.col("dv"), c["cvec"])).alias("d"),
+        ),
+    )
+    own = F.col(label_col)
+    per_vec = scored.select(
+        id_col,
+        label_col,
+        F.array_min(
+            F.transform(
+                F.filter(dists, lambda c: c["c_label"] == own),
+                lambda c: c["d"],
+            )
+        ).alias("a"),
+        F.array_min(
+            F.transform(
+                F.filter(dists, lambda c: c["c_label"] != own),
+                lambda c: c["d"],
+            )
+        ).alias("b"),
+    )
+    sil = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(0.0)
+    return per_vec.groupBy(label_col).agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(sil), 6).alias("mean_silhouette"),
+        F.sum((F.col("b") < F.col("a")).cast("long")).alias("n_misassigned"),
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.6,

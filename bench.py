@@ -200,6 +200,8 @@ HEADLINE = [
     # merge is data-dependent), so its wall time is iteration fixed
     # cost at toy SF, not data volume.
     "bpe_vocab_docs",
+    # linear centroid fold + per-row array fold: a real headline query
+    "embed_silhouette_vecs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

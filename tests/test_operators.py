@@ -3383,3 +3383,43 @@ def test_bpe_document_tokens_hand_corpus(spark):
     # 'low' word = [low, </w>] (2 tokens), 'lower' = [low, e, r, </w>]
     # (4 tokens); the whitespace-only doc has no words -> no row
     assert rows == {0: (3, 2 + 2 + 4), 1: (1, 2)}
+
+
+def test_label_silhouette_separated_and_traitor(spark):
+    """label_silhouette on a hand corpus: two orthogonal label
+    families are perfectly coherent (positive silhouette, zero
+    misassigned); planting one label-0 vector inside family 1 makes
+    it — and only it — misassigned."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.1], 0),
+        (2, [0.9, 0.05], 0),
+        (3, [0.0, 1.0], 1),
+        (4, [0.1, 1.0], 1),
+        (5, [0.05, 0.9], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        r["label"]: r for r in S.label_silhouette(emb).collect()
+    }
+    assert out[0]["n_vectors"] == 3 and out[1]["n_vectors"] == 3
+    assert out[0]["n_misassigned"] == 0 and out[1]["n_misassigned"] == 0
+    assert out[0]["mean_silhouette"] > 0.5
+    assert out[1]["mean_silhouette"] > 0.5
+
+    traitor = spark.createDataFrame(
+        rows + [(6, [0.0, 1.1], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out2 = {
+        r["label"]: r for r in S.label_silhouette(traitor).collect()
+    }
+    assert out2[0]["n_misassigned"] == 1  # only the planted vector
+    assert out2[1]["n_misassigned"] == 0
+    assert out2[0]["mean_silhouette"] < out[0]["mean_silhouette"]

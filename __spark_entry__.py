@@ -1342,6 +1342,53 @@ FROM grouped GROUP BY user_id, session_no
 """
 
 
+def events_funnel_users(spark, sf_dir):
+    """Ordered funnel (operators/temporal.py funnel): users who did
+    view → click → purchase with each step strictly after the
+    previous step's first qualifying occurrence and within 24 h of it
+    (exact µs arithmetic). Chained user-keyed hash aggregates over
+    monotonically shrinking survivor frames; k-row summary windowed
+    in-plan."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        funnel,
+    )
+
+    e = _events(spark, sf_dir)
+    return funnel(
+        e, ["view", "click", "purchase"], max_gap_s=86_400
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s0 AS MATERIALIZED (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+    AND epoch_us(CAST(e.ts AS TIMESTAMP))
+        <= epoch_us(CAST(s0.t AS TIMESTAMP)) + 86400000000
+  GROUP BY e.user_id),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    AND epoch_us(CAST(e.ts AS TIMESTAMP))
+        <= epoch_us(CAST(s1.t AS TIMESTAMP)) + 86400000000
+  GROUP BY e.user_id),
+counts AS (
+  SELECT 0 AS step_idx, 'view' AS step, COUNT(*) AS n_users FROM s0
+  UNION ALL SELECT 1, 'click', COUNT(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', COUNT(*) FROM s2)
+SELECT step_idx, step, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / FIRST_VALUE(n_users) OVER (ORDER BY step_idx), 6)
+         AS conv_overall,
+       ROUND(CAST(n_users AS DOUBLE)
+             / LAG(n_users) OVER (ORDER BY step_idx), 6) AS conv_prev
+FROM counts
+"""
+
+
 def events_asof_join(spark, sf_dir):
     """As-of join (custom temporal operator): each click picks up the
     most recent prior view of the same user. One shuffle on user_id
@@ -6105,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_events": json_extract_events,
         "events_tumbling_window": events_tumbling_window,
         "events_asof_join": events_asof_join,
+        "events_funnel_users": events_funnel_users,
         "events_rollup_day": events_rollup_day,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
@@ -6278,6 +6326,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_mix_docs": TOKEN_BUDGET_SQL,
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
+        "events_funnel_users": EVENTS_FUNNEL_SQL,
         "events_range_join": RANGE_JOIN_SQL,
         "events_rollup_day": ROLLUP_DAY_SQL,
         "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,

@@ -198,3 +198,65 @@ def asof_join(
             ],
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each step k, the users who
+    performed steps[0..k] in strict timestamp order (each step
+    strictly after the previous step's FIRST qualifying occurrence —
+    the standard first-touch funnel). Returns one row per step with
+    the surviving-user count, conversion vs the first step, and
+    conversion vs the previous step (NULL on the first row). With
+    ``max_gap_s`` each step must also land within that many seconds
+    of the previous step's chosen occurrence (exact µs integer
+    arithmetic, so both engines agree bit-for-bit).
+
+    Scale shape: step k is a hash aggregate of the type-k slice
+    joined to the (user, t) survivors of step k-1 — every shuffle is
+    keyed on the user column, so Catalyst/AQE reuses one exchange
+    layout down the chain; survivor frames shrink monotonically. The
+    k-row summary is unioned and windowed in-plan (no collect)."""
+    survivors = None
+    counts = None
+    for idx, step in enumerate(steps):
+        s = events.filter(F.col(type_col) == step).select(user_col, ts_col)
+        if survivors is None:
+            survivors = s.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        else:
+            after_prev = F.col(ts_col) > F.col("_pt")
+            if max_gap_s is not None:
+                after_prev = after_prev & (
+                    F.unix_micros(ts_col)
+                    <= F.unix_micros("_pt") + max_gap_s * 1_000_000
+                )
+            survivors = (
+                s.join(
+                    survivors.select(user_col, F.col("_t").alias("_pt")),
+                    user_col,
+                )
+                .filter(after_prev)
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        row = survivors.agg(F.count("*").alias("n_users")).select(
+            F.lit(idx).alias("step_idx"),
+            F.lit(step).alias("step"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    w = Window.orderBy("step_idx")
+    n = F.col("n_users").cast("double")
+    return counts.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(n / F.first("n_users").over(w), 6).alias("conv_overall"),
+        F.round(n / F.lag("n_users").over(w), 6).alias("conv_prev"),
+    )

@@ -202,6 +202,8 @@ HEADLINE = [
     "bpe_vocab_docs",
     # linear centroid fold + per-row array fold: a real headline query
     "embed_silhouette_vecs",
+    # chained user-keyed aggregates over shrinking survivor frames
+    "events_funnel_users",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

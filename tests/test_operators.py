@@ -3423,3 +3423,52 @@ def test_label_silhouette_separated_and_traitor(spark):
     assert out2[0]["n_misassigned"] == 1  # only the planted vector
     assert out2[1]["n_misassigned"] == 0
     assert out2[0]["mean_silhouette"] < out[0]["mean_silhouette"]
+
+
+def test_funnel_order_and_gap_semantics(spark):
+    """funnel pins: (a) steps must occur in strict order AFTER the
+    previous step's FIRST occurrence — a purchase before the first
+    view does not count; (b) max_gap_s drops conversions that land
+    outside the horizon; (c) conv columns are vs-first and vs-prev."""
+    from datetime import datetime
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        funnel,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, u, ty, mins):
+        return (i, u, ty, datetime(2024, 1, 1, 12, mins // 60, mins % 60))
+
+    rows = [
+        # u1: view@0 -> click@+2m -> purchase@+4m (full convert)
+        (1, 1, "view", t0),
+        (2, 1, "click", datetime(2024, 1, 1, 12, 2)),
+        (3, 1, "purchase", datetime(2024, 1, 1, 12, 4)),
+        # u2: purchase BEFORE first view, click after -> stops at click
+        (4, 2, "purchase", datetime(2024, 1, 1, 11, 0)),
+        (5, 2, "view", t0),
+        (6, 2, "click", datetime(2024, 1, 1, 12, 30)),
+        # u3: view only
+        (7, 3, "view", t0),
+        # u4: view -> click outside the 1h gap -> stops at view
+        (8, 4, "view", t0),
+        (9, 4, "click", datetime(2024, 1, 1, 14, 0)),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["step"]: r
+        for r in funnel(
+            e, ["view", "click", "purchase"], max_gap_s=3600
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 4
+    assert out["click"]["n_users"] == 2  # u1, u2
+    assert out["purchase"]["n_users"] == 1  # u1
+    assert out["view"]["conv_overall"] == 1.0
+    assert out["view"]["conv_prev"] is None
+    assert out["click"]["conv_overall"] == 0.5
+    assert out["purchase"]["conv_prev"] == 0.5

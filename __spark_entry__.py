@@ -3505,12 +3505,13 @@ def _bpe_symbols_sql(n_merges: int, top_k: int) -> str:
     )
 
 
-def _bpe_doc_tokens_sql(n_merges: int) -> str:
-    """Oracle twin of operators/bpe.bpe_document_tokens: the shared
-    training-stage CTEs, a word -> n_symbols map recovered from the
-    last stage (concat(syms) minus the sentinel reconstructs the
-    original word — merges only concatenate adjacent symbols), and
-    one join from the exploded corpus words to that map."""
+def _bpe_doc_tokens_ctes(n_merges: int) -> str:
+    """Shared CTE chain ending in ``doc_tokens`` (doc_id, n_words,
+    n_bpe_tokens) — the training-stage CTEs, a word -> n_symbols map
+    recovered from the last stage (concat(syms) minus the sentinel
+    reconstructs the original word — merges only concatenate adjacent
+    symbols), and one join from the exploded corpus words to that
+    map. Used by _bpe_doc_tokens_sql and _bpe_curriculum_sql."""
     return (
         f"{_bpe_stage_ctes(n_merges)},\n"
         f"seg AS MATERIALIZED (SELECT"
@@ -3518,16 +3519,48 @@ def _bpe_doc_tokens_sql(n_merges: int) -> str:
         f" length(array_to_string(syms, '')) - 4) AS w,"
         f" len(syms) AS n_syms FROM s{n_merges}),\n"
         f"cw AS (SELECT doc_id, w FROM (SELECT doc_id,"
-        f" unnest({_SQL_TOKENS}) AS w FROM documents) WHERE w <> '')\n"
-        "SELECT doc_id, COUNT(*) AS n_words,"
+        f" unnest({_SQL_TOKENS}) AS w FROM documents) WHERE w <> ''),\n"
+        "doc_tokens AS MATERIALIZED (SELECT doc_id,"
+        " COUNT(*) AS n_words,"
         " CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens"
-        " FROM cw JOIN seg USING (w) GROUP BY doc_id"
+        " FROM cw JOIN seg USING (w) GROUP BY doc_id)"
+    )
+
+
+def _bpe_doc_tokens_sql(n_merges: int) -> str:
+    """Oracle twin of operators/bpe.bpe_document_tokens."""
+    return (
+        f"{_bpe_doc_tokens_ctes(n_merges)}\n"
+        "SELECT doc_id, n_words, n_bpe_tokens FROM doc_tokens"
+    )
+
+
+def _bpe_curriculum_sql(n_merges: int, n_stages: int) -> str:
+    """Oracle twin of mixing.curriculum_stages over the BPE
+    sequence-length frame: per-distinct-length histogram, integer
+    cumulative-count stage formula (cum·k − 1) // n, per-stage
+    rollup."""
+    return (
+        f"{_bpe_doc_tokens_ctes(n_merges)},\n"
+        "hist AS (SELECT n_bpe_tokens AS v, COUNT(*) AS c"
+        " FROM doc_tokens GROUP BY 1),\n"
+        "cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum,"
+        " (SELECT SUM(c) FROM hist) AS n FROM hist),\n"
+        f"staged AS (SELECT v,"
+        f" CAST((cum * {n_stages} - 1) // n AS INT) AS stage FROM cum)\n"
+        "SELECT stage, COUNT(*) AS n_docs,"
+        " CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,"
+        " MIN(n_bpe_tokens) AS min_tokens,"
+        " MAX(n_bpe_tokens) AS max_tokens"
+        " FROM doc_tokens JOIN staged ON n_bpe_tokens = v"
+        " GROUP BY stage"
     )
 
 
 BPE_VOCAB_SQL = _bpe_vocab_sql(8)
 BPE_SYMBOLS_SQL = _bpe_symbols_sql(8, 20)
 BPE_DOC_TOKENS_SQL = _bpe_doc_tokens_sql(8)
+BPE_CURRICULUM_SQL = _bpe_curriculum_sql(8, 4)
 
 
 def bpe_symbols_docs(spark, sf_dir):
@@ -3550,6 +3583,28 @@ def bpe_doc_tokens_docs(spark, sf_dir):
     the corpus words to the model-sized segmentation map."""
     d = _t(spark, sf_dir, "documents")
     return BP.bpe_document_tokens(d, n_merges=8)
+
+
+def curriculum_stages_docs(spark, sf_dir):
+    """Sequence-length curriculum staging (mixing.curriculum_stages
+    over operators/bpe.bpe_document_tokens): every document assigned
+    to one of 4 quantile stages of its BPE token count — ties share a
+    stage via the integer histogram-cumulative formula, so the split
+    is deterministic and engine-identical — then rolled up per stage.
+    The histogram window is bounded by distinct lengths, the value →
+    stage map broadcasts back; no per-row window anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    toks = BP.bpe_document_tokens(d, n_merges=8)
+    staged = MX.curriculum_stages(toks, "n_bpe_tokens", n_stages=4)
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_bpe_tokens").alias("min_tokens"),
+            F.max("n_bpe_tokens").alias("max_tokens"),
+        )
+    )
 
 
 def text_token_freq(spark, sf_dir):
@@ -6136,6 +6191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_vocab_docs": bpe_vocab_docs,
         "bpe_symbols_docs": bpe_symbols_docs,
         "bpe_doc_tokens_docs": bpe_doc_tokens_docs,
+        "curriculum_stages_docs": curriculum_stages_docs,
         "text_token_freq": text_token_freq,
         "sim_neardup_exact": sim_neardup_exact,
         "embed_label_stats": embed_label_stats,
@@ -6361,6 +6417,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab_docs": BPE_VOCAB_SQL,
         "bpe_symbols_docs": BPE_SYMBOLS_SQL,
         "bpe_doc_tokens_docs": BPE_DOC_TOKENS_SQL,
+        "curriculum_stages_docs": BPE_CURRICULUM_SQL,
         "text_token_freq": TOKEN_FREQ_SQL,
         "sim_topk_bruteforce": SIM_TOPK_SQL,
         "sim_neardup_exact": SIM_NEARDUP_SQL,

@@ -307,3 +307,46 @@ def token_budget_sample(
             F.col("_before").alias("tokens_before"),
         )
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    value_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length/difficulty curriculum staging: assign every row to one
+    of ``n_stages`` quantile stages of the INTEGER ``value_col``
+    (e.g. BPE sequence length), with all ties — rows sharing a value
+    — landing in the same stage, so the assignment is deterministic
+    regardless of partitioning and identical across engines (unlike
+    NTILE, which splits ties by physical row order).
+
+    stage(v) = (cum(v)·k − 1) div n, where cum(v) counts rows with
+    value ≤ v — pure integer arithmetic, no float boundaries.
+
+    Scale plan (no per-row window): the cumulative count runs over
+    the per-DISTINCT-VALUE histogram, one row per distinct integer
+    value — bounded by the value range, independent of corpus size
+    (same order-statistic-on-integers method as
+    scoring.percentile_filter_by_group and lm.perplexity_buckets).
+    The value → stage map broadcasts back; assignment is a map-side
+    broadcast join."""
+    from pyspark.sql import Window
+
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_c").over(w))
+    total = hist.agg(F.sum("_c").alias("_n"))
+    staged = cum.crossJoin(F.broadcast(total)).select(
+        value_col,
+        F.expr(f"CAST((_cum * {int(n_stages)} - 1) DIV _n AS INT)").alias(
+            "stage"
+        ),
+    )
+    return df.join(F.broadcast(staged), value_col).select(
+        id_col, value_col, "stage"
+    )

@@ -192,9 +192,10 @@ HEADLINE = [
     "span_clean_docs",
     # round-8 additions (the three *_sf01 twins are excluded like
     # ccnet_buckets_docs_sf01: each IS an already-benched plan pinned
-    # to sf0.1; bpe_symbols_docs and bpe_doc_tokens_docs are excluded
-    # because each re-runs the same training loop bpe_vocab_docs
-    # already times, plus one vocab-bounded aggregate / broadcast
+    # to sf0.1; bpe_symbols_docs, bpe_doc_tokens_docs and
+    # curriculum_stages_docs are excluded because each re-runs the
+    # same training loop bpe_vocab_docs already times, plus one
+    # vocab-bounded aggregate / broadcast
     # join). bpe_vocab_docs is the 8-iteration
     # tokenizer training loop — k+1 sequential jobs by design (each
     # merge is data-dependent), so its wall time is iteration fixed

@@ -3472,3 +3472,23 @@ def test_funnel_order_and_gap_semantics(spark):
     assert out["view"]["conv_prev"] is None
     assert out["click"]["conv_overall"] == 0.5
     assert out["purchase"]["conv_prev"] == 0.5
+
+
+def test_curriculum_stages_tie_stable(spark):
+    """curriculum_stages pins: ties share one stage (all four value-1
+    rows land together even though NTILE would split them), and the
+    integer formula (cum*k - 1) div n places each distinct value."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    rows = [(i, v) for i, v in enumerate([1, 1, 1, 1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, v long")
+    out = {r["v"]: r["stage"] for r in MX.curriculum_stages(df, "v", 4).collect()}
+    # cum(1)=4 -> (16-1)//8=1; cum(2)=5 -> 19//8=2; cum(3)=6 -> 2;
+    # cum(4)=7 -> 27//8=3; cum(5)=8 -> 31//8=3
+    assert out == {1: 1, 2: 2, 3: 2, 4: 3, 5: 3}
+    two = {r["v"]: r["stage"] for r in MX.curriculum_stages(
+        spark.createDataFrame([(0, 10), (1, 20), (2, 30), (3, 40)],
+                              "doc_id long, v long"), "v", 2).collect()}
+    assert two == {10: 0, 20: 0, 30: 1, 40: 1}

@@ -1342,6 +1342,42 @@ FROM grouped GROUP BY user_id, session_no
 """
 
 
+def events_cohort_retention(spark, sf_dir):
+    """Daily cohort-retention matrix (operators/temporal.py
+    cohort_retention): users cohorted by first-event day, distinct-
+    active per later day, each cell normalized by its cohort's day-0
+    size. User-keyed co-partitioned aggregates; the retention window
+    runs over the cohort×offset matrix, not the event rows."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    e = _events(spark, sf_dir)
+    return cohort_retention(e, granularity="day")
+
+
+EVENTS_COHORT_SQL = """
+WITH first AS MATERIALIZED (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cw
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS wk
+  FROM events),
+cells AS (
+  SELECT cw AS cohort_start,
+         CAST((wk - cw) AS INT) AS period_offset,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM active JOIN first USING (user_id)
+  GROUP BY 1, 2)
+SELECT cohort_start, period_offset, n_users,
+       ROUND(CAST(n_users AS DOUBLE)
+             / FIRST_VALUE(n_users) OVER
+               (PARTITION BY cohort_start ORDER BY period_offset), 6)
+         AS retention
+FROM cells
+"""
+
+
 def events_funnel_users(spark, sf_dir):
     """Ordered funnel (operators/temporal.py funnel): users who did
     view → click → purchase with each step strictly after the
@@ -6209,6 +6245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_window": events_tumbling_window,
         "events_asof_join": events_asof_join,
         "events_funnel_users": events_funnel_users,
+        "events_cohort_retention": events_cohort_retention,
         "events_rollup_day": events_rollup_day,
         "flatten_restructure": flatten_restructure,
         "partition_specs_orders": partition_specs_orders,
@@ -6383,6 +6420,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": SESSIONIZE_SQL,
         "events_asof_join": ASOF_SQL,
         "events_funnel_users": EVENTS_FUNNEL_SQL,
+        "events_cohort_retention": EVENTS_COHORT_SQL,
         "events_range_join": RANGE_JOIN_SQL,
         "events_rollup_day": ROLLUP_DAY_SQL,
         "agg_approx_distinct": AGG_APPROX_DISTINCT_SQL,

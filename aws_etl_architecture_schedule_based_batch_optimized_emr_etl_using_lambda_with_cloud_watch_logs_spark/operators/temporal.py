@@ -260,3 +260,55 @@ def funnel(
         F.round(n / F.first("n_users").over(w), 6).alias("conv_overall"),
         F.round(n / F.lag("n_users").over(w), 6).alias("conv_prev"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort-retention matrix: users grouped by the week (or day) of
+    their first event (cohort), counted once per later period they
+    were active; ``retention`` is each cell's distinct-user count
+    over the cohort's period-0 count (period 0 is always present —
+    every user is active in their own first period).
+
+    Scale shape: first-event frame is one user-keyed hash aggregate;
+    the (user, period) activity frame is a distinct on the same key,
+    so the join back is co-partitioned; the matrix aggregate is keyed
+    on (cohort, offset) — all linear, and the retention window runs
+    over the cohort×offset matrix (periods², not rows)."""
+    if granularity not in ("week", "day"):
+        raise ValueError("granularity must be 'week' or 'day'")
+    per_days = 7 if granularity == "week" else 1
+    trunc = lambda c: F.to_date(F.date_trunc(granularity, c))  # noqa: E731
+    first = events.groupBy(user_col).agg(
+        trunc(F.min(ts_col)).alias("_cw")
+    )
+    active = events.select(
+        user_col, trunc(F.col(ts_col)).alias("_wk")
+    ).distinct()
+    cells = (
+        active.join(first, user_col)
+        .groupBy(
+            F.col("_cw").alias("cohort_start"),
+            (F.datediff("_wk", "_cw") / per_days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+    w = (
+        Window.partitionBy("cohort_start")
+        .orderBy("period_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        "cohort_start",
+        "period_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.first("n_users").over(w), 6
+        ).alias("retention"),
+    )

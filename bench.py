@@ -205,6 +205,8 @@ HEADLINE = [
     "embed_silhouette_vecs",
     # chained user-keyed aggregates over shrinking survivor frames
     "events_funnel_users",
+    # co-partitioned user-keyed aggregates + matrix-sized window
+    "events_cohort_retention",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

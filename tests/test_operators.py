@@ -3492,3 +3492,40 @@ def test_curriculum_stages_tie_stable(spark):
         spark.createDataFrame([(0, 10), (1, 20), (2, 30), (3, 40)],
                               "doc_id long, v long"), "v", 2).collect()}
     assert two == {10: 0, 20: 0, 30: 1, 40: 1}
+
+
+def test_cohort_retention_matrix(spark):
+    """cohort_retention on a hand timeline: two daily cohorts with
+    known churn; retention normalizes within each cohort and period 0
+    is always 1.0."""
+    from datetime import datetime
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    d = lambda day, h=9: datetime(2024, 3, day, h)  # noqa: E731
+    rows = [
+        # cohort Mar-1: u1 active d1,d2,d3; u2 active d1,d3
+        (1, 1, d(1)), (2, 1, d(2)), (3, 1, d(3)),
+        (4, 2, d(1)), (5, 2, d(3)), (6, 2, d(1, 23)),
+        # cohort Mar-2: u3 active d2 only
+        (7, 3, d(2)),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        (str(r["cohort_start"]), r["period_offset"]): (r["n_users"], r["retention"])
+        for r in cohort_retention(e, granularity="day").collect()
+    }
+    assert out == {
+        ("2024-03-01", 0): (2, 1.0),
+        ("2024-03-01", 1): (1, 0.5),
+        ("2024-03-01", 2): (2, 1.0),
+        ("2024-03-02", 0): (1, 1.0),
+    }
+    bad = False
+    try:
+        cohort_retention(e, granularity="month")
+    except ValueError:
+        bad = True
+    assert bad

@@ -232,9 +232,13 @@ def funnel(
         else:
             after_prev = F.col(ts_col) > F.col("_pt")
             if max_gap_s is not None:
+                # TIMESTAMP_NTZ (Spark 4 reads tz-less parquet as
+                # NTZ) is rejected by unix_micros; the cast is a
+                # no-op for plain timestamps (same as range_join).
                 after_prev = after_prev & (
-                    F.unix_micros(ts_col)
-                    <= F.unix_micros("_pt") + max_gap_s * 1_000_000
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    <= F.unix_micros(F.col("_pt").cast("timestamp"))
+                    + max_gap_s * 1_000_000
                 )
             survivors = (
                 s.join(

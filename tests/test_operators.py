@@ -3529,3 +3529,27 @@ def test_cohort_retention_matrix(spark):
     except ValueError:
         bad = True
     assert bad
+
+
+def test_funnel_timestamp_ntz(spark):
+    """funnel's max_gap_s path must accept TIMESTAMP_NTZ (Spark 4
+    reads tz-less parquet timestamps as NTZ, which raw unix_micros
+    rejects) — pinned after the 100x probe caught the analysis
+    error on direct parquet reads."""
+    from datetime import datetime
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        funnel,
+    )
+
+    rows = [
+        (1, 1, "view", datetime(2024, 1, 1, 12, 0)),
+        (2, 1, "click", datetime(2024, 1, 1, 12, 30)),
+    ]
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp_ntz",
+    )
+    out = {r["step"]: r["n_users"] for r in
+           funnel(e, ["view", "click"], max_gap_s=3600).collect()}
+    assert out == {"view": 1, "click": 1}

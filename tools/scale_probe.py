@@ -56,6 +56,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
     bloom as BL,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    temporal as TP,
+)
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     lm as LM,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -129,6 +132,7 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     cases = {
         "q1_shape_agg": lambda d: d.groupBy("l_returnflag", "l_linestatus")
@@ -241,6 +245,13 @@ def main() -> None:
         "purge_audit": lambda d: GV.purge_audit(
             d, list(range(0, 10000, 97))
         ).count(),
+        "label_silhouette": lambda e: S.label_silhouette(e).count(),
+        "funnel_3step": lambda e: TP.funnel(
+            e, ["view", "click", "purchase"], max_gap_s=86_400
+        ).count(),
+        "cohort_retention": lambda e: TP.cohort_retention(
+            e, granularity="day"
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -287,6 +298,9 @@ def main() -> None:
         "span_clean": (docs, ["doc_id"]),
         "bpe_train": (docs, ["doc_id"]),
         "purge_audit": (docs, ["doc_id"]),
+        "label_silhouette": (emb, ["vec_id"]),
+        "funnel_3step": (ev, ["user_id", "event_id"]),
+        "cohort_retention": (ev, ["user_id", "event_id"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

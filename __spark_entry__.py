@@ -2114,6 +2114,59 @@ _BM25_QUERIES = [
 ]
 
 
+def rag_hash_retrieval_docs(spark, sf_dir):
+    """End-to-end lexical-vector retrieval (operators/search.py
+    hash_retrieval_topk): hash-embed every document into an integer
+    32-bucket bag-of-words vector (the classifier gate's md5 feature
+    hash), score the corpus against 10 probe documents with the
+    exact-integer Arrow kernel (similarity.local_topk_exact_int),
+    top-3 per query. Scores and tie-breaks are bit-reproducible
+    across engines: integer dots/norms are exact in float64 and the
+    ranking key dot²/(na·nb) is one correctly-rounded division — the
+    RANKING never touches the display-rounded cosine."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.hash_retrieval_topk(
+        d, query_ids=list(range(0, 500, 50)), k=3, dim=32
+    )
+
+
+RAG_HASH_RETRIEVAL_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+bc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 32 AS b,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2),
+emb AS MATERIALIZED (
+  SELECT d.doc_id, list(COALESCE(bc.c, 0) ORDER BY g.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM bc) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = g.i
+  GROUP BY d.doc_id),
+sq AS MATERIALIZED (
+  SELECT doc_id, CAST(v AS DOUBLE[]) AS dv,
+         list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS n2
+  FROM emb),
+q AS (SELECT doc_id AS q_id, dv AS qv, n2 AS nb FROM sq
+      WHERE doc_id % 50 = 0 AND doc_id < 500),
+scored AS (
+  SELECT q.q_id, e.doc_id AS n_id,
+         list_dot_product(e.dv, q.qv) AS dot, e.n2 AS na, q.nb AS nb
+  FROM sq e CROSS JOIN q WHERE e.doc_id <> q.q_id),
+ranked AS (
+  SELECT q_id, n_id, dot, na, nb,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY (dot * dot) / (na * nb) DESC, n_id)
+           AS rank
+  FROM scored)
+SELECT q_id, n_id, CAST(rank AS INT) AS rank,
+       ROUND(dot / sqrt(na * nb), 6) AS sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 def bm25_search_docs(spark, sf_dir):
     """BM25 top-5 per query over the corpus (operators/search.py):
     tf/df aggregates + broadcast query probe + windowed top-k.
@@ -6167,6 +6220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_docs": span_dedup_docs,
         "bloom_decontam_docs": bloom_decontam_docs,
         "bm25_search_docs": bm25_search_docs,
+        "rag_hash_retrieval_docs": rag_hash_retrieval_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6309,6 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": SPAN_DEDUP_SQL,
         "bloom_decontam_docs": BLOOM_DECONTAM_SQL,
         "bm25_search_docs": BM25_SQL,
+        "rag_hash_retrieval_docs": RAG_HASH_RETRIEVAL_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

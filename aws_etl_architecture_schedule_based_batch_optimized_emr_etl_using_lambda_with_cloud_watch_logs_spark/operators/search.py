@@ -156,3 +156,74 @@ def tfidf_keywords(
             id_col, F.col("rank").cast("int").alias("rank"), "term", "score"
         )
     )
+
+
+def hashed_embeddings(
+    docs: DataFrame,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic hashed bag-of-words embedding: each token lands
+    in an md5 bucket in [0, dim) (scoring.feature_bucket — the same
+    engine-portable hash the classifier gate uses) and the vector is
+    the INTEGER bucket-count array. Counts are kept un-normalized so
+    downstream exact-integer scoring (similarity.local_topk_exact_int)
+    is bit-reproducible across engines.
+
+    One explode + one (id, bucket) map-side-combined aggregate + one
+    per-id fold into the dense array — linear, expression-only."""
+    from .scoring import feature_bucket
+
+    toks = docs.select(
+        id_col, F.explode(tokens_col(text_col)).alias("term")
+    )
+    counts = toks.groupBy(
+        id_col, feature_bucket(F.col("term"), dim).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    m = F.map_from_entries(F.collect_list(F.struct("_b", "_c")))
+    return counts.groupBy(id_col).agg(m.alias("_m")).select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(dim - 1).cast("bigint")),
+            lambda i: F.coalesce(F.element_at("_m", i), F.lit(0).cast("bigint")),
+        ).alias("embedding"),
+    )
+
+
+def hash_retrieval_topk(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end lexical-vector retrieval: hash-embed the corpus,
+    score every document against the query documents with the
+    exact-integer Arrow kernel, rank top-k per query. The global rank
+    runs over the kernel-reduced partitions × queries × k frame with
+    the SAME (dot²/(na·nb) DESC, n_id) total order the kernel used,
+    so results are deterministic — ties included — and identical to a
+    reference engine's. ``sim`` is the cosine, rounded for display
+    (the RANKING never touches the rounded value)."""
+    from .similarity import local_topk_exact_int
+
+    emb = hashed_embeddings(docs, dim=dim, id_col=id_col, text_col=text_col)
+    scored = local_topk_exact_int(
+        emb, query_ids, k, id_col=id_col, vec_col="embedding"
+    )
+    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id",
+            "n_id",
+            "rank",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
+    )

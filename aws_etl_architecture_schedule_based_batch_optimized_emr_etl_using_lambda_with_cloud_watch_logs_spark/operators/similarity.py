@@ -1017,3 +1017,90 @@ def triplet_mining(
             "margin"
         ),
     )
+
+
+_SCORED_INT_SCHEMA = StructType(
+    [
+        StructField("q_id", LongType(), False),
+        StructField("n_id", LongType(), False),
+        StructField("dot", LongType(), True),
+        StructField("na", LongType(), True),
+        StructField("nb", LongType(), True),
+    ]
+)
+
+
+def local_topk_exact_int(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer sibling of :func:`local_topk_scored` for INTEGER
+    count vectors (hashed bag-of-words): the scan-and-reduce shape is
+    identical — broadcast queries, one mapInPandas matmul pass,
+    partition-local top-k — but the score and its total order are
+    bit-reproducible across engines: dot products and squared norms
+    of int64 counts are exact in float64 (values < 2^53), the ranking
+    key dot²/(na·nb) is one correctly-rounded double division, and
+    ties break on n_id INSIDE the kernel (lexsort), so the
+    partition-local top-k under this total order composes into the
+    same global top-k any reference engine computes — ties included —
+    because selection under a total order distributes over
+    partitions. (The float kernel can't promise that: per-component
+    normalization noise makes boundary ties engine-specific.)
+
+    Returns the reduced (q_id, n_id, dot, na, nb) frame —
+    partitions × queries × k rows; callers apply the bounded global
+    rank with the SAME (dot²/(na·nb) DESC, n_id) order."""
+    q_rows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("no query vectors found for the given ids")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    q_norms = (q_mat * q_mat).sum(axis=1)
+    bc = embeddings.sparkSession.sparkContext.broadcast(
+        (q_ids, q_mat, q_norms)
+    )
+
+    def score(batches):
+        bq_ids, bq_mat, bq_norms = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf[vec_col]]
+            )
+            na = (mat * mat).sum(axis=1)
+            dots = mat @ bq_mat.T  # (batch, queries), exact int64
+            for j, qid in enumerate(bq_ids):
+                d = dots[:, j].astype(np.float64)
+                skey = (d * d) / (
+                    na.astype(np.float64) * float(bq_norms[j])
+                )
+                keep = np.nonzero(ids != qid)[0]
+                if keep.size == 0:
+                    continue
+                # total order: skey DESC, n_id ASC (lexsort is stable,
+                # last key is primary)
+                order = keep[np.lexsort((ids[keep], -skey[keep]))]
+                top = order[: min(k, order.size)]
+                yield pd.DataFrame(
+                    {
+                        "q_id": qid,
+                        "n_id": ids[top],
+                        "dot": dots[top, j],
+                        "na": na[top],
+                        "nb": bq_norms[j],
+                    }
+                )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        score, _SCORED_INT_SCHEMA
+    )

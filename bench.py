@@ -207,6 +207,8 @@ HEADLINE = [
     "events_funnel_users",
     # co-partitioned user-keyed aggregates + matrix-sized window
     "events_cohort_retention",
+    # hash-embed + exact-integer Arrow local-top-k retrieval
+    "rag_hash_retrieval_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -3553,3 +3553,63 @@ def test_funnel_timestamp_ntz(spark):
     out = {r["step"]: r["n_users"] for r in
            funnel(e, ["view", "click"], max_gap_s=3600).collect()}
     assert out == {"view": 1, "click": 1}
+
+
+def test_hashed_embeddings_counts_and_hash(spark):
+    """hashed_embeddings: vector entries are the md5-bucket token
+    counts (verified against a hashlib recomputation) and sum to the
+    doc's token count."""
+    import hashlib
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        search as SR,
+    )
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta alpha"), (1, "gamma")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["embedding"] for r in
+            SR.hashed_embeddings(d, dim=8).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 8
+
+    exp0 = [0] * 8
+    exp0[bucket("alpha")] += 2
+    exp0[bucket("beta")] += 1
+    exp1 = [0] * 8
+    exp1[bucket("gamma")] += 1
+    assert rows == {0: exp0, 1: exp1}
+
+
+def test_local_topk_exact_int_ties_across_partitions(spark):
+    """local_topk_exact_int: parallel count vectors score an exact
+    cosine tie and the kernel's in-partition (score, n_id) order must
+    compose into the same global ranking no matter how rows are
+    partitioned — the property the float kernel cannot promise."""
+    rows = [
+        (0, [1, 0]),   # query
+        (1, [2, 0]),   # cos 1 with query (parallel)
+        (2, [4, 0]),   # cos 1 too — exact tie with id 1
+        (3, [1, 1]),   # cos 1/sqrt(2)
+        (4, [0, 1]),   # cos 0
+    ]
+    e = spark.createDataFrame(
+        rows, "doc_id long, embedding array<long>"
+    ).repartition(4)
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.similarity import (
+        local_topk_exact_int,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = local_topk_exact_int(e, [0], k=3, id_col="doc_id")
+    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id").asc())
+    ranked = [
+        (r["n_id"], r["rank"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 3").orderBy("rank").collect()
+    ]
+    assert ranked == [(1, 1), (2, 2), (3, 3)]

@@ -110,6 +110,9 @@ def test_plan_allowlist_is_pinned():
         "multimodal_decode_real": 1,
         "multimodal_features_docs": 1,
         "pack_boundaries_docs": 1,
+        # round-8 session addition: the exact-integer Arrow
+        # local-top-k kernel behind the lexical-vector retrieval gate
+        "rag_hash_retrieval_docs": 1,
         "rp_project_vecs": 1,
         "semantic_dedup_vecs": 2,
         "seq_packing_docs": 2,

@@ -96,6 +96,9 @@ ARROW_STAGE_EXPECTED = {
     # fuzzy decontamination: the banded minhash pipeline on the
     # corpus∪benchmark union
     "decontam_fuzzy_docs": 3,
+    # lexical-vector retrieval: the exact-integer Arrow local-top-k
+    # kernel (similarity.local_topk_exact_int)
+    "rag_hash_retrieval_docs": 1,
 }
 
 

@@ -83,6 +83,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     bpe as BP,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    graph as GR,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
     flatten,
 )
@@ -6140,6 +6143,138 @@ USING (label)
 """
 
 
+# ------------------------------------------- similarity-graph analytics
+
+_KNN_EDGES_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _knn_doc_edges(spark, sf_dir) -> DataFrame:
+    """The shared document similarity graph: exact-integer kNN edges
+    (k=5) over hashed-BoW embeddings of the doc_id%5==0 sample —
+    persisted per (session, sf dir) because both graph gates consume
+    it (the kNN gate returns it; PageRank iterates over it). The
+    sample bounds the exact O(n²) pair join (operators/graph.py
+    docstring has the LSH/IVF blocking story for full-corpus graphs
+    at 100 TB)."""
+    return _session_cached(
+        _KNN_EDGES_CACHE,
+        spark,
+        sf_dir,
+        lambda: GR.knn_edges_exact_int(
+            SR.hashed_embeddings(
+                _t(spark, sf_dir, "documents").filter(
+                    F.col("doc_id") % 5 == 0
+                ),
+                dim=32,
+            ),
+            k=5,
+            id_col="doc_id",
+            vec_col="embedding",
+        ),
+    )
+
+
+def knn_graph_docs(spark, sf_dir):
+    """Exact k-nearest-neighbor graph (k=5) over the sampled document
+    corpus under the hashed bag-of-words embedding
+    (operators/graph.py knn_edges_exact_int): integer dot products as
+    zip_with/aggregate expressions, ranking key dot²/(na·nb) — one
+    correctly-rounded double division of exact int64 values — so
+    edges and ranks are bit-reproducible across engines, ties
+    breaking on dst."""
+    return _knn_doc_edges(spark, sf_dir)
+
+
+# Shared oracle CTE chain: hashed-BoW embeddings of the doc_id%5
+# sample (same md5-bucket hash as the classifier/retrieval gates) →
+# exact squared-cosine kNN edges. All arithmetic is exact: integer
+# counts as doubles (< 2^53), one division for the ranking key.
+_KNN_EDGE_CTES = r"""tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents WHERE doc_id % 5 = 0),
+bc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 32 AS b,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2),
+emb AS MATERIALIZED (
+  SELECT d.doc_id, list(COALESCE(bc.c, 0) ORDER BY g.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM bc) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = g.i
+  GROUP BY d.doc_id),
+sq AS MATERIALIZED (
+  SELECT doc_id, CAST(v AS DOUBLE[]) AS dv,
+         list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS n2
+  FROM emb),
+e AS MATERIALIZED (
+  SELECT src, dst, CAST(rank AS INT) AS rank FROM (
+    SELECT a.doc_id AS src, b.doc_id AS dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.doc_id
+             ORDER BY (list_dot_product(a.dv, b.dv)
+                       * list_dot_product(a.dv, b.dv))
+                      / (a.n2 * b.n2) DESC,
+                      b.doc_id) AS rank
+    FROM sq a JOIN sq b ON a.doc_id <> b.doc_id)
+  WHERE rank <= 5)"""
+
+KNN_GRAPH_SQL = f"WITH {_KNN_EDGE_CTES}\nSELECT src, dst, rank FROM e"
+
+
+def pagerank_docs(spark, sf_dir):
+    """PageRank (damping 0.85, 8 statically unrolled power-iteration
+    steps) over the exact kNN document similarity graph — the
+    curation signal "which documents anchor dense near-duplicate /
+    topical neighborhoods" (operators/graph.py pagerank: one ranks
+    join + one dst aggregate per step, all expression-only). Every
+    node has out-degree k, so the no-dangling fast path applies and
+    the unrolled plan stays linear in the iteration count. Ranks
+    rounded to 6 decimals — both engines compute the same update
+    expression; only float SUM order differs (≤ ulps)."""
+    pr = GR.pagerank(
+        _knn_doc_edges(spark, sf_dir), n_iter=8, damping=0.85
+    )
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("pr", 6).alias("pr")
+    )
+
+
+def _pagerank_sql(n_iter: int = 8) -> str:
+    """Unrolled PageRank oracle: one MATERIALIZED CTE per iteration
+    (chained CTEs re-evaluate exponentially when inlined — the BPE
+    oracle lesson). The update is written exactly as the Spark side
+    computes it: (1.0 - 0.85)/n + 0.85 * coalesce(sum(pr/outdeg), 0),
+    all DOUBLE (DuckDB bare 0.85 is DECIMAL — cast explicitly)."""
+    steps = []
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT nd.id,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+         + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0 AS DOUBLE)) AS pr
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(p.pr / d.outdeg) AS s
+    FROM e JOIN p{i - 1} p ON e.src = p.id
+           JOIN deg d ON d.id = e.src
+    GROUP BY e.dst) c ON c.id = nd.id)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""WITH {_KNN_EDGE_CTES},
+nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY 1),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+p0 AS MATERIALIZED (
+  SELECT id, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),
+{chain}
+SELECT id AS doc_id, ROUND(pr, 6) AS pr FROM p{n_iter}"""
+
+
+PAGERANK_SQL = _pagerank_sql(8)
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -6221,6 +6356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontam_docs": bloom_decontam_docs,
         "bm25_search_docs": bm25_search_docs,
         "rag_hash_retrieval_docs": rag_hash_retrieval_docs,
+        "knn_graph_docs": knn_graph_docs,
+        "pagerank_docs": pagerank_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6364,6 +6501,8 @@ def oracle_sql() -> dict[str, str]:
         "bloom_decontam_docs": BLOOM_DECONTAM_SQL,
         "bm25_search_docs": BM25_SQL,
         "rag_hash_retrieval_docs": RAG_HASH_RETRIEVAL_SQL,
+        "knn_graph_docs": KNN_GRAPH_SQL,
+        "pagerank_docs": PAGERANK_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

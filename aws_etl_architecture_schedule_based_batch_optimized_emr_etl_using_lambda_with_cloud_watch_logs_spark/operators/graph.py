@@ -1,0 +1,185 @@
+"""Similarity-graph analytics over document embeddings — LLM-data-
+pipeline extension (no counterpart in the reference, whose query
+surface is Athena SQL over flat tables, SURVEY §2 C–G; graph signals
+— "which documents sit at the center of a near-duplicate / topical
+neighborhood" — are a standard curation lever: PageRank-weighted
+sampling and kNN-graph community pruning both need exactly these two
+primitives).
+
+Two operators:
+
+1. :func:`knn_edges_exact_int` — the exact k-nearest-neighbor edge
+   list over INTEGER count vectors (hashed bag-of-words, the same
+   engine-portable embedding the retrieval gates use). Scoring stays
+   entirely JVM-side: the integer dot product is a ``zip_with`` +
+   ``aggregate`` expression inside whole-stage codegen, and the
+   ranking key ``dot²/(na·nb)`` is one correctly-rounded double
+   division of exact int64-in-double values — so the TOTAL ORDER
+   (key DESC, dst ASC) is bit-reproducible across engines, ties
+   included (same determinism contract as
+   ``similarity.local_topk_exact_int``).
+
+   The pair join is the documented O(n²) exact baseline, meant for
+   node sets that are a bounded sample/slice of the corpus (the gate
+   samples one document in five). The 100 TB path for a FULL-corpus
+   graph is candidate blocking — LSH multi-table buckets
+   (``similarity.cosine_near_dup_pairs``) or IVF cells
+   (``similarity.ivf_topk``) bound the pair fan-out to bucket-local
+   joins; the exact variant here is their truth side, exactly as the
+   ANN recall gates are structured.
+
+2. :func:`pagerank` — power iteration with a fixed, statically
+   unrolled iteration count (deterministic plan, no driver-side
+   convergence loop). Per iteration: one hash join of ranks onto the
+   edge list keyed by src + one map-side-combined aggregate on dst —
+   both linear in |E|, the textbook Pregel schedule expressed as
+   DataFrame ops. Dangling mass: nodes with zero OUT-degree
+   contribute their rank mass uniformly (the standard correction),
+   carried as a 1-row broadcast aggregate per iteration, never a
+   collect. At scale, pre-partitioning edges and ranks on the same
+   key makes every iteration's join co-located (one shuffle per
+   iteration for the dst aggregate is inherent to PageRank).
+
+All frames are expression-only: zero Python stages, zero collects
+(the node count and dangling mass ride as broadcast 1-row frames).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int64 array columns — pure
+    expression (zip_with + aggregate), whole-stage-codegen'd. Exact
+    in int64 for hashed-BoW counts (values ≪ 2^31)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def knn_edges_exact_int(
+    vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN edge list (src, dst, rank) over integer count
+    vectors under the squared-cosine key dot²/(na·nb) — see module
+    docstring for the determinism and scale contract. Self-pairs are
+    excluded; every node with ≥k peers gets out-degree exactly k."""
+    base = vecs.select(
+        F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
+    ).withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
+    a = base.select(
+        F.col("_gid").alias("src"),
+        F.col("_gvec").alias("_va"),
+        F.col("_gn2").alias("_na"),
+    )
+    b = base.select(
+        F.col("_gid").alias("dst"),
+        F.col("_gvec").alias("_vb"),
+        F.col("_gn2").alias("_nb"),
+    )
+    dot = int_dot(F.col("_va"), F.col("_vb"))
+    pairs = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                (dot * dot).cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("_skey"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_skey").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    dangling: bool = False,
+) -> DataFrame:
+    """PageRank over a directed edge list, ``n_iter`` statically
+    unrolled power-iteration steps (see module docstring for the
+    plan shape). Returns (id, pr) for every node appearing as src or
+    dst; ranks sum to 1.
+
+    ``dangling=False`` (the kNN-graph case: every node is a src with
+    out-degree ≥1, so no node loses mass) keeps each iteration to a
+    SINGLE reference of the previous ranks frame — the unrolled plan
+    grows linearly in ``n_iter``. ``dangling=True`` adds the uniform
+    redistribution of zero-out-degree mass; that needs the ranks
+    frame twice per step (mass aggregate + contribution join), which
+    would nest the logical plan exponentially, so each iteration is
+    cut with an eager ``localCheckpoint`` (tiny rank frames; at real
+    scale this is the standard iterate-and-checkpoint Pregel
+    schedule).
+
+    The update, written identically in the DuckDB oracle so the two
+    engines differ only in float SUM order (≤ a few ulp, absorbed by
+    the gate's 6-decimal rounding)::
+
+        pr'(v) = (1-d)/n + d * (Σ_{u→v} pr(u)/outdeg(u) [+ dangle/n])
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # (id, outdeg|null) — null outdeg marks a dangling node.
+    node_deg = nodes.join(outdeg, "id", "left")
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    ranks = node_deg.crossJoin(F.broadcast(n_frame)).select(
+        "id", "outdeg", (F.lit(1.0) / F.col("_n")).alias("pr")
+    )
+    e = edges.select(F.col(src).alias("id"), F.col(dst).alias("_to"))
+    for _ in range(n_iter):
+        if dangling:
+            ranks = ranks.localCheckpoint()
+            dangle_mass = F.broadcast(
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(
+                            F.when(F.col("outdeg").isNull(), F.col("pr"))
+                        ),
+                        F.lit(0.0),
+                    ).alias("_dangle")
+                )
+            )
+        contrib = (
+            e.join(ranks, "id")
+            .groupBy(F.col("_to").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("_c"))
+        )
+        base = F.lit(1.0 - damping) / F.col("_n")
+        carried = F.coalesce(F.col("_c"), F.lit(0.0))
+        if dangling:
+            carried = carried + F.col("_dangle") / F.col("_n")
+        nxt = node_deg.join(contrib, "id", "left").crossJoin(
+            F.broadcast(n_frame)
+        )
+        if dangling:
+            nxt = nxt.crossJoin(dangle_mass)
+        ranks = nxt.select(
+            "id", "outdeg", (base + F.lit(damping) * carried).alias("pr")
+        )
+    return ranks.select("id", "pr")

@@ -1,0 +1,109 @@
+"""Similarity-graph analytics (operators/graph.py): exact-integer
+kNN edges and fixed-iteration PageRank, cross-checked against
+NetworkX-free NumPy reference implementations."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    graph as G,
+)
+
+
+def _vec_df(spark, mat):
+    return spark.createDataFrame(
+        [(i, [int(x) for x in row]) for i, row in enumerate(mat)],
+        "id bigint, embedding array<bigint>",
+    )
+
+
+def _np_knn(mat, k):
+    """(src, dst, rank) under dot²/(na·nb) DESC, dst ASC — the same
+    total order the operator promises."""
+    mat = np.asarray(mat, dtype=np.int64)
+    n2 = (mat * mat).sum(axis=1)
+    out = set()
+    for i in range(len(mat)):
+        keys = []
+        for j in range(len(mat)):
+            if j == i:
+                continue
+            dot = int(mat[i] @ mat[j])
+            keys.append((-(dot * dot) / (n2[i] * n2[j]), j))
+        keys.sort()
+        for r, (_, j) in enumerate(keys[:k], start=1):
+            out.add((i, j, r))
+    return out
+
+
+def test_knn_edges_match_numpy(spark):
+    rng = np.random.RandomState(7)
+    mat = rng.randint(0, 5, size=(12, 6))
+    got = {
+        (r.src, r.dst, r.rank)
+        for r in G.knn_edges_exact_int(_vec_df(spark, mat), k=3).collect()
+    }
+    assert got == _np_knn(mat, 3)
+
+
+def test_knn_edges_out_degree_exact_k(spark):
+    rng = np.random.RandomState(3)
+    mat = rng.randint(0, 4, size=(9, 5))
+    deg = (
+        G.knn_edges_exact_int(_vec_df(spark, mat), k=4)
+        .groupBy("src")
+        .count()
+        .collect()
+    )
+    assert len(deg) == 9 and all(r["count"] == 4 for r in deg)
+
+
+def _np_pagerank(edges, n, n_iter, d=0.85, dangling=False):
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {i: 1.0 / n for i in range(n)}
+    for _ in range(n_iter):
+        dangle = (
+            sum(pr[i] for i in range(n) if i not in outdeg)
+            if dangling
+            else 0.0
+        )
+        contrib = {i: 0.0 for i in range(n)}
+        for s, t in edges:
+            contrib[t] += pr[s] / outdeg[s]
+        pr = {
+            i: (1 - d) / n + d * (contrib[i] + dangle / n)
+            for i in range(n)
+        }
+    return pr
+
+
+@pytest.mark.parametrize("dangling", [False, True])
+def test_pagerank_matches_numpy(spark, dangling):
+    # node 4 is dangling (appears only as dst) when dangling=True
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4)]
+    if not dangling:
+        edges.append((4, 0))
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.id: r.pr
+        for r in G.pagerank(e, n_iter=6, dangling=dangling).collect()
+    }
+    want = _np_pagerank(edges, 5, 6, dangling=dangling)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_mass_conserved_no_dangling(spark):
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (2, 5)],
+        "src bigint, dst bigint",
+    )
+    total = (
+        G.pagerank(e, n_iter=8).agg(F.sum("pr").alias("s")).first()["s"]
+    )
+    assert total == pytest.approx(1.0, abs=1e-9)

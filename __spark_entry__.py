@@ -6275,6 +6275,113 @@ SELECT id AS doc_id, ROUND(pr, 6) AS pr FROM p{n_iter}"""
 PAGERANK_SQL = _pagerank_sql(8)
 
 
+# --------------------------------------------- hybrid retrieval (RRF)
+
+
+def rrf_fusion_docs(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion
+    (operators/search.py hybrid_rrf_topk): BM25 top-10 and
+    hashed-BoW-cosine top-10 per query, fused as
+    Σ 1/(60+rank_arm), top-5 per query. Both arm rankings are
+    engine-reproducible (BM25 rounds scores before ranking; the
+    vector key is exact integer arithmetic), and the fused score is
+    a sum of two divisions of INTEGER ranks — IEEE-identical in both
+    engines, so the fused ranking (rrf DESC, doc ASC) matches the
+    oracle bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.hybrid_rrf_topk(d, _BM25_QUERIES, topk=5, k_arm=10)
+
+
+def _rrf_sql() -> str:
+    """DuckDB twin of hybrid_rrf_topk over _BM25_QUERIES: the BM25
+    arm is the bm25_search_docs oracle at rank ≤ 10; the vector arm
+    hash-embeds the corpus in SQL (same md5 fold) and takes the
+    query-side count vectors as plan-time list literals computed by
+    the SAME Python helper the Spark side uses
+    (search.hash_query_matrix) — queries are literals, not data.
+    All fusion arithmetic is forced to DOUBLE (DuckDB bare 1.0 is
+    DECIMAL; its division semantics differ)."""
+    qmat = SR.hash_query_matrix(_BM25_QUERIES, 32)
+    q_terms = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in _BM25_QUERIES
+        for t in sorted(set(qtext.lower().split()))
+    )
+    q_vecs = ", ".join(
+        f"('{qid}', [{', '.join(str(int(x)) for x in qmat[i])}])"
+        for i, (qid, _) in enumerate(_BM25_QUERIES)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+meta AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {q_terms}),
+lex AS MATERIALIZED (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank_lex
+  FROM (
+    SELECT q.query_id, tf.doc_id,
+           ROUND(SUM(
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf * (1.2 + 1))
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+           ), 6) AS score
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN q ON tf.term = q.term
+    JOIN dfr ON tf.term = dfr.term, meta
+    GROUP BY q.query_id, tf.doc_id)),
+bc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 32 AS b,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2),
+emb AS MATERIALIZED (
+  SELECT d.doc_id, list(COALESCE(bc.c, 0) ORDER BY g.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM bc) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = g.i
+  GROUP BY d.doc_id),
+sq AS MATERIALIZED (
+  SELECT doc_id, CAST(v AS DOUBLE[]) AS dv,
+         list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS n2
+  FROM emb),
+qv(query_id, qvl) AS (VALUES {q_vecs}),
+vecarm AS MATERIALIZED (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY (dot * dot) / (na * nb) DESC,
+                                     doc_id) AS rank_vec
+  FROM (
+    SELECT qd.query_id, s.doc_id,
+           list_dot_product(s.dv, qd.qd) AS dot, s.n2 AS na,
+           list_dot_product(qd.qd, qd.qd) AS nb
+    FROM sq s
+    CROSS JOIN (SELECT query_id, CAST(qvl AS DOUBLE[]) AS qd FROM qv) qd)),
+l AS (SELECT query_id, doc_id, rank_lex FROM lex WHERE rank_lex <= 10),
+v AS (SELECT query_id, doc_id, rank_vec FROM vecarm WHERE rank_vec <= 10),
+f AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.rank_lex),
+                  CAST(0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec),
+                    CAST(0 AS DOUBLE)) AS rrf
+  FROM l FULL OUTER JOIN v
+    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, ROUND(rrf, 6) AS rrf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= 5"""
+
+
+RRF_FUSION_SQL = _rrf_sql()
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -6358,6 +6465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_hash_retrieval_docs": rag_hash_retrieval_docs,
         "knn_graph_docs": knn_graph_docs,
         "pagerank_docs": pagerank_docs,
+        "rrf_fusion_docs": rrf_fusion_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6503,6 +6611,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_hash_retrieval_docs": RAG_HASH_RETRIEVAL_SQL,
         "knn_graph_docs": KNN_GRAPH_SQL,
         "pagerank_docs": PAGERANK_SQL,
+        "rrf_fusion_docs": RRF_FUSION_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

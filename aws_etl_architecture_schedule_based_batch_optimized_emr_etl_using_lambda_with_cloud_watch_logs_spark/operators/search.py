@@ -227,3 +227,113 @@ def hash_retrieval_topk(
             ).alias("sim"),
         )
     )
+
+
+def hash_query_matrix(
+    queries: list[tuple[str, str]], dim: int = 32
+) -> "np.ndarray":
+    """Driver-side hashed bag-of-words embedding of literal query
+    strings — the SAME md5 bucket fold as ``scoring.feature_bucket``
+    (first 32 bits of md5(token) mod dim), computed in plain Python
+    because the queries are plan-time literals (a handful of rows,
+    never data). Returns an int64 (n_queries × dim) count matrix."""
+    import hashlib
+
+    import numpy as np
+
+    mat = np.zeros((len(queries), dim), dtype=np.int64)
+    for i, (_, qtext) in enumerate(queries):
+        for t in qtext.lower().split():
+            b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+            mat[i, b] += 1
+    return mat
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    topk: int = 5,
+    k_arm: int = 10,
+    k_rrf: int = 60,
+    dim: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (the standard
+    two-arm RAG retriever): a LEXICAL arm (BM25 top-``k_arm``) and a
+    VECTOR arm (hashed-BoW cosine top-``k_arm`` via the exact-integer
+    Arrow kernel) are fused per (query, doc) as
+
+        rrf = Σ_arm 1 / (k_rrf + rank_arm)
+
+    (Cormack et al.'s RRF, k=60), missing-arm terms contributing 0.
+    Both arm rankings are engine-reproducible by construction (BM25
+    rounds scores before ranking; the vector arm's key is exact
+    integer arithmetic), and the fused score is a sum of two doubles
+    computed from INTEGER ranks by one division each — identical in
+    any IEEE engine — so the fused ranking (rrf DESC, doc ASC) is
+    bit-reproducible too.
+
+    Plan shape: the two arms share the corpus scan lineage but are
+    independent sub-plans (each linear: explode→agg for BM25,
+    embed→one Arrow matmul pass for the vector arm); fusion is a
+    full-outer join of two ≤ |Q|·k_arm frames — broadcast-sized, the
+    corpus is never rescanned for fusion. Query vectors use ids
+    DISJOINT from the corpus id space (negative) so the kernel's
+    self-match exclusion never fires against a real document."""
+    import numpy as np
+
+    from .similarity import local_topk_exact_int_mat
+
+    spark = docs.sparkSession
+    lex = bm25_topk(
+        docs, queries, topk=k_arm, id_col=id_col, text_col=text_col
+    ).select(
+        "query_id",
+        F.col(id_col).alias("_doc"),
+        F.col("rank").alias("_rank_lex"),
+    )
+
+    emb = hashed_embeddings(docs, dim=dim, id_col=id_col, text_col=text_col)
+    q_ids = -1 - np.arange(len(queries), dtype=np.int64)
+    scored = local_topk_exact_int_mat(
+        emb,
+        q_ids,
+        hash_query_matrix(queries, dim),
+        k_arm,
+        id_col=id_col,
+        vec_col="embedding",
+    )
+    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    wv = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id").asc())
+    qmap = spark.createDataFrame(
+        [(int(q_ids[i]), queries[i][0]) for i in range(len(queries))],
+        "q_id bigint, query_id string",
+    )
+    vec = (
+        scored.withColumn("_rank_vec", F.row_number().over(wv))
+        .filter(F.col("_rank_vec") <= k_arm)
+        .join(F.broadcast(qmap), "q_id")
+        .select("query_id", F.col("n_id").alias("_doc"), "_rank_vec")
+    )
+
+    fused = lex.join(vec, ["query_id", "_doc"], "full_outer").withColumn(
+        "_rrf",
+        F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("_rank_lex")), F.lit(0.0))
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(k_rrf) + F.col("_rank_vec")), F.lit(0.0)
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_rrf").desc(), F.col("_doc").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            "rank",
+            F.col("_doc").alias(id_col),
+            F.round("_rrf", 6).alias("rrf"),
+        )
+    )

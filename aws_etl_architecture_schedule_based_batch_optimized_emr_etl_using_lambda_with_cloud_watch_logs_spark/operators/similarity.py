@@ -1063,6 +1063,29 @@ def local_topk_exact_int(
         raise ValueError("no query vectors found for the given ids")
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r[1], dtype=np.int64) for r in q_rows])
+    return local_topk_exact_int_mat(
+        embeddings, q_ids, q_mat, k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def local_topk_exact_int_mat(
+    embeddings: DataFrame,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`local_topk_exact_int` with the query matrix supplied
+    directly (int64 ids + int64 vectors) instead of looked up by id —
+    the entry point for EXTERNAL queries (e.g. hash-embedded query
+    strings, operators/search.py) that are not corpus rows. Callers
+    whose queries are not corpus members should pass ids disjoint
+    from the corpus id space (negative ids work) so the kernel's
+    self-match exclusion (``ids != qid``) never drops a real
+    neighbor. Same determinism contract as the by-id wrapper."""
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    q_mat = np.asarray(q_mat, dtype=np.int64)
     q_norms = (q_mat * q_mat).sum(axis=1)
     bc = embeddings.sparkSession.sparkContext.broadcast(
         (q_ids, q_mat, q_norms)

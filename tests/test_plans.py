@@ -113,6 +113,9 @@ def test_plan_allowlist_is_pinned():
         # round-8 session addition: the exact-integer Arrow
         # local-top-k kernel behind the lexical-vector retrieval gate
         "rag_hash_retrieval_docs": 1,
+        # hybrid RRF fusion: one Arrow kernel in the vector arm, the
+        # lexical arm compiles JVM-side
+        "rrf_fusion_docs": 1,
         "rp_project_vecs": 1,
         "semantic_dedup_vecs": 2,
         "seq_packing_docs": 2,

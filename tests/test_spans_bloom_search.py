@@ -680,3 +680,83 @@ def test_remove_duplicate_spans_surgical(spark):
     for r in out.values():
         kept = len(r["cleaned_text"].split()) if r["cleaned_text"] else 0
         assert kept + r["n_removed"] == r["n_tokens"]
+
+
+def test_rrf_fusion_combines_arm_ranks_exactly(spark):
+    """Fusion cross-check: run the two arms independently via their
+    own operators, recompute Σ 1/(60+rank) in Python, and require
+    the fused gate to reproduce score, membership, and order."""
+    docs = [
+        (1, "hash join hash join"),
+        (2, "hash table scan"),
+        (3, "sort merge join"),
+        (4, "scan filter pushdown"),
+        (5, "join order optimizer"),
+        (6, "entirely unrelated prose"),
+    ]
+    d = _docs(spark, docs)
+    queries = [("qa", "hash join"), ("qb", "scan filter")]
+    fused = {
+        (r.query_id, r.doc_id): (r.rank, r.rrf)
+        for r in SR.hybrid_rrf_topk(d, queries, topk=4, k_arm=3).collect()
+    }
+
+    lex = {
+        (r.query_id, r.doc_id): r.rank
+        for r in SR.bm25_topk(d, queries, topk=3).collect()
+    }
+    emb = SR.hashed_embeddings(d, dim=32)
+    import numpy as np
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.similarity import (
+        local_topk_exact_int_mat,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    scored = local_topk_exact_int_mat(
+        emb,
+        np.array([-1, -2], dtype=np.int64),
+        SR.hash_query_matrix(queries, 32),
+        3,
+        id_col="doc_id",
+        vec_col="embedding",
+    )
+    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id"))
+    vec = {
+        ({-1: "qa", -2: "qb"}[r.q_id], r.n_id): r.rank
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+
+    expect = {}
+    for key in set(lex) | set(vec):
+        s = 0.0
+        if key in lex:
+            s += 1.0 / (60 + lex[key])
+        if key in vec:
+            s += 1.0 / (60 + vec[key])
+        expect[key] = s
+    for q in ("qa", "qb"):
+        order = sorted(
+            [k for k in expect if k[0] == q],
+            key=lambda k: (-expect[k], k[1]),
+        )[:4]
+        for i, key in enumerate(order, start=1):
+            assert key in fused, key
+            rank, rrf = fused[key]
+            assert rank == i
+            assert rrf == round(expect[key], 6)
+
+
+def test_rrf_vector_arm_never_drops_negative_query_collision(spark):
+    """Query ids are negative so the kernel's self-match exclusion
+    can never fire against a real document — every corpus doc is a
+    legal candidate in the vector arm."""
+    d = _docs(spark, [(0, "alpha beta"), (1, "alpha beta"), (2, "gamma")])
+    out = SR.hybrid_rrf_topk(
+        d, [("q", "alpha beta")], topk=3, k_arm=3
+    ).collect()
+    ids = {r.doc_id for r in out}
+    assert {0, 1} <= ids

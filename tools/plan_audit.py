@@ -99,6 +99,9 @@ ARROW_STAGE_EXPECTED = {
     # lexical-vector retrieval: the exact-integer Arrow local-top-k
     # kernel (similarity.local_topk_exact_int)
     "rag_hash_retrieval_docs": 1,
+    # hybrid RRF retrieval: the vector arm's exact-integer Arrow
+    # local-top-k kernel (the BM25 arm is fully JVM-side)
+    "rrf_fusion_docs": 1,
 }
 
 

@@ -6382,6 +6382,70 @@ WHERE rank <= 5"""
 RRF_FUSION_SQL = _rrf_sql()
 
 
+def knn_components_docs(spark, sf_dir):
+    """Connected components over the (symmetrized) exact kNN document
+    similarity graph — the topical-neighborhood clustering twin of
+    the near-dup clusters gate, reusing the pointer-jumping min-label
+    operator (operators/dedup.py connected_components, O(log
+    diameter) rounds) on the shared cached edge frame. Oracle:
+    recursive-CTE transitive closure over the same edges."""
+    return D.connected_components(
+        _knn_doc_edges(spark, sf_dir), "src", "dst"
+    )
+
+
+KNN_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_KNN_EDGE_CTES},
+edges2 AS (
+  SELECT src, dst FROM e
+  UNION SELECT dst, src FROM e),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges2
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges2 e2 ON r.dst = e2.src)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def events_anomaly_daily(spark, sf_dir):
+    """Rolling z-score anomaly detection over the events stream
+    (operators/temporal.py rolling_zscore_anomalies): each (event
+    type, day) count scored against its trailing 7 days — mean and
+    sample stddev over a ROWS frame that EXCLUDES the scored day —
+    |z| > 2 flags the anomaly. The window runs over the k·days
+    aggregate, never raw events; z rounded to 4 decimals and the
+    flag tested on the rounded value (engine-reproducible)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    return rolling_zscore_anomalies(_events(spark, sf_dir)).select(
+        F.col("key").alias("event_type"), "day", "cnt", "z", "is_anomaly"
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS MATERIALIZED (
+  SELECT event_type,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day, cnt,
+         COUNT(cnt) OVER w AS n_prior,
+         AVG(cnt) OVER w AS mu,
+         STDDEV_SAMP(cnt) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, cnt,
+       ROUND((cnt - mu) / sd, 4) AS z,
+       ABS(ROUND((cnt - mu) / sd, 4)) > CAST(2.0 AS DOUBLE) AS is_anomaly
+FROM scored WHERE n_prior = 7 AND sd > 0
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -6466,6 +6530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_docs": knn_graph_docs,
         "pagerank_docs": pagerank_docs,
         "rrf_fusion_docs": rrf_fusion_docs,
+        "knn_components_docs": knn_components_docs,
+        "events_anomaly_daily": events_anomaly_daily,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6612,6 +6678,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_docs": KNN_GRAPH_SQL,
         "pagerank_docs": PAGERANK_SQL,
         "rrf_fusion_docs": RRF_FUSION_SQL,
+        "knn_components_docs": KNN_COMPONENTS_SQL,
+        "events_anomaly_daily": EVENTS_ANOMALY_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

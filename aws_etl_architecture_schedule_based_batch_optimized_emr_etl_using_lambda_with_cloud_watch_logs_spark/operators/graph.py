@@ -46,8 +46,35 @@ All frames are expression-only: zero Python stages, zero collects
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _centered_bucket_pudf(
+    tables: list[list[list[float]]], biases: list[list[float]]
+):
+    """Mean-centered multi-table sign-hash bucket ids in one Arrow
+    pass: sign(W·x − W·μ) per table — the ``similarity.
+    multitable_bucket_pudf`` hash family with the hyperplanes biased
+    to the corpus centroid (see knn_edges_lsh docstring for why
+    count vectors need this)."""
+    mats = np.asarray(tables, dtype=np.float64)  # (L, planes, dim)
+    offs = np.asarray(biases, dtype=np.float64)  # (L, planes)
+    weights = 1 << np.arange(mats.shape[1], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (n, dim)
+        proj = np.einsum("nd,lpd->nlp", mat, mats)  # (n, L, planes)
+        signs = (proj - offs[None, :, :]) > 0
+        return pd.Series(list(signs @ weights))
+
+    return _buckets
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -183,3 +210,123 @@ def pagerank(
             "id", "outdeg", (base + F.lit(damping) * carried).alias("pr")
         )
     return ranks.select("id", "pr")
+
+
+def knn_edges_lsh(
+    vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    seed: int = 42,
+    max_bucket_candidates: int | None = 256,
+) -> DataFrame:
+    """The 100 TB path for FULL-CORPUS kNN graphs: multi-table
+    sign-LSH candidate blocking (OR-construction — a pair is a
+    candidate if it shares a bucket in ANY table), then the exact
+    integer rerank of :func:`knn_edges_exact_int` applied only to
+    bucket-local candidates. Same adaptive plane count as
+    ``similarity.cosine_near_dup_pairs`` (ceil(log2(n/32)) clamped to
+    [6, 16]): expected bucket occupancy — and therefore the
+    per-bucket candidate join — stays roughly constant as the corpus
+    grows, so total candidate volume grows near-linearly instead of
+    n². Approximate: a true neighbor sharing no bucket is missed
+    (recall quantified against the exact edges in the pytest suite);
+    out-degree is ≤ k (< k when a node's candidate set is small).
+
+    Two guards the 25× scale probe flushed out (hashed-BoW count
+    vectors are NOT centered Gaussian embeddings):
+
+    * **Centered hyperplanes** — count vectors live in the positive
+      orthant and, on low-entropy corpora, cluster tightly, so
+      through-origin sign hashes put nearly everything on the same
+      side of every plane (few giant buckets, quadratic join). The
+      hyperplanes are biased by the corpus mean — sign(W·x − W·μ) —
+      which is the same hash family re-centered where the data
+      actually is; candidate recall is unaffected (rerank is exact).
+      μ is one 1-row aggregate (bounded metadata collect).
+    * **Capped candidate pool** — a clone-heavy corpus (every doc
+      with many near-identical siblings) legitimately concentrates
+      whole clone clusters into shared buckets in EVERY table; the
+      per-bucket CANDIDATE side is capped to a deterministic
+      hash-ranked ``max_bucket_candidates`` subset, bounding join
+      work to rows·cap (linear) while every node still probes. With
+      a cap ≫ k, dropped candidates are overwhelmingly tie-ranked
+      clones of kept ones.
+    """
+    import math
+
+    from .similarity import _lsh_tables
+
+    base = vecs.select(
+        F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
+    ).withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
+    if n_planes is None:
+        n_corpus = base.count()
+        n_planes = min(
+            16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
+        )
+    first = base.select(F.size("_gvec").alias("d")).first()
+    dim = first["d"]
+    mu_row = base.agg(
+        *[
+            F.avg(F.col("_gvec")[i].cast("double")).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).first()
+    mu = [float(mu_row[i]) for i in range(dim)]
+    tables = _lsh_tables(dim, n_planes, n_tables, seed)
+    biases = [
+        [sum(w * m for w, m in zip(plane, mu)) for plane in tbl]
+        for tbl in tables
+    ]
+    buckets = _centered_bucket_pudf(tables, biases)
+    banded = base.withColumn("bks", buckets(F.col("_gvec"))).select(
+        "_gid", "_gvec", "_gn2", F.posexplode("bks").alias("tbl", "bucket")
+    )
+    a = banded.select(
+        F.col("_gid").alias("src"),
+        F.col("_gvec").alias("_va"),
+        F.col("_gn2").alias("_na"),
+        "tbl",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("_gid").alias("dst"),
+        F.col("_gvec").alias("_vb"),
+        F.col("_gn2").alias("_nb"),
+        "tbl",
+        "bucket",
+    )
+    if max_bucket_candidates is not None:
+        wb = Window.partitionBy("tbl", "bucket").orderBy(
+            F.xxhash64("dst"), F.col("dst")
+        )
+        b = (
+            b.withColumn("_bpos", F.row_number().over(wb))
+            .filter(F.col("_bpos") <= max_bucket_candidates)
+            .drop("_bpos")
+        )
+    dot = int_dot(F.col("_va"), F.col("_vb"))
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            (
+                (dot * dot).cast("double")
+                / (F.col("_na") * F.col("_nb")).cast("double")
+            ).alias("_skey"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("_skey").desc(), F.col("dst").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "rank")
+    )

@@ -316,3 +316,55 @@ def cohort_retention(
             F.col("n_users").cast("double") / F.first("n_users").over(w), 6
         ).alias("retention"),
     )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily-count anomaly detection per event type: each day's count
+    is scored against the TRAILING ``window_days`` days (never
+    including itself — no target leakage) as
+    ``z = (cnt − mean) / stddev_samp``; a day is anomalous when
+    |z| > z_threshold. The standard training-pipeline observability
+    signal ("did yesterday's crawl volume spike?").
+
+    Plan: one linear date-truncate + (key, day) hash aggregate
+    (map-side combined), then a bounded ROWS-frame window over the
+    k·days aggregate — the window runs on the AGGREGATE, never the
+    raw events, so the frame entering the sort is tiny relative to
+    the corpus and partitions by key (no single-partition global
+    sort). Days with fewer than ``window_days`` prior observations
+    or zero variance are not scored (baseline undefined). ``z`` is
+    rounded to 4 decimals; the anomaly flag tests the rounded value
+    so the verdict is engine-reproducible (both engines compute the
+    same exact integer mean; stddev differs only in ulps)."""
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    scored = daily.select(
+        "key",
+        "day",
+        "cnt",
+        F.count("cnt").over(w).alias("_n_prior"),
+        F.avg("cnt").over(w).alias("_mu"),
+        F.stddev_samp("cnt").over(w).alias("_sd"),
+    ).filter(
+        (F.col("_n_prior") == window_days) & (F.col("_sd") > 0)
+    )
+    z = F.round((F.col("cnt") - F.col("_mu")) / F.col("_sd"), 4)
+    return scored.select(
+        "key",
+        "day",
+        "cnt",
+        z.alias("z"),
+        (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+    )

@@ -107,3 +107,54 @@ def test_pagerank_mass_conserved_no_dangling(spark):
         G.pagerank(e, n_iter=8).agg(F.sum("pr").alias("s")).first()["s"]
     )
     assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_knn_edges_lsh_recall_vs_exact(spark):
+    """LSH-blocked kNN edges: measure recall of top-k(=2) edge sets
+    against the exact graph on a clustered corpus (3 tight clusters
+    of integer count vectors — within-cluster cosines ≈ 1, across
+    ≈ orthogonal). OR-construction over 8 tables keeps recall high;
+    the operator contract is quantified, not exact."""
+    rng = np.random.RandomState(11)
+    base = [
+        [8, 0, 0, 0, 1, 0],
+        [0, 8, 0, 1, 0, 0],
+        [0, 0, 8, 0, 0, 1],
+    ]
+    mat = np.stack(
+        [
+            np.maximum(
+                0, np.array(base[i % 3]) + rng.randint(0, 2, size=6)
+            )
+            for i in range(15)
+        ]
+    )
+    df = _vec_df(spark, mat)
+    exact = {
+        (r.src, r.dst)
+        for r in G.knn_edges_exact_int(df, k=2).collect()
+    }
+    approx = {
+        (r.src, r.dst)
+        for r in G.knn_edges_lsh(
+            df, k=2, n_planes=4, n_tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
+    # approximate out-degree never exceeds k
+    from collections import Counter
+
+    deg = Counter(s for s, _ in approx)
+    assert max(deg.values()) <= 2
+
+
+def test_knn_edges_lsh_ranks_are_contiguous(spark):
+    rng = np.random.RandomState(5)
+    mat = rng.randint(0, 6, size=(10, 4))
+    rows = G.knn_edges_lsh(_vec_df(spark, mat), k=3, n_planes=3).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r.rank)
+    for ranks in by_src.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

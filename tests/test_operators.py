@@ -3613,3 +3613,61 @@ def test_local_topk_exact_int_ties_across_partitions(spark):
         .filter("rank <= 3").orderBy("rank").collect()
     ]
     assert ranked == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    """7 flat days then a spike: z = (cnt-mean)/sd with the scored
+    day excluded from its own baseline; hand-computed expectation."""
+    import datetime as dt
+    import statistics
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    counts = [10, 11, 10, 12, 10, 11, 10, 40]  # day 8 spikes
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=d), "x"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    out = rolling_zscore_anomalies(e).collect()
+    # only day 8 has exactly 7 prior days
+    assert len(out) == 1
+    r = out[0]
+    mu = statistics.mean(counts[:7])
+    sd = statistics.stdev(counts[:7])
+    assert r.cnt == 40
+    assert r.z == round((40 - mu) / sd, 4)
+    assert r.is_anomaly
+
+
+def test_rolling_zscore_skips_zero_variance_and_short_history(spark):
+    import datetime as dt
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # constant 5/day for 9 days -> sd == 0, nothing scored; and a
+    # second type with only 3 days -> short history, nothing scored
+    for d in range(9):
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(days=d), "flat"))
+            eid += 1
+    for d in range(3):
+        for _ in range(d + 1):
+            rows.append((eid, base + dt.timedelta(days=d), "short"))
+            eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    assert rolling_zscore_anomalies(e).count() == 0

@@ -94,6 +94,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     similarity as S2,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    graph as GPH,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
     get_spark,
 )
@@ -252,6 +255,32 @@ def main() -> None:
         "cohort_retention": lambda e: TP.cohort_retention(
             e, granularity="day"
         ).count(),
+        # full-corpus approximate kNN graph: hashed-BoW embed +
+        # multi-table LSH blocking + bucket-local exact rerank —
+        # adaptive plane count keeps bucket occupancy constant
+        "knn_graph_lsh": lambda d: GPH.knn_edges_lsh(
+            SR.hashed_embeddings(d, dim=32),
+            k=5,
+            id_col="doc_id",
+            vec_col="embedding",
+        ).count(),
+        # PageRank over the symmetrized near-duplicate pair graph
+        # (the curation signal); growth = pair growth (bounded by the
+        # banded LSH) + linear join/agg per iteration
+        "pagerank_neardup": lambda d: GPH.pagerank(
+            (lambda p: p.union(p.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst"))))(
+                D.minhash_lsh_dedup(d, bands=32, threshold=0.5).select(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                )
+            ),
+            n_iter=4,
+        ).count(),
+        # hybrid RRF retrieval: BM25 arm + hashed-vector Arrow arm,
+        # broadcast-sized fusion join
+        "rrf_fusion": lambda d: SR.hybrid_rrf_topk(
+            d, [("q1", "hash join"), ("q2", "slow scan filter")], topk=5
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -301,6 +330,9 @@ def main() -> None:
         "label_silhouette": (emb, ["vec_id"]),
         "funnel_3step": (ev, ["user_id", "event_id"]),
         "cohort_retention": (ev, ["user_id", "event_id"]),
+        "knn_graph_lsh": (docs, ["doc_id"]),
+        "pagerank_neardup": (docs, ["doc_id"]),
+        "rrf_fusion": (docs, ["doc_id"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

@@ -6425,6 +6425,57 @@ def events_anomaly_daily(spark, sf_dir):
     )
 
 
+def stream_anomaly_counts(spark, sf_dir):
+    """Sixth streaming gate shape (K family): stream-then-score —
+    the bronze layer is a watermarked 1-DAY tumbling-window count
+    over the events stream (AvailableNow, drained to a memory sink),
+    the silver layer applies the SAME trailing-7-day z-score window
+    (operators/temporal.py zscore_daily_counts) to the streamed
+    aggregate, and the result is compared row-for-row (null-safe,
+    exact — identical integer inputs through identical expressions)
+    against the all-batch twin. DuckDB recomputes n_scored /
+    n_anomalies from the batch-twin SQL and pins the match flag, so
+    the streaming runtime is driver-verified."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+        zscore_daily_counts,
+    )
+
+    batch = _events(spark, sf_dir)  # also sets the nanosAsLong conf
+    stream = _events_stream(spark, sf_dir)
+    name = f"stream_an_gate_{next(_STREAM_GATE_SEQ)}"
+    streamed = SI.run_to_memory(
+        SI.windowed_event_counts(
+            stream, window_duration="1 day", watermark="1 hour"
+        ),
+        name,
+        shuffle_partitions=8,
+    )
+    s = zscore_daily_counts(
+        streamed.select(
+            F.col("event_type").alias("key"),
+            F.to_date("window_start").alias("day"),
+            F.col("n_events").alias("cnt"),
+        )
+    ).alias("s")
+    b = rolling_zscore_anomalies(batch).alias("b")
+    joined = s.join(b, ["key", "day"], "full_outer")
+    row_ok = (
+        F.col("s.cnt").eqNullSafe(F.col("b.cnt"))
+        & F.col("s.z").eqNullSafe(F.col("b.z"))
+        & F.col("s.is_anomaly").eqNullSafe(F.col("b.is_anomaly"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(
+            F.when(F.col("b.is_anomaly"), 1).otherwise(0)
+        ).cast("bigint").alias("n_anomalies"),
+        F.coalesce(
+            F.min(F.when(row_ok, 1).otherwise(0)) == 1, F.lit(True)
+        ).alias("matches_batch_twin"),
+    )
+
+
 EVENTS_ANOMALY_SQL = """
 WITH daily AS MATERIALIZED (
   SELECT event_type,
@@ -6443,6 +6494,15 @@ SELECT event_type, day, cnt,
        ROUND((cnt - mu) / sd, 4) AS z,
        ABS(ROUND((cnt - mu) / sd, 4)) > CAST(2.0 AS DOUBLE) AS is_anomaly
 FROM scored WHERE n_prior = 7 AND sd > 0
+"""
+
+
+STREAM_ANOMALY_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       TRUE AS matches_batch_twin
+FROM ({EVENTS_ANOMALY_SQL}) t
 """
 
 
@@ -6532,6 +6592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion_docs": rrf_fusion_docs,
         "knn_components_docs": knn_components_docs,
         "events_anomaly_daily": events_anomaly_daily,
+        "stream_anomaly_counts": stream_anomaly_counts,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6680,6 +6741,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion_docs": RRF_FUSION_SQL,
         "knn_components_docs": KNN_COMPONENTS_SQL,
         "events_anomaly_daily": EVENTS_ANOMALY_SQL,
+        "stream_anomaly_counts": STREAM_ANOMALY_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

@@ -345,6 +345,20 @@ def rolling_zscore_anomalies(
     daily = events.groupBy(
         F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return zscore_daily_counts(daily, window_days, z_threshold)
+
+
+def zscore_daily_counts(
+    daily: DataFrame,
+    window_days: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """The scoring half of :func:`rolling_zscore_anomalies`, exposed
+    separately so a STREAMED daily aggregate (bronze layer: a
+    watermarked 1-day tumbling window) can feed the same batch
+    scoring window (silver layer) — the stream-then-score shape the
+    streaming gate pins against its batch twin. ``daily`` must carry
+    (key, day, cnt)."""
     w = (
         Window.partitionBy("key")
         .orderBy("day")

@@ -209,6 +209,19 @@ HEADLINE = [
     "events_cohort_retention",
     # hash-embed + exact-integer Arrow local-top-k retrieval
     "rag_hash_retrieval_docs",
+    # similarity-graph analytics: the exact kNN gate is O(n²) BY
+    # CONTRACT over the bounded doc_id%5 sample (1M pairs at sf0.1,
+    # expression-only) — the full-corpus path is the probed
+    # knn_edges_lsh; PageRank/components iterate over the same cached
+    # edge frame
+    "knn_graph_docs",
+    "pagerank_docs",
+    "knn_components_docs",
+    # two-arm hybrid retrieval + broadcast-sized RRF fusion
+    "rrf_fusion_docs",
+    # window-over-aggregate anomaly scoring + its streaming twin
+    "events_anomaly_daily",
+    "stream_anomaly_counts",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

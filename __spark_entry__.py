@@ -6497,6 +6497,48 @@ FROM scored WHERE n_prior = 7 AND sd > 0
 """
 
 
+def graph_walks_docs(spark, sf_dir):
+    """Deterministic random walks over the kNN document graph
+    (operators/graph.py random_walks): 3 steps from every node, the
+    step-i edge chosen by the portable 32-bit multiplier hash —
+    node2vec-style positive-pair sampling with the RNG replaced by
+    an engine-reproducible integer hash, so the walk set is
+    bit-identical in any engine. Three chained hash joins on the
+    shared cached edge frame."""
+    return GR.random_walks(_knn_doc_edges(spark, sf_dir), walk_len=3)
+
+
+def _walks_sql(walk_len: int = 3) -> str:
+    """DuckDB twin of random_walks over the kNN edge CTEs: one CTE
+    per step, each picking rank = 1 + hash32(cur·1000003 + i) mod
+    outdeg via the shared two-limb portable hash (_hash32_sql)."""
+    ctes = ["w0 AS (SELECT v AS start, v AS cur FROM deg)"]
+    selects = []
+    for i in range(1, walk_len + 1):
+        h = _hash32_sql(f"(w.cur * 1000003 + {i})")
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT w.start, e.dst AS cur
+  FROM w{i - 1} w
+  JOIN deg d ON d.v = w.cur
+  JOIN e ON e.src = w.cur
+        AND e.rank = 1 + ({h} % d.outdeg))"""
+        )
+        selects.append(
+            f"SELECT start, CAST({i} AS INT) AS step, cur AS node FROM w{i}"
+        )
+    cte_block = ",\n".join(ctes)
+    select_block = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_KNN_EDGE_CTES},
+deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg FROM e GROUP BY 1),
+{cte_block}
+{select_block}"""
+
+
+GRAPH_WALKS_SQL = _walks_sql(3)
+
+
 STREAM_ANOMALY_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
        CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
@@ -6593,6 +6635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_components_docs": knn_components_docs,
         "events_anomaly_daily": events_anomaly_daily,
         "stream_anomaly_counts": stream_anomaly_counts,
+        "graph_walks_docs": graph_walks_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6742,6 +6785,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_components_docs": KNN_COMPONENTS_SQL,
         "events_anomaly_daily": EVENTS_ANOMALY_SQL,
         "stream_anomaly_counts": STREAM_ANOMALY_SQL,
+        "graph_walks_docs": GRAPH_WALKS_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

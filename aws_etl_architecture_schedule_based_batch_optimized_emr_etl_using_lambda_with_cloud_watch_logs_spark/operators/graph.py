@@ -330,3 +330,68 @@ def knn_edges_lsh(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "rank")
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic hash-driven random walks over a RANKED edge list
+    (the kNN graph): from every source node, ``walk_len`` steps; at
+    step ``i`` standing on node ``v`` the walker takes the edge with
+    rank ``1 + hash32(v·1000003 + i) mod outdeg(v)`` — the
+    node2vec-style positive-pair sampler (walk co-occurrences are the
+    positive pairs for embedding training), made ENGINE-REPRODUCIBLE
+    by replacing the RNG with the repo's portable 32-bit multiplier
+    hash (mixing.hash32_expr; exact under ANSI for any bigint id).
+
+    Plan: ``walk_len`` statically chained hash joins on the edge key
+    (src, rank) — each step is one broadcast/hash join + projection,
+    linear in nodes, no shuffle growth per step beyond the join
+    itself; at scale the edge frame is the persisted kNN index,
+    bucketed by src so every step is a co-located probe. Returns
+    (start, step, node) — step 0 rows are omitted (trivially the
+    start node).
+    """
+    from .mixing import hash32_expr
+
+    deg = edges.groupBy(F.col(src).alias("_wv")).agg(
+        F.count(F.lit(1)).alias("_wdeg")
+    )
+    e = edges.select(
+        F.col(src).alias("_wsrc"),
+        F.col(dst).alias("_wdst"),
+        F.col(rank_col).alias("_wrank"),
+    )
+    cur = deg.select(F.col("_wv").alias("start"), F.col("_wv").alias("cur"))
+    steps = []
+    for i in range(1, walk_len + 1):
+        pick = F.lit(1) + F.pmod(
+            hash32_expr(F.col("cur") * F.lit(1000003) + F.lit(i)),
+            F.col("_wdeg"),
+        )
+        stepped = (
+            cur.join(deg, F.col("cur") == F.col("_wv"))
+            .withColumn("_wpick", pick)
+            .join(
+                e,
+                (F.col("cur") == F.col("_wsrc"))
+                & (F.col("_wpick") == F.col("_wrank")),
+            )
+            .select("start", F.col("_wdst").alias("cur"))
+        )
+        steps.append(
+            stepped.select(
+                "start",
+                F.lit(i).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+        cur = stepped
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.union(s)
+    return out

@@ -222,6 +222,8 @@ HEADLINE = [
     # window-over-aggregate anomaly scoring + its streaming twin
     "events_anomaly_daily",
     "stream_anomaly_counts",
+    # hash-driven node2vec-style walks: 3 chained joins on the kNN index
+    "graph_walks_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -158,3 +158,53 @@ def test_knn_edges_lsh_ranks_are_contiguous(spark):
         by_src.setdefault(r.src, []).append(r.rank)
     for ranks in by_src.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_random_walks_follow_hash_picks(spark):
+    """Hand-recompute the hash-driven edge choice for every step on a
+    small ranked edge list (ring + chords) and require the walk frame
+    to match exactly."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.mixing import (
+        hash32_expr,  # noqa: F401 - parity is via the python twin below
+    )
+
+    def h32(key):
+        k32 = key % (1 << 32)
+        hi, lo = k32 >> 16, k32 & 0xFFFF
+        return ((hi * 2654435761) % (1 << 16) * (1 << 16)
+                + lo * 2654435761) % (1 << 32)
+
+    edges = []
+    for v in range(6):
+        nbrs = [(v + 1) % 6, (v + 2) % 6, (v + 4) % 6]
+        for r, d in enumerate(nbrs, start=1):
+            edges.append((v, d, r))
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, rank int")
+    got = {
+        (r.start, r.step, r.node)
+        for r in G.random_walks(e, walk_len=3).collect()
+    }
+    adj = {}
+    for s, d, r in edges:
+        adj.setdefault(s, {})[r] = d
+    want = set()
+    for start in range(6):
+        cur = start
+        for i in range(1, 4):
+            pick = 1 + h32(cur * 1000003 + i) % len(adj[cur])
+            cur = adj[cur][pick]
+            want.add((start, i, cur))
+    assert got == want
+
+
+def test_random_walks_one_row_per_start_per_step(spark):
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1), (1, 2, 2), (2, 1, 1)],
+        "src bigint, dst bigint, rank int",
+    )
+    rows = G.random_walks(e, walk_len=4).collect()
+    from collections import Counter
+
+    c = Counter((r.start, r.step) for r in rows)
+    assert all(v == 1 for v in c.values())
+    assert len({r.start for r in rows}) == 3 and len(rows) == 12

@@ -6539,6 +6539,38 @@ deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg FROM e GROUP BY 1),
 GRAPH_WALKS_SQL = _walks_sql(3)
 
 
+def knn_triangles_docs(spark, sf_dir):
+    """Per-document triangle counts over the undirected closure of
+    the kNN similarity graph (operators/graph.py triangle_counts):
+    oriented wedge-close with a<b<c so each triangle counts once —
+    the community-density curation signal. Degree ≤ 2k bounds the
+    wedge fan-out; all-integer, engine-exact."""
+    return GR.triangle_counts(_knn_doc_edges(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "n_triangles"
+    )
+
+
+KNN_TRIANGLES_SQL = f"""
+WITH {_KNN_EDGE_CTES},
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+member AS (
+  SELECT x AS id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+cnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM member GROUP BY id)
+SELECT n.id AS doc_id, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN cnt ON cnt.id = n.id
+"""
+
+
 STREAM_ANOMALY_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
        CAST(SUM(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT)
@@ -6636,6 +6668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly_daily": events_anomaly_daily,
         "stream_anomaly_counts": stream_anomaly_counts,
         "graph_walks_docs": graph_walks_docs,
+        "knn_triangles_docs": knn_triangles_docs,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6786,6 +6819,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_daily": EVENTS_ANOMALY_SQL,
         "stream_anomaly_counts": STREAM_ANOMALY_SQL,
         "graph_walks_docs": GRAPH_WALKS_SQL,
+        "knn_triangles_docs": KNN_TRIANGLES_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

@@ -395,3 +395,52 @@ def random_walks(
     for s in steps[1:]:
         out = out.union(s)
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED closure of a
+    directed edge list (the standard clustering/community-density
+    signal). Classic ordered wedge-close plan:
+
+    1. symmetrize + orient: keep each undirected edge once as
+       (a < b) — halves the join fan-out and makes every triangle
+       countable exactly once as a < b < c;
+    2. wedges: self-join oriented edges on the middle vertex
+       ((a,b) ⋈ (b,c), a < b < c);
+    3. close: hash-join wedges against the oriented edge set on
+       (a, c).
+
+    On a kNN graph the degree is bounded by 2k, so wedges ≤ |V|·(2k)²
+    and the whole plan is linear in nodes — the scale-correct shape
+    (no unbounded skew; a power-law graph would first cap degrees,
+    the standard Cohen trick). All-integer, so engine-exact. Returns
+    (id, n_triangles) for EVERY node in the graph, zeros included."""
+    a, b = F.col(src), F.col(dst)
+    und = edges.select(
+        F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")
+    tri = wedges.join(
+        und,
+        (F.col("x") == F.col("a")) & (F.col("z") == F.col("b")),
+    ).select("x", "y", "z")
+    member = tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+    counts = member.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    nodes = (
+        edges.select(a.alias("id")).union(edges.select(b.alias("id")))
+        .distinct()
+    )
+    return nodes.join(counts, "id", "left").select(
+        "id",
+        F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias(
+            "n_triangles"
+        ),
+    )

@@ -224,6 +224,8 @@ HEADLINE = [
     "stream_anomaly_counts",
     # hash-driven node2vec-style walks: 3 chained joins on the kNN index
     "graph_walks_docs",
+    # oriented wedge-close triangle counts, degree-bounded fan-out
+    "knn_triangles_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

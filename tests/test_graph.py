@@ -208,3 +208,26 @@ def test_random_walks_one_row_per_start_per_step(spark):
     c = Counter((r.start, r.step) for r in rows)
     assert all(v == 1 for v in c.values())
     assert len({r.start for r in rows}) == 3 and len(rows) == 12
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 on {0,1,2,3} (every node in 3 triangles) plus a pendant
+    node 4 (zero triangles) and an isolated edge 5-6."""
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (5, 6),
+    ]
+    e = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.id: r.n_triangles for r in G.triangle_counts(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+
+
+def test_triangle_counts_direction_and_dup_insensitive(spark):
+    """Reversed / duplicated directed edges must not change counts
+    (undirected closure dedups)."""
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2), (0, 1)],
+        "src bigint, dst bigint",
+    )
+    got = {r.id: r.n_triangles for r in G.triangle_counts(e).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

@@ -6539,6 +6539,94 @@ deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg FROM e GROUP BY 1),
 GRAPH_WALKS_SQL = _walks_sql(3)
 
 
+def data_quality_audit(spark, sf_dir):
+    """Post-load data-quality expectation report (operators/audit.py
+    — the dbt-tests/Deequ surface): PK uniqueness, required columns,
+    FK coverage via anti-joins, value ranges, and accepted sets over
+    the warehouse tables, one linear aggregate per check, unioned
+    into (check_name, n_violations, passed). Deterministic integers
+    end-to-end. Complements dq_checks_orders (the single-table
+    wide-row conditional-aggregation audit): this gate exercises the
+    COMPOSABLE expectation API across three tables in long format —
+    the shape a config-driven ingest gate consumes."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        audit as AU,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return AU.expectation_report(
+        [
+            AU.pk_unique(o, "o_orderkey", "orders_pk_unique"),
+            AU.pk_unique(c, "c_custkey", "customer_pk_unique"),
+            AU.not_null(o, "o_custkey", "orders_custkey_not_null"),
+            AU.fk_covered(
+                o, "o_custkey", c, "c_custkey", "orders_fk_customer"
+            ),
+            AU.fk_covered(
+                li, "l_orderkey", o, "o_orderkey", "lineitem_fk_orders"
+            ),
+            AU.in_range(
+                li, "l_quantity", 1, 50, "lineitem_quantity_range"
+            ),
+            AU.in_range(
+                li, "l_discount", 0.0, 0.1, "lineitem_discount_range"
+            ),
+            AU.accepted_values(
+                o,
+                "o_orderpriority",
+                [
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ],
+                "orders_priority_accepted",
+            ),
+        ]
+    )
+
+
+DATA_QUALITY_SQL = """
+SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'orders_pk_unique' AS check_name,
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'customer_pk_unique',
+         COUNT(c_custkey) - COUNT(DISTINCT c_custkey) FROM customer
+  UNION ALL
+  SELECT 'orders_custkey_not_null',
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
+  UNION ALL
+  SELECT 'orders_fk_customer', COUNT(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'lineitem_quantity_range',
+         SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_priority_accepted',
+         SUM(CASE WHEN o_orderpriority IN
+               ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED',
+                '5-LOW') THEN 0 ELSE 1 END)
+  FROM orders)
+"""
+
+
 def knn_triangles_docs(spark, sf_dir):
     """Per-document triangle counts over the undirected closure of
     the kNN similarity graph (operators/graph.py triangle_counts):
@@ -6669,6 +6757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_anomaly_counts": stream_anomaly_counts,
         "graph_walks_docs": graph_walks_docs,
         "knn_triangles_docs": knn_triangles_docs,
+        "data_quality_audit": data_quality_audit,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6820,6 +6909,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_anomaly_counts": STREAM_ANOMALY_SQL,
         "graph_walks_docs": GRAPH_WALKS_SQL,
         "knn_triangles_docs": KNN_TRIANGLES_SQL,
+        "data_quality_audit": DATA_QUALITY_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

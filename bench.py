@@ -226,6 +226,8 @@ HEADLINE = [
     "graph_walks_docs",
     # oriented wedge-close triangle counts, degree-bounded fan-out
     "knn_triangles_docs",
+    # dbt-style expectation report: one pruned aggregate per check
+    "data_quality_audit",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

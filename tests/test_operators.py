@@ -3671,3 +3671,65 @@ def test_rolling_zscore_skips_zero_variance_and_short_history(spark):
         rows, "event_id bigint, ts timestamp, event_type string"
     )
     assert rolling_zscore_anomalies(e).count() == 0
+
+
+def test_expectation_report_flags_planted_violations(spark):
+    """Plant one violation per expectation class and require exact
+    violation counts."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        audit as AU,
+    )
+
+    parent = spark.createDataFrame(
+        [(1,), (2,), (3,)], "pk bigint"
+    )
+    child = spark.createDataFrame(
+        [
+            (10, 1, 5.0, "a"),
+            (10, 2, 5.0, "b"),     # duplicate child pk
+            (11, 9, 51.0, "a"),    # orphan fk + out-of-range
+            (12, None, None, "z"), # null fk + null measure + bad value
+        ],
+        "id bigint, fk bigint, qty double, status string",
+    )
+    rep = {
+        r.check_name: (r.n_violations, r.passed)
+        for r in AU.expectation_report(
+            [
+                AU.pk_unique(child, "id", "child_pk"),
+                AU.not_null(child, "fk", "fk_not_null"),
+                AU.fk_covered(child, "fk", parent, "pk", "fk_covered"),
+                AU.in_range(child, "qty", 0, 50, "qty_range"),
+                AU.accepted_values(
+                    child, "status", ["a", "b"], "status_accepted"
+                ),
+            ]
+        ).collect()
+    }
+    assert rep == {
+        "child_pk": (1, False),
+        "fk_not_null": (1, False),
+        # null fk joins nothing -> orphan; 9 -> orphan
+        "fk_covered": (2, False),
+        # 51 out of range + null measure violates
+        "qty_range": (2, False),
+        "status_accepted": (1, False),
+    }
+
+
+def test_expectation_report_all_green_on_clean_data(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        audit as AU,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "pk bigint, status string"
+    )
+    rep = AU.expectation_report(
+        [
+            AU.pk_unique(t, "pk", "pk"),
+            AU.not_null(t, "pk", "nn"),
+            AU.accepted_values(t, "status", ["a", "b"], "vals"),
+        ]
+    ).collect()
+    assert all(r.passed and r.n_violations == 0 for r in rep)

@@ -6627,6 +6627,96 @@ FROM (
 """
 
 
+def scd2_customers(spark, sf_dir):
+    """SCD Type-2 dimension merge (operators/scd.py scd2_merge): the
+    customer dimension bootstrapped current-from 2024-01-01, then an
+    update batch applied at 2024-02-01 — one in ten customers changes
+    balance (+100, closes + re-inserts), one in ten re-sends
+    unchanged attributes (idempotent no-op, row passes through), and
+    one in a hundred arrives as a brand-new key (plain insert).
+    Returns the full post-merge dimension state; every classification
+    branch is present in the output. Deterministic arithmetic and
+    literal timestamps — engine-exact."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scd as SCD,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    current = SCD.scd2_init(
+        c.select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_acctbal").alias("acctbal"),
+        ),
+        "key",
+        ["segment", "acctbal"],
+        "2024-01-01",
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("acctbal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 1).select(
+                F.col("c_custkey").alias("key"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("c_acctbal").alias("acctbal"),
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 7).select(
+                (F.col("c_custkey") + F.lit(10_000_000)).alias("key"),
+                F.lit("NEW").alias("segment"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    return SCD.scd2_merge(
+        current, updates, "key", ["segment", "acctbal"], "2024-02-01"
+    )
+
+
+SCD2_SQL = """
+WITH cur AS MATERIALIZED (
+  SELECT c_custkey AS key, c_mktsegment AS segment, c_acctbal AS acctbal,
+         TIMESTAMP '2024-01-01' AS effective_from,
+         CAST(NULL AS TIMESTAMP) AS effective_to,
+         TRUE AS is_current
+  FROM customer),
+upd AS MATERIALIZED (
+  SELECT c_custkey AS key, c_mktsegment AS segment,
+         c_acctbal + 100.0 AS acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW', 0.0
+  FROM customer WHERE c_custkey % 100 = 7),
+chg AS MATERIALIZED (
+  SELECT u.key FROM upd u JOIN cur c ON c.key = u.key
+  WHERE NOT (u.segment IS NOT DISTINCT FROM c.segment
+             AND u.acctbal IS NOT DISTINCT FROM c.acctbal)),
+newk AS (
+  SELECT u.key FROM upd u
+  WHERE NOT EXISTS (SELECT 1 FROM cur c WHERE c.key = u.key))
+SELECT key, segment, acctbal, effective_from, effective_to, is_current
+FROM cur WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.key = cur.key)
+UNION ALL
+SELECT key, segment, acctbal, effective_from,
+       TIMESTAMP '2024-02-01', FALSE
+FROM cur WHERE EXISTS (SELECT 1 FROM chg WHERE chg.key = cur.key)
+UNION ALL
+SELECT u.key, u.segment, u.acctbal, TIMESTAMP '2024-02-01',
+       CAST(NULL AS TIMESTAMP), TRUE
+FROM upd u
+WHERE EXISTS (SELECT 1 FROM chg WHERE chg.key = u.key)
+   OR EXISTS (SELECT 1 FROM newk WHERE newk.key = u.key)
+"""
+
+
 def knn_triangles_docs(spark, sf_dir):
     """Per-document triangle counts over the undirected closure of
     the kNN similarity graph (operators/graph.py triangle_counts):
@@ -6758,6 +6848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks_docs": graph_walks_docs,
         "knn_triangles_docs": knn_triangles_docs,
         "data_quality_audit": data_quality_audit,
+        "scd2_customers": scd2_customers,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -6910,6 +7001,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_walks_docs": GRAPH_WALKS_SQL,
         "knn_triangles_docs": KNN_TRIANGLES_SQL,
         "data_quality_audit": DATA_QUALITY_SQL,
+        "scd2_customers": SCD2_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

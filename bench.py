@@ -228,6 +228,8 @@ HEADLINE = [
     "knn_triangles_docs",
     # dbt-style expectation report: one pruned aggregate per check
     "data_quality_audit",
+    # SCD2 dimension merge: current-slice join + semi/anti probes
+    "scd2_customers",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

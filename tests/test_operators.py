@@ -3733,3 +3733,70 @@ def test_expectation_report_all_green_on_clean_data(spark):
         ]
     ).collect()
     assert all(r.passed and r.n_violations == 0 for r in rep)
+
+
+def test_scd2_merge_branches_and_idempotency(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scd as SCD,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold", 10.0), (2, "silver", 5.0), (3, "bronze", 1.0)],
+        "key bigint, tier string, bal double",
+    )
+    cur = SCD.scd2_init(dim, "key", ["tier", "bal"], "2024-01-01")
+    updates = spark.createDataFrame(
+        [
+            (1, "gold", 10.0),     # no-op
+            (2, "gold", 5.0),      # tracked change -> close + insert
+            (9, "new", 0.0),       # brand-new key
+        ],
+        "key bigint, tier string, bal double",
+    )
+    after = SCD.scd2_merge(cur, updates, "key", ["tier", "bal"], "2024-02-01")
+    rows = {
+        (r.key, r.tier, r.bal, r.is_current,
+         str(r.effective_from)[:10],
+         str(r.effective_to)[:10] if r.effective_to else None)
+        for r in after.collect()
+    }
+    assert rows == {
+        (1, "gold", 10.0, True, "2024-01-01", None),
+        (2, "silver", 5.0, False, "2024-01-01", "2024-02-01"),
+        (2, "gold", 5.0, True, "2024-02-01", None),
+        (3, "bronze", 1.0, True, "2024-01-01", None),
+        (9, "new", 0.0, True, "2024-02-01", None),
+    }
+    # idempotent: re-applying the SAME batch later changes nothing
+    again = SCD.scd2_merge(
+        after, updates, "key", ["tier", "bal"], "2024-03-01"
+    )
+    rows2 = {
+        (r.key, r.tier, r.bal, r.is_current,
+         str(r.effective_from)[:10],
+         str(r.effective_to)[:10] if r.effective_to else None)
+        for r in again.collect()
+    }
+    assert rows2 == rows
+
+
+def test_scd2_null_tracked_values_null_safe(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scd as SCD,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, None), (2, "x")], "key bigint, tier string"
+    )
+    cur = SCD.scd2_init(dim, "key", ["tier"], "2024-01-01")
+    updates = spark.createDataFrame(
+        [(1, None), (2, None)], "key bigint, tier string"
+    )
+    after = SCD.scd2_merge(cur, updates, "key", ["tier"], "2024-02-01")
+    got = {(r.key, r.tier, r.is_current) for r in after.collect()}
+    # key 1: null == null (null-safe) -> untouched; key 2: x -> null
+    assert got == {
+        (1, None, True),
+        (2, "x", False),
+        (2, None, True),
+    }

@@ -6627,6 +6627,31 @@ FROM (
 """
 
 
+def k_anonymity_customers(spark, sf_dir):
+    """K-anonymity audit (operators/governance.py
+    k_anonymity_report, k=5) over the customer quasi-identifiers
+    (nation, market segment): the class-size histogram with
+    violation flags — the privacy gate a dataset passes before
+    export, publishing sizes, never the identifying values. Two
+    shrinking integer aggregates; engine-exact."""
+    return GV.k_anonymity_report(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=5,
+    )
+
+
+K_ANONYMITY_SQL = """
+SELECT class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+       class_size < 5 AS violates
+FROM (
+  SELECT COUNT(*) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+GROUP BY class_size
+"""
+
+
 def scd2_customers(spark, sf_dir):
     """SCD Type-2 dimension merge (operators/scd.py scd2_merge): the
     customer dimension bootstrapped current-from 2024-01-01, then an
@@ -6849,6 +6874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangles_docs": knn_triangles_docs,
         "data_quality_audit": data_quality_audit,
         "scd2_customers": scd2_customers,
+        "k_anonymity_customers": k_anonymity_customers,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -7002,6 +7028,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_triangles_docs": KNN_TRIANGLES_SQL,
         "data_quality_audit": DATA_QUALITY_SQL,
         "scd2_customers": SCD2_SQL,
+        "k_anonymity_customers": K_ANONYMITY_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

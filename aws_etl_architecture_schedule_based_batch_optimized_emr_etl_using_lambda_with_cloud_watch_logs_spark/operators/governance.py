@@ -118,3 +118,35 @@ def purge_audit(
             ).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """K-anonymity audit over a set of quasi-identifier columns: a
+    dataset is k-anonymous when every equivalence class (distinct
+    quasi-identifier combination) contains ≥ k rows — smaller classes
+    re-identify individuals by linkage. Returns ONE row per class
+    SIZE (class_size, n_classes, n_rows, violates) — the class-size
+    histogram, never the classes themselves (publishing the violating
+    quasi-identifier values would itself leak; the histogram is safe
+    to export). Two shrinking hash aggregates: rows → classes →
+    sizes; linear, map-side combined, no skew (class count bounds the
+    second stage)."""
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("bigint")
+            .alias("n_rows"),
+            (F.col("class_size") < k).alias("violates"),
+        )
+    )

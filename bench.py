@@ -230,6 +230,8 @@ HEADLINE = [
     "data_quality_audit",
     # SCD2 dimension merge: current-slice join + semi/anti probes
     "scd2_customers",
+    # k-anonymity class-size histogram: two shrinking aggregates
+    "k_anonymity_customers",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -3800,3 +3800,28 @@ def test_scd2_null_tracked_values_null_safe(spark):
         (2, "x", False),
         (2, None, True),
     }
+
+
+def test_k_anonymity_histogram_and_flags(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        governance as GV,
+    )
+
+    rows = (
+        [("us", "a")] * 5      # class size 5 -> ok at k=5
+        + [("us", "b")] * 2    # size 2 -> violates
+        + [("fr", "a")] * 2    # size 2 -> violates (same size bucket)
+        + [("de", "c")]        # size 1 -> violates
+    )
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {
+        r.class_size: (r.n_classes, r.n_rows, r.violates)
+        for r in GV.k_anonymity_report(
+            df, ["nation", "seg"], k=5
+        ).collect()
+    }
+    assert got == {
+        5: (1, 5, False),
+        2: (2, 4, True),
+        1: (1, 1, True),
+    }

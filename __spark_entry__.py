@@ -6627,6 +6627,51 @@ FROM (
 """
 
 
+def incremental_agg_orders(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators/incremental.py): the per-priority order rollup built
+    as THREE partial batch states (o_orderkey mod 3) merged
+    pairwise — never one full-history aggregate — and the DuckDB
+    oracle computes the DIRECT full rollup, so the value-hash match
+    PROVES merge(state(A), state(B), state(C)) == state(A∪B∪C)
+    exactly (decimal sum lattice, fold-stable min/max, additive
+    counts). The 100 TB point: each nightly batch contributes one
+    O(batch) state; the rollup refresh touches only state-sized
+    frames."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        incremental as INC,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority"]
+    states = [
+        INC.additive_agg_state(
+            o.filter(F.col("o_orderkey") % 3 == i), keys, "o_totalprice"
+        )
+        for i in range(3)
+    ]
+    merged = INC.merge_agg_states(
+        INC.merge_agg_states(states[0], states[1], keys), states[2], keys
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_rows",
+        F.round("m_sum", 4).alias("sum_price"),
+        "m_min",
+        "m_max",
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_price,
+       MIN(o_totalprice) AS m_min,
+       MAX(o_totalprice) AS m_max
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def k_anonymity_customers(spark, sf_dir):
     """K-anonymity audit (operators/governance.py
     k_anonymity_report, k=5) over the customer quasi-identifiers
@@ -6875,6 +6920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_audit": data_quality_audit,
         "scd2_customers": scd2_customers,
         "k_anonymity_customers": k_anonymity_customers,
+        "incremental_agg_orders": incremental_agg_orders,
         "reservoir_sample_docs": reservoir_sample_docs,
         "classifier_score_docs": classifier_score_docs,
         "stratified_exact_docs": stratified_exact_docs,
@@ -7029,6 +7075,7 @@ def oracle_sql() -> dict[str, str]:
         "data_quality_audit": DATA_QUALITY_SQL,
         "scd2_customers": SCD2_SQL,
         "k_anonymity_customers": K_ANONYMITY_SQL,
+        "incremental_agg_orders": INCREMENTAL_AGG_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,
         "classifier_score_docs": CLASSIFIER_SQL,
         "stratified_exact_docs": STRATIFIED_EXACT_SQL,

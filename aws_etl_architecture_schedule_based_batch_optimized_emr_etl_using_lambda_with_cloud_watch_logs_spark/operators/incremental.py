@@ -1,0 +1,68 @@
+"""Incremental materialized-aggregate maintenance: keep a grouped
+aggregate fresh by MERGING the partial state of a new batch into the
+stored state, never rescanning history — the materialized-view
+refresh pattern that turns an O(100 TB) nightly rollup into an
+O(batch) one. Only ALGEBRAIC aggregates participate (count/sum/
+min/max — and avg as sum÷count at read time): their states merge by
+the same operation that built them, so merge(state(A), state(B)) ==
+state(A ∪ B) exactly (integer/decimal sums are order-independent).
+Holistic aggregates (median, distinct) need sketches instead — see
+operators/sketch.py (HLL/count-min), which follow the same
+build-merge contract.
+
+Plan shape: building a state is one map-side-combined hash
+aggregate over the batch; merging is a full-outer join (or union +
+re-aggregate, chosen here: simpler, same shuffle) on the group keys
+over two STATE-sized frames — the fact table is never touched after
+its batch lands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def additive_agg_state(
+    df: DataFrame,
+    keys: list[str],
+    measure: str,
+    decimal: bool = True,
+) -> DataFrame:
+    """Partial aggregate state for one measure: (keys, n_rows,
+    m_sum, m_min, m_max). ``decimal=True`` sums through
+    DECIMAL(18,4) (exact, order-independent — the money-sum
+    convention) and exposes the sum as double."""
+    m = F.col(measure)
+    s = (
+        F.sum(m.cast("decimal(18,4)")).cast("double")
+        if decimal
+        else F.sum(m)
+    )
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        s.alias("m_sum"),
+        F.min(m).alias("m_min"),
+        F.max(m).alias("m_max"),
+    )
+
+
+def merge_agg_states(
+    a: DataFrame, b: DataFrame, keys: list[str], decimal: bool = True
+) -> DataFrame:
+    """Merge two partial states: counts add, sums add (through the
+    same decimal lattice they were built in), min/max fold. Groups
+    present in only one state pass through — union + one re-aggregate
+    over the two STATE-sized frames."""
+    u = a.unionByName(b)
+    s = (
+        F.sum(F.col("m_sum").cast("decimal(18,4)")).cast("double")
+        if decimal
+        else F.sum("m_sum")
+    )
+    return u.groupBy(*keys).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        s.alias("m_sum"),
+        F.min("m_min").alias("m_min"),
+        F.max("m_max").alias("m_max"),
+    )

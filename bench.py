@@ -232,6 +232,8 @@ HEADLINE = [
     "scd2_customers",
     # k-anonymity class-size histogram: two shrinking aggregates
     "k_anonymity_customers",
+    # materialized-view refresh: 3 batch states merged, fact never rescanned
+    "incremental_agg_orders",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -3825,3 +3825,32 @@ def test_k_anonymity_histogram_and_flags(spark):
         2: (2, 4, True),
         1: (1, 1, True),
     }
+
+
+def test_incremental_agg_merge_equals_direct(spark):
+    """merge(state(A), state(B)) must equal state(A ∪ B) exactly,
+    including a group present in only one batch."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        incremental as INC,
+    )
+
+    rows = [
+        ("p1", 10.5), ("p1", 1.25), ("p2", 3.0),
+        ("p2", -2.0), ("p3", 7.75),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = df.filter(F.col("v") > 2)
+    b = df.filter(F.col("v") <= 2)
+    merged = {
+        r.k: (r.n_rows, r.m_sum, r.m_min, r.m_max)
+        for r in INC.merge_agg_states(
+            INC.additive_agg_state(a, ["k"], "v"),
+            INC.additive_agg_state(b, ["k"], "v"),
+            ["k"],
+        ).collect()
+    }
+    direct = {
+        r.k: (r.n_rows, r.m_sum, r.m_min, r.m_max)
+        for r in INC.additive_agg_state(df, ["k"], "v").collect()
+    }
+    assert merged == direct

@@ -4450,6 +4450,19 @@ def sim_topk_ivf(spark, sf_dir):
     )
 
 
+def sim_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/projection.py pq_topk —
+    FAISS-PQ/ADC shape): per-subspace codebooks trained on a bounded
+    sample, corpus encoded to m nibble codes (32× scan-byte cut),
+    query-side ADC tables make scoring m lookups per vector, exact
+    float rerank of the shortlist. Same recall contract as
+    LSH/IVF/RP/SQ8 (_ann_recall_gate)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return _ann_recall_gate(
+        spark, sf_dir, PJ.pq_topk(e, query_ids=list(range(10)), k=5)
+    )
+
+
 def sim_neardup_exact(spark, sf_dir):
     """Exact all-pairs cosine near-dup pairs (the correctness oracle
     for the LSH path; O(n²) — small-scale only)."""
@@ -6876,6 +6889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_boundaries_docs": pack_boundaries_docs,
         "sim_topk_rp": sim_topk_rp,
         "sim_topk_sq": sim_topk_sq,
+        "sim_topk_pq": sim_topk_pq,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "hard_negatives_vecs": hard_negatives_vecs,
         "sim_topk_lsh": sim_topk_lsh,
@@ -7117,6 +7131,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords_docs": TFIDF_SQL,
         "sim_topk_rp": ANN_RECALL_SQL,
         "sim_topk_sq": ANN_RECALL_SQL,
+        "sim_topk_pq": ANN_RECALL_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

@@ -234,6 +234,8 @@ HEADLINE = [
     "k_anonymity_customers",
     # materialized-view refresh: 3 batch states merged, fact never rescanned
     "incremental_agg_orders",
+    # PQ/ADC ANN: encode + table-lookup shortlist + exact rerank
+    "sim_topk_pq",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -3854,3 +3854,48 @@ def test_incremental_agg_merge_equals_direct(spark):
         for r in INC.additive_agg_state(df, ["k"], "v").collect()
     }
     assert merged == direct
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ/ADC shortlist + exact rerank must recover most of the exact
+    top-5 on the fixture embeddings (same ≥0.5 contract as the other
+    ANN paths; measured well above it — reconstruction error is small
+    vs the cosine margins at 64d/8x16)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+        similarity as S,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(5))
+    exact = {
+        (r.q_id, r.n_id)
+        for r in S.brute_force_topk(e, query_ids=qids, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id)
+        for r in PJ.pq_topk(e, query_ids=qids, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    import numpy as np
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    rng = np.random.RandomState(3)
+    sample = rng.randn(64, 16)
+    b1 = PJ._pq_codebooks(sample, m=4, kc=8)
+    b2 = PJ._pq_codebooks(sample, m=4, kc=8)
+    assert b1.shape == (4, 8, 4) and np.array_equal(b1, b2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    enc = PJ.pq_encode_pudf(b1)
+    codes = df.select(enc("embedding").alias("c")).collect()
+    assert all(len(r.c) == 4 and all(0 <= x < 8 for x in r.c) for r in codes)

@@ -67,6 +67,9 @@ ARROW_STAGE_EXPECTED = {
     "sim_topk_rp": 3,
     # SQ8 shortlist+rerank over JVM-dequantized vectors + truth side
     "sim_topk_sq": 2,
+    # PQ/ADC: encode pass + ADC shortlist kernel + truth side (the
+    # rerank itself is JVM expression cosine)
+    "sim_topk_pq": 3,
     # hard-negative mining: one label-masked Arrow local-top-k
     # candidate stage, JVM rounded-cosine rerank
     "hard_negatives_vecs": 1,

@@ -276,6 +276,10 @@ def main() -> None:
             ),
             n_iter=4,
         ).count(),
+        # PQ/ADC ANN: encode pass + m-lookup scoring scan, both linear
+        "sim_pq": lambda e: PJ.pq_topk(
+            e, query_ids=list(range(10)), k=5
+        ).count(),
         # hybrid RRF retrieval: BM25 arm + hashed-vector Arrow arm,
         # broadcast-sized fusion join
         "rrf_fusion": lambda d: SR.hybrid_rrf_topk(
@@ -331,6 +335,7 @@ def main() -> None:
         "funnel_3step": (ev, ["user_id", "event_id"]),
         "cohort_retention": (ev, ["user_id", "event_id"]),
         "knn_graph_lsh": (docs, ["doc_id"]),
+        "sim_pq": (emb, ["vec_id"]),
         "pagerank_neardup": (docs, ["doc_id"]),
         "rrf_fusion": (docs, ["doc_id"]),
     }

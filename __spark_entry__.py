@@ -4463,6 +4463,91 @@ def sim_topk_pq(spark, sf_dir):
     )
 
 
+def matryoshka_recall_vecs(spark, sf_dir):
+    """Matryoshka/MRL dimension-ablation audit: recall of cosine
+    top-5 computed on PREFIX-truncated embeddings (64 → 32 → 16
+    dims) against the full-dimension exact top-5 — the measurement
+    that decides how far an embedding column can be truncated before
+    retrieval quality collapses (storage/bandwidth lever at 100 TB:
+    a 16-dim prefix scan reads 4× fewer bytes). Each prefix level is
+    one slice projection + the shared Arrow local-top-k kernel; the
+    per-level hit counts are exact joins on (q_id, n_id). DuckDB
+    recomputes every level from scratch with list_slice."""
+    exact = _exact_topk(spark, sf_dir).select("q_id", "n_id")
+    e = _t(spark, sf_dir, "embeddings")
+    levels = []
+    for dim in (64, 32, 16):
+        sliced = e.select(
+            "vec_id", F.slice("embedding", 1, dim).alias("embedding")
+        )
+        approx = S.brute_force_topk(
+            sliced, query_ids=list(range(10)), k=5
+        ).select("q_id", "n_id")
+        hits = exact.join(approx, ["q_id", "n_id"], "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        totals = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        levels.append(
+            totals.crossJoin(F.broadcast(hits)).select(
+                F.lit(dim).cast("int").alias("prefix_dim"),
+                "n_hits",
+                "n_exact",
+                F.round(F.col("n_hits") / F.col("n_exact"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _matryoshka_sql() -> str:
+    """Per-prefix-level exact recomputation: full-dim truth once,
+    then one ranked CTE per slice level."""
+    level_ctes, level_rows = [], []
+    for dim in (64, 32, 16):
+        level_ctes.append(
+            f"""t{dim} AS MATERIALIZED (
+  SELECT q_id, n_id FROM (
+    SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(list_slice(q.dv, 1, {dim}),
+                                       list_slice(e.dv, 1, {dim}))
+                      / (sqrt(list_dot_product(list_slice(q.dv, 1, {dim}),
+                                               list_slice(q.dv, 1, {dim})))
+                         * sqrt(list_dot_product(list_slice(e.dv, 1, {dim}),
+                                                 list_slice(e.dv, 1, {dim}))))
+                      DESC, e.vec_id) AS rank
+    FROM sq e CROSS JOIN (SELECT vec_id, dv FROM sq WHERE vec_id < 10) q
+    WHERE e.vec_id <> q.vec_id)
+  WHERE rank <= 5)"""
+        )
+        hit = (
+            f"SELECT COUNT(*) FROM t64 a JOIN t{dim} b "
+            f"ON a.q_id = b.q_id AND a.n_id = b.n_id"
+        )
+        level_rows.append(
+            f"""SELECT CAST({dim} AS INT) AS prefix_dim,
+       CAST(({hit}) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM t64) AS BIGINT) AS n_exact,
+       ROUND(({hit})
+             / CAST((SELECT COUNT(*) FROM t64) AS DOUBLE), 4) AS recall"""
+        )
+    ctes = ",\n".join(level_ctes)
+    rows = "\nUNION ALL\n".join(level_rows)
+    return f"""
+WITH sq AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+{ctes}
+{rows}"""
+
+
+MATRYOSHKA_SQL = _matryoshka_sql()
+
+
 def sim_neardup_exact(spark, sf_dir):
     """Exact all-pairs cosine near-dup pairs (the correctness oracle
     for the LSH path; O(n²) — small-scale only)."""
@@ -6890,6 +6975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_rp": sim_topk_rp,
         "sim_topk_sq": sim_topk_sq,
         "sim_topk_pq": sim_topk_pq,
+        "matryoshka_recall_vecs": matryoshka_recall_vecs,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "hard_negatives_vecs": hard_negatives_vecs,
         "sim_topk_lsh": sim_topk_lsh,
@@ -7132,6 +7218,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_rp": ANN_RECALL_SQL,
         "sim_topk_sq": ANN_RECALL_SQL,
         "sim_topk_pq": ANN_RECALL_SQL,
+        "matryoshka_recall_vecs": MATRYOSHKA_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

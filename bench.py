@@ -236,6 +236,8 @@ HEADLINE = [
     "incremental_agg_orders",
     # PQ/ADC ANN: encode + table-lookup shortlist + exact rerank
     "sim_topk_pq",
+    # MRL prefix-truncation recall audit: 3 kernel passes + joins
+    "matryoshka_recall_vecs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

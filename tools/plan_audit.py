@@ -70,6 +70,9 @@ ARROW_STAGE_EXPECTED = {
     # PQ/ADC: encode pass + ADC shortlist kernel + truth side (the
     # rerank itself is JVM expression cosine)
     "sim_topk_pq": 3,
+    # Matryoshka ablation: one local-top-k kernel per prefix level
+    # (64/32/16) + the shared full-dim truth side
+    "matryoshka_recall_vecs": 4,
     # hard-negative mining: one label-masked Arrow local-top-k
     # candidate stage, JVM rounded-cosine rerank
     "hard_negatives_vecs": 1,

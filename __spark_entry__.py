@@ -4463,6 +4463,78 @@ def sim_topk_pq(spark, sf_dir):
     )
 
 
+def prf_expand_docs(spark, sf_dir):
+    """Pseudo-relevance-feedback retrieval (operators/search.py
+    prf_expand_topk, the RM3 shape): BM25 round one → top-3 feedback
+    docs per query → 5 strongest feedback terms (summed tf, integer-
+    deterministic ties) expand the query → BM25 round two, top-5.
+    Both rounds share one tf/df index build; scores rounded before
+    every ranking so the expanded ranking is engine-reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    return SR.prf_expand_topk(d, _BM25_QUERIES, topk=5)
+
+
+PRF_EXPAND_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+                    FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+meta AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfr AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {", ".join(
+    f"('{qid}', '{t}')"
+    for qid, qtext in _BM25_QUERIES
+    for t in sorted(set(qtext.lower().split()))
+)}),
+s1 AS MATERIALIZED (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN q ON tf.term = q.term
+  JOIN dfr ON tf.term = dfr.term, meta
+  GROUP BY q.query_id, tf.doc_id),
+top1 AS MATERIALIZED (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM s1) WHERE rank <= 3),
+fb AS MATERIALIZED (
+  SELECT query_id, term FROM (
+    SELECT t1.query_id, tf.term,
+           ROW_NUMBER() OVER (PARTITION BY t1.query_id
+                              ORDER BY SUM(tf.tf) DESC, tf.term) AS r
+    FROM top1 t1 JOIN tf ON tf.doc_id = t1.doc_id
+    GROUP BY t1.query_id, tf.term) WHERE r <= 5),
+q2 AS MATERIALIZED (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM q
+    UNION ALL SELECT query_id, term FROM fb)),
+s2 AS (
+  SELECT q2.query_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1))
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN q2 ON tf.term = q2.term
+  JOIN dfr ON tf.term = dfr.term, meta
+  GROUP BY q2.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM s2) WHERE rank <= 5
+"""
+
+
 def matryoshka_recall_vecs(spark, sf_dir):
     """Matryoshka/MRL dimension-ablation audit: recall of cosine
     top-5 computed on PREFIX-truncated embeddings (64 → 32 → 16
@@ -6976,6 +7048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_sq": sim_topk_sq,
         "sim_topk_pq": sim_topk_pq,
         "matryoshka_recall_vecs": matryoshka_recall_vecs,
+        "prf_expand_docs": prf_expand_docs,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "hard_negatives_vecs": hard_negatives_vecs,
         "sim_topk_lsh": sim_topk_lsh,
@@ -7219,6 +7292,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_sq": ANN_RECALL_SQL,
         "sim_topk_pq": ANN_RECALL_SQL,
         "matryoshka_recall_vecs": MATRYOSHKA_SQL,
+        "prf_expand_docs": PRF_EXPAND_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

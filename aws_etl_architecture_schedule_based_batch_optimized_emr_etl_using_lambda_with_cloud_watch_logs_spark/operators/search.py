@@ -84,7 +84,24 @@ def bm25_topk(
         ],
         ["query_id", "term"],
     )
+    scored = _bm25_score(tf, meta, df_, q_terms, k1, b, id_col)
+    return _rank_topk(scored, topk, id_col)
 
+
+def _bm25_score(
+    tf: DataFrame,
+    meta: DataFrame,
+    df_: DataFrame,
+    q_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 accumulation for a (query_id, term) frame against the
+    prebuilt tf/df index frames — shared by the literal-query path
+    (:func:`bm25_topk`) and the data-dependent expanded-query path
+    (:func:`prf_expand_topk`). Returns (query_id, id, score), score
+    rounded before any ranking."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -98,12 +115,15 @@ def bm25_topk(
     df_q = df_.join(
         F.broadcast(q_terms.select("term").distinct()), "term"
     ).crossJoin(F.broadcast(meta))
-    scored = (
+    return (
         tf.join(F.broadcast(q_terms), "term")
         .join(F.broadcast(df_q), "term")
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
     )
+
+
+def _rank_topk(scored: DataFrame, topk: int, id_col: str) -> DataFrame:
     rank = F.row_number().over(
         Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.col(id_col)
@@ -113,6 +133,61 @@ def bm25_topk(
         scored.withColumn("rank", rank)
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", id_col, "score")
+    )
+
+
+def prf_expand_topk(
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    topk: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (the RM3 shape):
+    run BM25, take each query's top ``fb_docs`` documents, harvest
+    their ``fb_terms`` strongest terms (summed tf over the feedback
+    docs, ties on the term — deterministic integers), expand the
+    query with them, and re-score. Two passes over the SAME tf/df
+    index frames — the corpus is scanned once to build them; the
+    feedback frame is |Q|·fb_terms rows, broadcast into round two
+    exactly like the literal terms. Both rounds round scores before
+    ranking, so the final ranking is engine-reproducible."""
+    spark = docs.sparkSession
+    tf, meta = term_stats(docs, id_col, text_col)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    q_terms = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, qtext in queries
+            for t in sorted(set(qtext.lower().split()))
+        ],
+        ["query_id", "term"],
+    )
+    top1 = _rank_topk(
+        _bm25_score(tf, meta, df_, q_terms, k1, b, id_col),
+        fb_docs,
+        id_col,
+    ).select("query_id", id_col)
+    fb_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("_w"), F.col("term").asc()
+        )
+    )
+    fb = (
+        top1.join(tf.select(id_col, "term", "tf"), id_col)
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("_w"))
+        .withColumn("_r", fb_rank)
+        .filter(F.col("_r") <= fb_terms)
+        .select("query_id", "term")
+    )
+    q2 = q_terms.unionByName(fb).distinct()
+    return _rank_topk(
+        _bm25_score(tf, meta, df_, q2, k1, b, id_col), topk, id_col
     )
 
 

@@ -238,6 +238,8 @@ HEADLINE = [
     "sim_topk_pq",
     # MRL prefix-truncation recall audit: 3 kernel passes + joins
     "matryoshka_recall_vecs",
+    # RM3 pseudo-relevance feedback: two BM25 rounds on one index build
+    "prf_expand_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -760,3 +760,30 @@ def test_rrf_vector_arm_never_drops_negative_query_collision(spark):
     ).collect()
     ids = {r.doc_id for r in out}
     assert {0, 1} <= ids
+
+
+def test_prf_expansion_pulls_in_cooccurring_doc(spark):
+    """A doc sharing NO original query term but dominated by the
+    feedback vocabulary must enter the result only via expansion."""
+    d = _docs(
+        spark,
+        [
+            (1, "hash join probe build probe build"),
+            (2, "hash join probe"),
+            (3, "probe build probe build probe build"),  # no query term
+            (4, "entirely different words"),
+        ],
+    )
+    base = {
+        r.doc_id
+        for r in SR.bm25_topk(d, [("q", "hash join")], topk=4).collect()
+    }
+    expanded = {
+        r.doc_id
+        for r in SR.prf_expand_topk(
+            d, [("q", "hash join")], topk=4, fb_docs=2, fb_terms=3
+        ).collect()
+    }
+    assert 3 not in base
+    assert 3 in expanded
+    assert 4 not in expanded

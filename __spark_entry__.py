@@ -4535,6 +4535,162 @@ SELECT query_id, rank, doc_id, score FROM (
 """
 
 
+def mmr_rerank_docs(spark, sf_dir):
+    """Maximal-marginal-relevance diversified retrieval
+    (operators/search.py mmr_rerank): BM25 top-10 candidates per
+    query, pairwise hashed-BoW cosine among candidates (exact
+    integers through one correctly-rounded sqrt + division), greedy
+    λ·rel − (1−λ)·max_sim selection of 5, statically unrolled. The
+    greedy choice sequence is bit-identical to the oracle's —
+    pre-rounded relevance, exact-arithmetic similarity, IEEE-fixed
+    combination."""
+    d = _t(spark, sf_dir, "documents")
+    cand = SR.bm25_topk(d, _BM25_QUERIES, topk=10).select(
+        "query_id", "doc_id", F.col("score").alias("rel")
+    )
+    emb = SR.hashed_embeddings(d, dim=32)
+    ce = emb.join(
+        cand.select("doc_id").distinct(), "doc_id", "left_semi"
+    )
+    a = cand.select("query_id", F.col("doc_id").alias("id_a")).join(
+        ce.select(
+            F.col("doc_id").alias("id_a"), F.col("embedding").alias("_ea")
+        ),
+        "id_a",
+    )
+    bside = cand.select("query_id", F.col("doc_id").alias("id_b")).join(
+        ce.select(
+            F.col("doc_id").alias("id_b"), F.col("embedding").alias("_eb")
+        ),
+        "id_b",
+    )
+    dot = GR.int_dot(F.col("_ea"), F.col("_eb")).cast("double")
+    na = GR.int_dot(F.col("_ea"), F.col("_ea")).cast("double")
+    nb = GR.int_dot(F.col("_eb"), F.col("_eb")).cast("double")
+    sims = (
+        a.join(bside, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            (dot / F.sqrt(na * nb)).alias("sim"),
+        )
+    )
+    return SR.mmr_rerank(cand, sims, k=5, lam=0.7)
+
+
+def _mmr_sql(k: int = 5) -> str:
+    """Unrolled greedy MMR oracle: candidate + pairwise-sim CTEs,
+    then one pick CTE per selection round (remaining = NOT EXISTS in
+    the running selection; max_sim over the selection; identical
+    double arithmetic: CAST(0.7 AS DOUBLE)·rel − (CAST(1.0 AS
+    DOUBLE) − CAST(0.7 AS DOUBLE))·max_sim)."""
+    lam = "CAST(0.7 AS DOUBLE)"
+    one_m_lam = f"(CAST(1.0 AS DOUBLE) - {lam})"
+    q_terms = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in _BM25_QUERIES
+        for t in sorted(set(qtext.lower().split()))
+    )
+    steps = [
+        f"""sel1 AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(1 AS INT) AS rank, mmr FROM (
+    SELECT query_id, doc_id, {lam} * rel AS mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY {lam} * rel DESC, doc_id) AS r
+    FROM cand) WHERE r = 1)""",
+        "selu1 AS (SELECT query_id, doc_id FROM sel1)",
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST({i} AS INT) AS rank, mmr FROM (
+    SELECT query_id, doc_id, mmr,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY mmr DESC, doc_id) AS r
+    FROM (
+      SELECT c.query_id, c.doc_id,
+             {lam} * c.rel - {one_m_lam} * ms.m AS mmr
+      FROM cand c
+      JOIN (SELECT p.query_id, p.id_a AS doc_id, MAX(p.sim) AS m
+            FROM pairs p
+            JOIN selu{i - 1} s
+              ON s.query_id = p.query_id AND s.doc_id = p.id_b
+            GROUP BY p.query_id, p.id_a) ms
+        ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM selu{i - 1} s2
+                        WHERE s2.query_id = c.query_id
+                          AND s2.doc_id = c.doc_id)))
+  WHERE r = 1)"""
+        )
+        if i < k:
+            steps.append(
+                f"""selu{i} AS (SELECT query_id, doc_id FROM selu{i - 1}
+  UNION ALL SELECT query_id, doc_id FROM sel{i})"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT query_id, rank, doc_id, ROUND(mmr, 6) AS mmr FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    step_block = ",\n".join(steps)
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+                    FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+meta AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {q_terms}),
+cand AS MATERIALIZED (
+  SELECT query_id, doc_id, rel FROM (
+    SELECT query_id, doc_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rank
+    FROM (
+      SELECT q.query_id, tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1))
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))
+             ), 6) AS rel
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN q ON tf.term = q.term
+      JOIN dfr ON tf.term = dfr.term, meta
+      GROUP BY q.query_id, tf.doc_id))
+  WHERE rank <= 10),
+bc AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) % 32 AS b,
+         COUNT(*) AS c
+  FROM tok
+  WHERE doc_id IN (SELECT DISTINCT doc_id FROM cand)
+  GROUP BY 1, 2),
+emb AS MATERIALIZED (
+  SELECT d.doc_id, list(COALESCE(bc.c, 0) ORDER BY g.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM bc) d
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) g
+  LEFT JOIN bc ON bc.doc_id = d.doc_id AND bc.b = g.i
+  GROUP BY d.doc_id),
+sq2 AS MATERIALIZED (
+  SELECT doc_id, CAST(v AS DOUBLE[]) AS dv,
+         list_dot_product(CAST(v AS DOUBLE[]), CAST(v AS DOUBLE[])) AS n2
+  FROM emb),
+pairs AS MATERIALIZED (
+  SELECT c1.query_id, c1.doc_id AS id_a, c2.doc_id AS id_b,
+         list_dot_product(e1.dv, e2.dv) / sqrt(e1.n2 * e2.n2) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+  JOIN sq2 e1 ON e1.doc_id = c1.doc_id
+  JOIN sq2 e2 ON e2.doc_id = c2.doc_id),
+{step_block}
+{unions}"""
+
+
+MMR_RERANK_SQL = _mmr_sql(5)
+
+
 def matryoshka_recall_vecs(spark, sf_dir):
     """Matryoshka/MRL dimension-ablation audit: recall of cosine
     top-5 computed on PREFIX-truncated embeddings (64 → 32 → 16
@@ -7049,6 +7205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_pq": sim_topk_pq,
         "matryoshka_recall_vecs": matryoshka_recall_vecs,
         "prf_expand_docs": prf_expand_docs,
+        "mmr_rerank_docs": mmr_rerank_docs,
         "sim_topk_bruteforce": sim_topk_bruteforce,
         "hard_negatives_vecs": hard_negatives_vecs,
         "sim_topk_lsh": sim_topk_lsh,
@@ -7293,6 +7450,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_pq": ANN_RECALL_SQL,
         "matryoshka_recall_vecs": MATRYOSHKA_SQL,
         "prf_expand_docs": PRF_EXPAND_SQL,
+        "mmr_rerank_docs": MMR_RERANK_SQL,
         "q1_pricing_summary": Q1_SQL,
         "q3_shipping_priority": Q3_SQL,
         "q5_region_revenue": Q5_SQL,

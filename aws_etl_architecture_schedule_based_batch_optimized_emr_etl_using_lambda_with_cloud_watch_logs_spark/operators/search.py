@@ -412,3 +412,96 @@ def hybrid_rrf_topk(
             F.round("_rrf", 6).alias("rrf"),
         )
     )
+
+
+def mmr_rerank(
+    cand: DataFrame,
+    sims: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (Carbonell &
+    Goldstein): greedily select k documents per query maximizing
+    ``λ·rel − (1−λ)·max_sim(candidate, already-selected)``. The k
+    selection rounds are statically unrolled — each round is an
+    anti-join (drop selected), an inner join onto the candidate-pair
+    similarity frame grouped to the running max, and a rank-1 pick;
+    every frame is ≤ |Q|·n_candidates rows, so the unrolling costs
+    driver-side plan size only, never data movement.
+
+    Engine-reproducibility: ``rel`` must be pre-rounded (BM25 here),
+    ``sim`` built from exact integers via one correctly-rounded sqrt
+    and division (hashed-BoW cosine), and the MMR combination is two
+    multiplies and a subtract evaluated identically in any IEEE
+    engine — so the greedy choice sequence, ties included (broken on
+    the doc id), is bit-identical to the oracle's.
+
+    ``cand``: (query, id, rel); ``sims``: (query, id_a, id_b, sim)
+    over all candidate pairs, symmetric, no self-pairs. Returns
+    (query, rank, id, mmr) with mmr rounded for display — ranking
+    happens on the unrounded value.
+
+    Both inputs are cut with an eager ``localCheckpoint`` before the
+    unrolling: every selection round references them (and the
+    accumulated picks) again, and without the cut the analyzed plan
+    re-expands the candidate lineage — BM25 index build included —
+    once per reference (measured 1485 parquet scan nodes for k=5
+    before the cut, 2 after). The checkpointed frames are
+    |Q|·n_candidates rows — metadata-scale."""
+    cand = cand.localCheckpoint()
+    sims = sims.localCheckpoint()
+    pick_w = Window.partitionBy(query_col).orderBy(
+        F.col("_mmr").desc(), F.col(id_col).asc()
+    )
+    selected = None
+    picks = []
+    for i in range(1, k + 1):
+        if selected is None:
+            scored = cand.withColumn("_mmr", F.lit(lam) * F.col(rel_col))
+        else:
+            remaining = cand.join(
+                selected.select(query_col, id_col), [query_col, id_col],
+                "left_anti",
+            )
+            maxsim = (
+                remaining.join(
+                    sims.join(
+                        selected.select(
+                            query_col, F.col(id_col).alias("id_b")
+                        ),
+                        [query_col, "id_b"],
+                        "left_semi",
+                    ).select(
+                        query_col, F.col("id_a").alias(id_col), "sim"
+                    ),
+                    [query_col, id_col],
+                )
+                .groupBy(query_col, id_col, rel_col)
+                .agg(F.max("sim").alias("_ms"))
+            )
+            scored = maxsim.withColumn(
+                "_mmr",
+                F.lit(lam) * F.col(rel_col)
+                - F.lit(1.0 - lam) * F.col("_ms"),
+            )
+        pick = (
+            scored.withColumn("_r", F.row_number().over(pick_w))
+            .filter(F.col("_r") == 1)
+            .select(
+                query_col,
+                id_col,
+                F.lit(i).cast("int").alias("rank"),
+                F.col("_mmr").alias("mmr"),
+            )
+        )
+        picks.append(pick)
+        selected = pick if selected is None else selected.unionByName(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        query_col, "rank", id_col, F.round("mmr", 6).alias("mmr")
+    )

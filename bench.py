@@ -240,6 +240,8 @@ HEADLINE = [
     "matryoshka_recall_vecs",
     # RM3 pseudo-relevance feedback: two BM25 rounds on one index build
     "prf_expand_docs",
+    # MMR diversified rerank: unrolled greedy over checkpointed frames
+    "mmr_rerank_docs",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

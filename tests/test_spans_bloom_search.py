@@ -787,3 +787,61 @@ def test_prf_expansion_pulls_in_cooccurring_doc(spark):
     assert 3 not in base
     assert 3 in expanded
     assert 4 not in expanded
+
+
+def test_mmr_demotes_near_duplicate_of_top_pick(spark):
+    """Docs 1 and 2 are near-identical and both highly relevant; a
+    plain BM25 ranking puts them 1-2, MMR (diversity-leaning λ=0.2 —
+    BM25 scores are unnormalized, so a small λ rebalances the two
+    terms) must pull the distinct doc 3 ahead of the duplicate."""
+    from pyspark.sql import functions as F
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        graph as GG,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, "hash join hash join hash join probe"),
+            (2, "hash join hash join hash join build"),
+            (3, "hash partition shuffle exchange"),
+            (4, "unrelated filler text"),
+        ],
+    )
+    queries = [("q", "hash join")]
+    cand = SR.bm25_topk(d, queries, topk=4).select(
+        "query_id", "doc_id", F.col("score").alias("rel")
+    )
+    emb = SR.hashed_embeddings(d, dim=32)
+    a = cand.select("query_id", F.col("doc_id").alias("id_a")).join(
+        emb.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("_ea")),
+        "id_a",
+    )
+    b = cand.select("query_id", F.col("doc_id").alias("id_b")).join(
+        emb.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("_eb")),
+        "id_b",
+    )
+    dot = GG.int_dot(F.col("_ea"), F.col("_eb")).cast("double")
+    na = GG.int_dot(F.col("_ea"), F.col("_ea")).cast("double")
+    nb = GG.int_dot(F.col("_eb"), F.col("_eb")).cast("double")
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("query_id", "id_a", "id_b", (dot / F.sqrt(na * nb)).alias("sim"))
+    )
+    bm_order = [
+        r.doc_id
+        for r in sorted(
+            SR.bm25_topk(d, queries, topk=3).collect(), key=lambda r: r.rank
+        )
+    ]
+    mmr_order = [
+        r.doc_id
+        for r in sorted(
+            SR.mmr_rerank(cand, sims, k=3, lam=0.2).collect(),
+            key=lambda r: r.rank,
+        )
+    ]
+    assert set(bm_order[:2]) == {1, 2}
+    assert mmr_order[0] in {1, 2}
+    assert mmr_order[1] == 3  # diversity kicks the duplicate down

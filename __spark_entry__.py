@@ -6708,6 +6708,43 @@ WHERE rank <= 5"""
 RRF_FUSION_SQL = _rrf_sql()
 
 
+def knn_graph_lsh_docs(spark, sf_dir):
+    """The kNN graph's 100 TB path, driver-verified: LSH-blocked
+    approximate edges (operators/graph.py knn_edges_lsh — 8
+    mean-centered sign-hash tables, occupancy-32 adaptive planes,
+    capped candidate pools) recalled against the exact kNN edges
+    computed in the same job. Same ≥0.5 recall contract as the ANN
+    gates; measured ≈0.97 at sf0.01 / ≈0.67 at sf0.1 — the fixture
+    corpus has 31 word types, so hashed-BoW top-5 sits on massive
+    near-ties and a tie-equivalent neighbor swap counts as a miss.
+    DuckDB recomputes n_exact from the exact-edge definition and
+    pins the flag."""
+    emb = SR.hashed_embeddings(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        dim=32,
+    )
+    exact = _knn_doc_edges(spark, sf_dir).select("src", "dst")
+    approx = GR.knn_edges_lsh(
+        emb, k=5, id_col="doc_id", vec_col="embedding", n_tables=8
+    ).select("src", "dst")
+    hits = exact.join(approx, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("_n_hits")
+    )
+    totals = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    return totals.crossJoin(F.broadcast(hits)).select(
+        "n_exact",
+        ((F.col("_n_hits") / F.col("n_exact")) >= 0.5).alias(
+            "recall_ok"
+        ),
+    )
+
+
+KNN_GRAPH_LSH_SQL = f"""
+WITH {_KNN_EDGE_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM e
+"""
+
+
 def knn_components_docs(spark, sf_dir):
     """Connected components over the (symmetrized) exact kNN document
     similarity graph — the topical-neighborhood clustering twin of
@@ -7243,6 +7280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_docs": pagerank_docs,
         "rrf_fusion_docs": rrf_fusion_docs,
         "knn_components_docs": knn_components_docs,
+        "knn_graph_lsh_docs": knn_graph_lsh_docs,
         "events_anomaly_daily": events_anomaly_daily,
         "stream_anomaly_counts": stream_anomaly_counts,
         "graph_walks_docs": graph_walks_docs,
@@ -7398,6 +7436,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_docs": PAGERANK_SQL,
         "rrf_fusion_docs": RRF_FUSION_SQL,
         "knn_components_docs": KNN_COMPONENTS_SQL,
+        "knn_graph_lsh_docs": KNN_GRAPH_LSH_SQL,
         "events_anomaly_daily": EVENTS_ANOMALY_SQL,
         "stream_anomaly_counts": STREAM_ANOMALY_SQL,
         "graph_walks_docs": GRAPH_WALKS_SQL,

@@ -263,9 +263,13 @@ def knn_edges_lsh(
         F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
     ).withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
     if n_planes is None:
+        # occupancy-32 target with a floor of 2 (not near-dup's 6:
+        # that floor over-partitions small node sets — 100 nodes into
+        # 64 buckets/table left ~1.6 members/bucket and top-5 recall
+        # collapsed to 0.25; with the true occupancy target it holds)
         n_corpus = base.count()
         n_planes = min(
-            16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
+            16, max(2, math.ceil(math.log2(max(2.0, n_corpus / 32))))
         )
     first = base.select(F.size("_gvec").alias("d")).first()
     dim = first["d"]

@@ -129,26 +129,33 @@ _ARROW_RX = re.compile(
 
 
 def arrow_stage_count(df) -> int:
-    """Arrow plan nodes in the CURRENT physical plan, one per tree
-    line. Counted from ``executedPlan().toString()`` truncated at
-    the first ``== Initial Plan ==`` marker: once any part of a
-    query has materialized (several gates run bounded work during
-    construction), AQE prints Final AND Initial sections — in both
-    the formatted details and the plan string — and a raw-text count
-    double-counts every node. The final-plan-only count is stable
-    before and after execution (verified on the minhash family)."""
+    """Arrow plan nodes in the CURRENT physical plan. Counted from
+    ``executedPlan().toString()`` as DISTINCT node signatures — each
+    matching line normalized to the substring starting at the node
+    name, which strips the tree glyphs AND the ``*(n)`` codegen
+    prefix that only the Final section carries. Two prior schemes
+    failed:
+
+    * raw line count — once any part of a query materializes, AQE
+      prints Final AND Initial sections and every node doubles;
+    * truncate at the first ``== Initial Plan ==`` — an
+      InMemoryRelation from a SHARED persisted frame embeds its own
+      stored AQE plan (with markers) mid-string, so a query built on
+      a frame another gate already materialized truncated BEFORE its
+      own Arrow nodes and counted 0 (order-dependent CI flake).
+
+    Signature dedup is stable under both: a diamond-reused or
+    Final+Initial-repeated node prints identical expr ids and dedups
+    to one; separate evaluations carry distinct ids and count
+    separately (pinned by the self-test)."""
     s = df._jdf.queryExecution().executedPlan().toString()
-    s = s.split("== Initial Plan ==")[0]
-    nodes = {
-        ln.strip().lstrip(":+- *")
+    sigs = {
+        _ARROW_RX.search(ln).group(0)
+        + ln[_ARROW_RX.search(ln).end():]
         for ln in s.splitlines()
         if _ARROW_RX.search(ln)
     }
-    # distinct stripped lines: a diamond-reused node is printed once
-    # per consumer with IDENTICAL text (same expr ids), while two
-    # separate evaluations of the same function carry different ids
-    # — so the set size is the true node count
-    return len(nodes)
+    return len(sigs)
 
 
 def audit_one(name: str, df) -> dict:

@@ -451,8 +451,14 @@ def mmr_rerank(
     once per reference (measured 1485 parquet scan nodes for k=5
     before the cut, 2 after). The checkpointed frames are
     |Q|·n_candidates rows — metadata-scale."""
-    cand = cand.localCheckpoint()
-    sims = sims.localCheckpoint()
+    # single partition before the cut: these are candidate-bounded
+    # frames (|Q|·n_candidates rows); leaving them on the session's
+    # shuffle partitioning drags 32 near-empty tasks through every
+    # selection round (scheduling, not compute). For a huge |Q| the
+    # caller passes pre-partitioned frames and the coalesce is the
+    # first thing to lift.
+    cand = cand.coalesce(1).localCheckpoint()
+    sims = sims.coalesce(1).localCheckpoint()
     pick_w = Window.partitionBy(query_col).orderBy(
         F.col("_mmr").desc(), F.col(id_col).asc()
     )
@@ -496,6 +502,13 @@ def mmr_rerank(
                 F.lit(i).cast("int").alias("rank"),
                 F.col("_mmr").alias("mmr"),
             )
+            # cut per round: each pick references the accumulated
+            # selection THREE times (anti-join, sim semi-join, union),
+            # so un-cut lineage re-executes all prior rounds ~3^k
+            # times at materialization (measured 13.8 s warm for k=5
+            # at sf0.1; ~1 s with the cut). |Q| rows per checkpoint.
+            .coalesce(1)
+            .localCheckpoint()
         )
         picks.append(pick)
         selected = pick if selected is None else selected.unionByName(pick)

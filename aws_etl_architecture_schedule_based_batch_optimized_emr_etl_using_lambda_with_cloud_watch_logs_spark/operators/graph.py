@@ -53,28 +53,77 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 
-def _centered_bucket_pudf(
-    tables: list[list[list[float]]], biases: list[list[float]]
-):
-    """Mean-centered multi-table sign-hash bucket ids in one Arrow
-    pass: sign(W·x − W·μ) per table — the ``similarity.
-    multitable_bucket_pudf`` hash family with the hyperplanes biased
-    to the corpus centroid (see knn_edges_lsh docstring for why
-    count vectors need this)."""
+def _banded_rows(
+    base: DataFrame,
+    tables: list[list[list[float]]],
+    biases: list[list[float]],
+) -> DataFrame:
+    """Mean-centered multi-table sign-hash banding in ONE Arrow pass
+    that emits the rows already exploded: (_gid, _gvec, _gn2, tbl,
+    bucket), one row per (vector, table). Bucket = sign(W·x − W·μ)
+    bit-packed per table — the ``similarity.multitable_bucket_pudf``
+    hash family with the hyperplanes biased to the corpus centroid
+    (see knn_edges_lsh docstring for why count vectors need this).
+
+    Emitting exploded rows from the kernel (instead of an
+    array<long> column + posexplode) matters twice: Catalyst's
+    project-into-generator collapse DOUBLE-evaluated the udf around
+    the explode (2 evals × 2 join branches = 4 Arrow stages, seen in
+    the plan audit), and the generator itself is a second pass over
+    the banded frame. One kernel, one pass, one Arrow node per
+    consumer branch."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        ArrayType as _AT,
+        LongType as _LT,
+        StructField,
+        StructType,
+    )
+
     mats = np.asarray(tables, dtype=np.float64)  # (L, planes, dim)
     offs = np.asarray(biases, dtype=np.float64)  # (L, planes)
     weights = 1 << np.arange(mats.shape[1], dtype=np.int64)
+    n_tables = mats.shape[0]
+    schema = StructType(
+        [
+            StructField("_gid", _LT(), False),
+            StructField("_gvec", _AT(_LT()), True),
+            StructField("_gn2", _LT(), True),
+            StructField("tbl", _LT(), False),
+            StructField("bucket", _LT(), False),
+        ]
+    )
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _buckets(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in vecs]
-        )  # (n, dim)
-        proj = np.einsum("nd,lpd->nlp", mat, mats)  # (n, L, planes)
-        signs = (proj - offs[None, :, :]) > 0
-        return pd.Series(list(signs @ weights))
+    def band(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]]
+            )
+            proj = np.einsum("nd,lpd->nlp", mat, mats)
+            bks = ((proj - offs[None, :, :]) > 0) @ weights  # (n, L)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "_gid": np.repeat(
+                        pdf["_gid"].to_numpy(dtype=np.int64), n_tables
+                    ),
+                    "_gvec": [
+                        v for v in pdf["_gvec"] for _ in range(n_tables)
+                    ],
+                    "_gn2": np.repeat(
+                        pdf["_gn2"].to_numpy(dtype=np.int64), n_tables
+                    ),
+                    "tbl": np.tile(
+                        np.arange(n_tables, dtype=np.int64), n
+                    ),
+                    "bucket": bks.reshape(-1),
+                }
+            )
 
-    return _buckets
+    return base.select("_gid", "_gvec", "_gn2").mapInPandas(band, schema)
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -285,10 +334,7 @@ def knn_edges_lsh(
         [sum(w * m for w, m in zip(plane, mu)) for plane in tbl]
         for tbl in tables
     ]
-    buckets = _centered_bucket_pudf(tables, biases)
-    banded = base.withColumn("bks", buckets(F.col("_gvec"))).select(
-        "_gid", "_gvec", "_gn2", F.posexplode("bks").alias("tbl", "bucket")
-    )
+    banded = _banded_rows(base, tables, biases)
     a = banded.select(
         F.col("_gid").alias("src"),
         F.col("_gvec").alias("_va"),

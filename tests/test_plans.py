@@ -124,7 +124,7 @@ def test_plan_allowlist_is_pinned():
         "sim_topk_ivf": 4,
         "sim_topk_lsh": 6,
         "sim_topk_rp": 3,
-        "knn_graph_lsh_docs": 4,
+        "knn_graph_lsh_docs": 2,
         "matryoshka_recall_vecs": 4,
         "sim_topk_pq": 3,
         "sim_topk_sq": 2,

@@ -73,11 +73,11 @@ ARROW_STAGE_EXPECTED = {
     # Matryoshka ablation: one local-top-k kernel per prefix level
     # (64/32/16) + the shared full-dim truth side
     "matryoshka_recall_vecs": 4,
-    # LSH kNN recall gate: the centered-bucket pudf on each join
-    # branch, each DOUBLE-evaluated by Catalyst's project-into-
-    # generator collapse around posexplode (2 branches x 2 evals;
-    # linear pass, accepted)
-    "knn_graph_lsh_docs": 4,
+    # LSH kNN recall gate: the banding kernel emits pre-exploded
+    # rows (one Arrow node per join branch; the earlier array+
+    # posexplode form was double-evaluated by the project-into-
+    # generator collapse — 4 stages)
+    "knn_graph_lsh_docs": 2,
     # hard-negative mining: one label-masked Arrow local-top-k
     # candidate stage, JVM rounded-cosine rerank
     "hard_negatives_vecs": 1,

@@ -4789,6 +4789,73 @@ WITH sq AS MATERIALIZED (
 MATRYOSHKA_SQL = _matryoshka_sql()
 
 
+def embed_centroid_eval(spark, sf_dir):
+    """Nearest-centroid classifier eval over the labeled embeddings
+    (operators/similarity.py label_centroid_eval): per-label
+    precision/recall/F1 from rounded-cosine argmax predictions — the
+    eval harness that decides whether an embedding column separates
+    its labels. Prediction ranking on the 6-dp ROUNDED score (ties
+    on label) keeps the confusion matrix engine-exact despite
+    float-sum-order differences in the centroid means."""
+    return S.label_centroid_eval(_t(spark, sf_dir, "embeddings"))
+
+
+EMBED_CENTROID_EVAL_SQL = """
+WITH f AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS dv
+  FROM embeddings),
+flat AS (
+  SELECT label, UNNEST(dv) AS v,
+         UNNEST(range(1, len(dv) + 1)) AS i
+  FROM f),
+cent AS MATERIALIZED (
+  SELECT label AS cl, list(av ORDER BY i) AS cvec FROM (
+    SELECT label, i, AVG(v) AS av FROM flat GROUP BY label, i)
+  GROUP BY label),
+scored AS (
+  SELECT f.vec_id, f.label AS t, c.cl,
+         ROUND(list_dot_product(f.dv, c.cvec)
+               / (sqrt(list_dot_product(f.dv, f.dv))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS s
+  FROM f CROSS JOIN cent c),
+pred AS MATERIALIZED (
+  SELECT vec_id, t, cl AS p FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, cl) AS r
+    FROM scored) WHERE r = 1),
+bt AS (SELECT t AS label, CAST(COUNT(*) AS BIGINT) AS n_true,
+              CAST(SUM(CASE WHEN p = t THEN 1 ELSE 0 END) AS BIGINT)
+                AS tp
+       FROM pred GROUP BY t),
+bp AS (SELECT p AS label, CAST(COUNT(*) AS BIGINT) AS n_pred
+       FROM pred GROUP BY p),
+j AS (
+  SELECT COALESCE(bt.label, bp.label) AS label,
+         CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+  FROM bt FULL OUTER JOIN bp ON bt.label = bp.label)
+SELECT label, n_true, n_pred, tp,
+       ROUND(CASE WHEN n_pred > 0 THEN tp / CAST(n_pred AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END, 4) AS precision,
+       ROUND(CASE WHEN n_true > 0 THEN tp / CAST(n_true AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END, 4) AS recall,
+       ROUND(CASE WHEN (CASE WHEN n_pred > 0
+                             THEN tp / CAST(n_pred AS DOUBLE)
+                             ELSE CAST(0 AS DOUBLE) END
+                   + CASE WHEN n_true > 0
+                          THEN tp / CAST(n_true AS DOUBLE)
+                          ELSE CAST(0 AS DOUBLE) END) > 0
+                  THEN CAST(2.0 AS DOUBLE)
+                       * (tp / CAST(n_pred AS DOUBLE))
+                       * (tp / CAST(n_true AS DOUBLE))
+                       / (tp / CAST(n_pred AS DOUBLE)
+                          + tp / CAST(n_true AS DOUBLE))
+                  ELSE CAST(0 AS DOUBLE) END, 4) AS f1
+FROM j
+"""
+
+
 def sim_neardup_exact(spark, sf_dir):
     """Exact all-pairs cosine near-dup pairs (the correctness oracle
     for the LSH path; O(n²) — small-scale only)."""
@@ -7254,6 +7321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_sq": sim_topk_sq,
         "sim_topk_pq": sim_topk_pq,
         "matryoshka_recall_vecs": matryoshka_recall_vecs,
+        "embed_centroid_eval": embed_centroid_eval,
         "prf_expand_docs": prf_expand_docs,
         "mmr_rerank_docs": mmr_rerank_docs,
         "sim_topk_bruteforce": sim_topk_bruteforce,
@@ -7501,6 +7569,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_topk_sq": ANN_RECALL_SQL,
         "sim_topk_pq": ANN_RECALL_SQL,
         "matryoshka_recall_vecs": MATRYOSHKA_SQL,
+        "embed_centroid_eval": EMBED_CENTROID_EVAL_SQL,
         "prf_expand_docs": PRF_EXPAND_SQL,
         "mmr_rerank_docs": MMR_RERANK_SQL,
         "q1_pricing_summary": Q1_SQL,

@@ -1127,3 +1127,108 @@ def local_topk_exact_int_mat(
     return embeddings.select(id_col, vec_col).mapInPandas(
         score, _SCORED_INT_SCHEMA
     )
+
+
+def label_centroid_eval(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classifier evaluation — the eval harness for
+    an embedding column: per-label centroids (one grouped mean),
+    every vector scored against every centroid (|labels| is a
+    handful — the cross join broadcasts k rows), prediction = argmax
+    of the ROUNDED cosine (6 dp, ties on the label id — rounding
+    before ranking is what makes the prediction, and therefore the
+    whole confusion matrix, engine-reproducible; the raw means differ
+    across engines by float sum order), then per-label
+    precision/recall/F1 from the confusion counts (exact integer
+    ratios, rounded for display).
+
+    Plan: one grouped aggregate over the corpus (centroids), one
+    broadcast cross join + expression cosine + per-vector rank, two
+    shrinking confusion aggregates. Linear, expression-only."""
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    cents = embeddings.groupBy(F.col(label_col).alias("_cl")).agg(
+        F.array(
+            *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+        ).alias("_cvec")
+    )
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_dv"), F.col("_cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        embeddings.select(
+            id_col, F.col(label_col).alias("_true"), dvec.alias("_dv")
+        )
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "_true",
+            "_cl",
+            F.round(dot / (nrm(F.col("_dv")) * nrm(F.col("_cvec"))), 6).alias(
+                "_s"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_s").desc(), F.col("_cl").asc()
+    )
+    pred = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, "_true", F.col("_cl").alias("_pred"))
+    )
+    by_true = pred.groupBy(F.col("_true").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.sum((F.col("_pred") == F.col("_true")).cast("bigint"))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    by_pred = pred.groupBy(F.col("_pred").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    )
+    # guarded ratios: an unpredicted (or absent) label must yield 0,
+    # not a 0/0 — and the guards keep the plan ANSI-safe
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    return (
+        by_true.join(by_pred, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0).cast("bigint")).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0).cast("bigint")).alias("n_pred"),
+            F.coalesce("tp", F.lit(0).cast("bigint")).alias("tp"),
+        )
+        .select(
+            "label",
+            "n_true",
+            "n_pred",
+            "tp",
+            F.round(prec, 4).alias("precision"),
+            F.round(rec, 4).alias("recall"),
+            F.round(
+                F.when(
+                    (prec + rec) > 0,
+                    F.lit(2.0) * prec * rec / (prec + rec),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("f1"),
+        )
+    )

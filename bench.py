@@ -244,6 +244,8 @@ HEADLINE = [
     "mmr_rerank_docs",
     # LSH-blocked kNN recall gate (the graph family's 100 TB path)
     "knn_graph_lsh_docs",
+    # nearest-centroid classifier eval: grouped mean + broadcast score
+    "embed_centroid_eval",
     # semantic_dedup_vecs is excluded: its gate verifies against the
     # exact all-pairs cosine oracle in-plan (O(n²) verification path)
     # stream_incremental_dedup_docs is excluded for the same reason

@@ -3899,3 +3899,32 @@ def test_pq_codes_shape_and_determinism(spark):
     enc = PJ.pq_encode_pudf(b1)
     codes = df.select(enc("embedding").alias("c")).collect()
     assert all(len(r.c) == 4 and all(0 <= x < 8 for x in r.c) for r in codes)
+
+
+def test_label_centroid_eval_separable_clusters(spark):
+    """Three tight clusters with one planted mislabel: the confusion
+    matrix must be perfect except exactly that row."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    rows = []
+    vid = 0
+    base = {0: [9.0, 0.0, 0.0], 1: [0.0, 9.0, 0.0], 2: [0.0, 0.0, 9.0]}
+    for lbl in (0, 1, 2):
+        for j in range(4):
+            v = [x + 0.1 * j for x in base[lbl]]
+            rows.append((vid, v, lbl))
+            vid += 1
+    # a vector that clearly belongs to cluster 0 but is labeled 1
+    rows.append((vid, [9.0, 0.2, 0.0], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    rep = {
+        r.label: (r.n_true, r.n_pred, r.tp, r.precision, r.recall)
+        for r in S.label_centroid_eval(df).collect()
+    }
+    assert rep[0] == (4, 5, 4, 0.8, 1.0)
+    assert rep[1] == (5, 4, 4, 1.0, 0.8)
+    assert rep[2] == (4, 4, 4, 1.0, 1.0)

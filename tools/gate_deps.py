@@ -15,8 +15,12 @@ questions per gate:
   its oracle)
 
 and emits the next window order: never-checked gates first, then
-changed-since-check gates (stalest first), then the unchanged backlog
-(stalest first). ``queries()`` consumes the checked-in
+everything else stalest-round first, with changed-since-check gates
+leading their staleness cohort (round-9 policy: a changed-but-
+recently-checked gate queues behind genuinely stale unchanged rows —
+it is re-verifiable out-of-band via ``tools/check_oracle.py``, while
+driver evidence for a stale row only refreshes through the window).
+``queries()`` consumes the checked-in
 ``tools/gate_order.json`` so the ordering IS the tool's output, not
 curated prose. ``--markdown`` prints the freshness dashboard table
 for COVERAGE.md.
@@ -336,10 +340,23 @@ def analyze() -> list[dict]:
         )
 
     def key(r):
+        # Staleness-first (round-8 verdict task #1): a gate whose
+        # backing code changed since an r08 check must NOT displace an
+        # unchanged row that has gone unverified since r03 — driver
+        # evidence decays monotonically with rounds-since-check, while
+        # a changed-but-fresh gate is re-verifiable out-of-band via
+        # tools/check_oracle.py (which the builder runs after every
+        # module edit and the judge can re-run on HEAD). So: never-
+        # checked gates first, then everything else by last-checked
+        # round ascending, with changed gates leading their staleness
+        # cohort. The old changed-before-all-backlog policy let 45
+        # r07-changed rows crowd the 90-row r03–r05 backlog out of the
+        # 50-row window indefinitely.
         never = r["last_round"] is None
         return (
-            0 if never else (1 if r["changed"] else 2),
+            0 if never else 1,
             r["last_round"] or 0,
+            0 if r["changed"] else 1,
             r["gate"],
         )
 

@@ -6791,29 +6791,74 @@ RRF_FUSION_SQL = _rrf_sql()
 def knn_graph_lsh_docs(spark, sf_dir):
     """The kNN graph's 100 TB path, driver-verified: LSH-blocked
     approximate edges (operators/graph.py knn_edges_lsh — 8
-    mean-centered sign-hash tables, occupancy-32 adaptive planes,
-    capped candidate pools) recalled against the exact kNN edges
-    computed in the same job. Same ≥0.5 recall contract as the ANN
-    gates; measured ≈0.97 at sf0.01 / ≈0.67 at sf0.1 — the fixture
-    corpus has 31 word types, so hashed-BoW top-5 sits on massive
-    near-ties and a tie-equivalent neighbor swap counts as a miss.
-    DuckDB recomputes n_exact from the exact-edge definition and
-    pins the flag."""
+    mean-centered sign-hash tables, occupancy-64 adaptive planes,
+    2-bucket multi-probe query side, capped candidate pools)
+    recalled against the exact kNN edges computed in the same job.
+
+    Round-9 history (r08 verdict task #2): the contract was 0.5 and
+    sf0.1 measured 0.67, blamed on tie-equivalent neighbor swaps.
+    Making the recall TIE-AWARE — an approx edge counts as a hit
+    when its exact similarity key reaches the src's k-th exact key,
+    computed with the identical dot²/(na·nb) double expression on
+    both sides so true ties compare equal — REFUTED that story: the
+    tie-adjusted recall was 0.67 too, i.e. the misses were true
+    neighbors landing in no shared bucket. The fix was in the
+    operator (multi-probe + occupancy-64 planes, see its
+    docstring); the gate keeps the tie-aware numerator (it is the
+    right metric on a tie-dense corpus) and the contract is now
+    ≥0.9 (measured 1.0 at sf0.01, ≈0.95 at sf0.1). DuckDB
+    recomputes n_exact from the exact-edge definition and pins the
+    flag."""
     emb = SR.hashed_embeddings(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
         dim=32,
     )
+    base = emb.select(
+        "doc_id",
+        "embedding",
+        GR.int_dot(F.col("embedding"), F.col("embedding")).alias("_n2"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("src"),
+        F.col("embedding").alias("_va"),
+        F.col("_n2").alias("_na"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("dst"),
+        F.col("embedding").alias("_vb"),
+        F.col("_n2").alias("_nb"),
+    )
+
+    def _skey(edge_df):
+        dot = GR.int_dot(F.col("_va"), F.col("_vb"))
+        return (
+            edge_df.join(a, "src")
+            .join(b, "dst")
+            .select(
+                "src",
+                "dst",
+                (
+                    (dot * dot).cast("double")
+                    / (F.col("_na") * F.col("_nb")).cast("double")
+                ).alias("_skey"),
+            )
+        )
+
     exact = _knn_doc_edges(spark, sf_dir).select("src", "dst")
     approx = GR.knn_edges_lsh(
         emb, k=5, id_col="doc_id", vec_col="embedding", n_tables=8
     ).select("src", "dst")
-    hits = exact.join(approx, ["src", "dst"], "left_semi").agg(
-        F.count(F.lit(1)).alias("_n_hits")
+    kth = _skey(exact).groupBy("src").agg(F.min("_skey").alias("_kth"))
+    hits = (
+        _skey(approx)
+        .join(kth, "src")
+        .filter(F.col("_skey") >= F.col("_kth"))
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
     )
     totals = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     return totals.crossJoin(F.broadcast(hits)).select(
         "n_exact",
-        ((F.col("_n_hits") / F.col("n_exact")) >= 0.5).alias(
+        ((F.col("_n_hits") / F.col("n_exact")) >= 0.9).alias(
             "recall_ok"
         ),
     )

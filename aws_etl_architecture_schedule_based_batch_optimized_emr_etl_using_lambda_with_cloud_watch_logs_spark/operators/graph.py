@@ -57,13 +57,25 @@ def _banded_rows(
     base: DataFrame,
     tables: list[list[list[float]]],
     biases: list[list[float]],
+    n_probes: int = 0,
 ) -> DataFrame:
     """Mean-centered multi-table sign-hash banding in ONE Arrow pass
     that emits the rows already exploded: (_gid, _gvec, _gn2, tbl,
-    bucket), one row per (vector, table). Bucket = sign(W·x − W·μ)
-    bit-packed per table — the ``similarity.multitable_bucket_pudf``
-    hash family with the hyperplanes biased to the corpus centroid
-    (see knn_edges_lsh docstring for why count vectors need this).
+    bucket, probe), one row per (vector, table, probe). Bucket =
+    sign(W·x − W·μ) bit-packed per table — the
+    ``similarity.multitable_bucket_pudf`` hash family with the
+    hyperplanes biased to the corpus centroid (see knn_edges_lsh
+    docstring for why count vectors need this).
+
+    ``n_probes`` > 0 additionally emits, per (vector, table), the
+    single-bit flips of the ``n_probes`` LOWEST-MARGIN planes
+    (smallest |W·x − W·μ|) tagged probe=1..n_probes — multi-probe
+    LSH (Lv et al., VLDB'07): a true neighbor whose hash differs
+    only on a near-boundary plane is recovered by probing the
+    adjacent bucket, WITHOUT adding hash tables. Consumers use probe
+    rows on the QUERY side of the candidate join only (probe=0
+    filters the candidate side), so the join stays bucket-local and
+    the row blow-up is the linear factor (1 + n_probes).
 
     Emitting exploded rows from the kernel (instead of an
     array<long> column + posexplode) matters twice: Catalyst's
@@ -83,8 +95,11 @@ def _banded_rows(
 
     mats = np.asarray(tables, dtype=np.float64)  # (L, planes, dim)
     offs = np.asarray(biases, dtype=np.float64)  # (L, planes)
-    weights = 1 << np.arange(mats.shape[1], dtype=np.int64)
+    n_planes = mats.shape[1]
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
     n_tables = mats.shape[0]
+    n_probes = min(n_probes, n_planes)
+    reps = 1 + n_probes  # rows emitted per (vector, table)
     schema = StructType(
         [
             StructField("_gid", _LT(), False),
@@ -92,6 +107,7 @@ def _banded_rows(
             StructField("_gn2", _LT(), True),
             StructField("tbl", _LT(), False),
             StructField("bucket", _LT(), False),
+            StructField("probe", _LT(), False),
         ]
     )
 
@@ -103,23 +119,42 @@ def _banded_rows(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_gvec"]]
             )
             proj = np.einsum("nd,lpd->nlp", mat, mats)
-            bks = ((proj - offs[None, :, :]) > 0) @ weights  # (n, L)
+            margins = proj - offs[None, :, :]  # (n, L, planes)
+            bks = (margins > 0) @ weights  # (n, L)
             n = len(pdf)
+            # (n, L, reps): original bucket then the n_probes
+            # lowest-|margin| single-bit flips, XOR of that plane's
+            # weight. argsort is deterministic (stable, exact floats).
+            all_bks = np.empty((n, n_tables, reps), dtype=np.int64)
+            all_bks[:, :, 0] = bks
+            if n_probes:
+                order = np.argsort(np.abs(margins), axis=2)
+                for j in range(n_probes):
+                    all_bks[:, :, j + 1] = bks ^ weights[
+                        order[:, :, j]
+                    ]
+            per_vec = n_tables * reps
             yield pd.DataFrame(
                 {
                     "_gid": np.repeat(
-                        pdf["_gid"].to_numpy(dtype=np.int64), n_tables
+                        pdf["_gid"].to_numpy(dtype=np.int64), per_vec
                     ),
                     "_gvec": [
-                        v for v in pdf["_gvec"] for _ in range(n_tables)
+                        v for v in pdf["_gvec"] for _ in range(per_vec)
                     ],
                     "_gn2": np.repeat(
-                        pdf["_gn2"].to_numpy(dtype=np.int64), n_tables
+                        pdf["_gn2"].to_numpy(dtype=np.int64), per_vec
                     ),
                     "tbl": np.tile(
-                        np.arange(n_tables, dtype=np.int64), n
+                        np.repeat(
+                            np.arange(n_tables, dtype=np.int64), reps
+                        ),
+                        n,
                     ),
-                    "bucket": bks.reshape(-1),
+                    "bucket": all_bks.reshape(-1),
+                    "probe": np.tile(
+                        np.arange(reps, dtype=np.int64), n * n_tables
+                    ),
                 }
             )
 
@@ -193,7 +228,13 @@ def pagerank(
     """PageRank over a directed edge list, ``n_iter`` statically
     unrolled power-iteration steps (see module docstring for the
     plan shape). Returns (id, pr) for every node appearing as src or
-    dst; ranks sum to 1.
+    dst; ranks sum to 1 when ``dangling=True`` OR when the graph has
+    no zero-out-degree node (the kNN-graph case: every node is a src).
+    With ``dangling=False`` on a graph that DOES contain dangling
+    nodes, their mass leaks every iteration and the total deflates —
+    nothing asserts the precondition (that would cost an extra
+    aggregate per call), so callers on arbitrary edge lists should
+    pass ``dangling=True``.
 
     ``dangling=False`` (the kNN-graph case: every node is a src with
     out-degree ≥1, so no node loses mass) keeps each iteration to a
@@ -270,14 +311,19 @@ def knn_edges_lsh(
     n_tables: int = 4,
     seed: int = 42,
     max_bucket_candidates: int | None = 256,
+    n_probes: int = 2,
 ) -> DataFrame:
     """The 100 TB path for FULL-CORPUS kNN graphs: multi-table
     sign-LSH candidate blocking (OR-construction — a pair is a
     candidate if it shares a bucket in ANY table), then the exact
     integer rerank of :func:`knn_edges_exact_int` applied only to
-    bucket-local candidates. Same adaptive plane count as
-    ``similarity.cosine_near_dup_pairs`` (ceil(log2(n/32)) clamped to
-    [6, 16]): expected bucket occupancy — and therefore the
+    bucket-local candidates. Adaptive plane count like
+    ``similarity.cosine_near_dup_pairs`` but targeting occupancy 64
+    (ceil(log2(n/64)) clamped to [2, 16]) — kNN recall needs larger
+    buckets than near-dup pair detection, where occupancy 32 is
+    enough because any shared band suffices (round-9 measurement at
+    sf0.1: occupancy 32 recalled 0.85 with 2 probes where occupancy
+    64 recalled 0.94). Expected bucket occupancy — and therefore the
     per-bucket candidate join — stays roughly constant as the corpus
     grows, so total candidate volume grows near-linearly instead of
     n². Approximate: a true neighbor sharing no bucket is missed
@@ -303,6 +349,22 @@ def knn_edges_lsh(
       work to rows·cap (linear) while every node still probes. With
       a cap ≫ k, dropped candidates are overwhelmingly tie-ranked
       clones of kept ones.
+
+    Plus multi-probe (Lv et al., VLDB'07), which the round-9
+    tie-aware recall measurement forced: at sf0.1 the plain recall
+    was 0.67 and the tie-adjusted recall was IDENTICAL — the misses
+    were not tie swaps but true neighbors landing in no shared
+    bucket in any of 8 tables (cap=None changed nothing; 16 tables
+    only reached 0.79). The query side therefore also probes, per
+    table, the ``n_probes`` adjacent buckets obtained by flipping
+    the lowest-|margin| planes (the bits most likely to disagree
+    between near neighbors); the candidate side stays single-bucket
+    (probe=0), so the join is still bucket-local and the candidate
+    volume grows only by the constant (1 + n_probes). Measured at
+    sf0.1 (1000 nodes, tie-dense 31-word-type fixture, 8 tables):
+    0.67 → 0.85 with n_probes=2 at occupancy 32, → 0.944 with the
+    occupancy-64 planes, 1.0 at sf0.01 — at ~3× the (linear)
+    candidate join volume.
     """
     import math
 
@@ -312,29 +374,48 @@ def knn_edges_lsh(
         F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
     ).withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
     if n_planes is None:
-        # occupancy-32 target with a floor of 2 (not near-dup's 6:
+        # occupancy-64 target with a floor of 2 (not near-dup's 6:
         # that floor over-partitions small node sets — 100 nodes into
         # 64 buckets/table left ~1.6 members/bucket and top-5 recall
-        # collapsed to 0.25; with the true occupancy target it holds)
+        # collapsed to 0.25; see the docstring for why kNN wants
+        # double near-dup's occupancy-32)
         n_corpus = base.count()
         n_planes = min(
-            16, max(2, math.ceil(math.log2(max(2.0, n_corpus / 32))))
+            16, max(2, math.ceil(math.log2(max(2.0, n_corpus / 64))))
         )
     first = base.select(F.size("_gvec").alias("d")).first()
     dim = first["d"]
-    mu_row = base.agg(
-        *[
-            F.avg(F.col("_gvec")[i].cast("double")).alias(f"m{i}")
-            for i in range(dim)
-        ]
-    ).first()
-    mu = [float(mu_row[i]) for i in range(dim)]
+    # Corpus mean as ONE posexplode → (dim) hash-aggregate expression
+    # (the similarity.py centroid idiom), not dim separate avg()
+    # columns: at real embedding dims (1-4k) a per-dim fan-out is
+    # thousands of aggregate expressions in a single plan, which
+    # Catalyst accepts but analyzes/codegens slowly. This form stays
+    # one expression at any dim; the shuffle after map-side combine
+    # is dim rows. The collect is 1 row of dim doubles (bounded
+    # metadata, same as before).
+    mu_row = (
+        base.select(
+            F.posexplode(
+                F.expr("transform(_gvec, x -> cast(x AS double))")
+            ).alias("_mdim", "_mv")
+        )
+        .groupBy("_mdim")
+        .agg(F.avg("_mv").alias("_m"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_mdim", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_mu")
+        )
+        .first()
+    )
+    mu = [float(x) for x in mu_row["_mu"]]
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     biases = [
         [sum(w * m for w, m in zip(plane, mu)) for plane in tbl]
         for tbl in tables
     ]
-    banded = _banded_rows(base, tables, biases)
+    banded = _banded_rows(base, tables, biases, n_probes=n_probes)
     a = banded.select(
         F.col("_gid").alias("src"),
         F.col("_gvec").alias("_va"),
@@ -342,7 +423,7 @@ def knn_edges_lsh(
         "tbl",
         "bucket",
     )
-    b = banded.select(
+    b = banded.filter(F.col("probe") == 0).select(
         F.col("_gid").alias("dst"),
         F.col("_gvec").alias("_vb"),
         F.col("_gn2").alias("_nb"),

@@ -160,6 +160,35 @@ def test_knn_edges_lsh_ranks_are_contiguous(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_knn_edges_lsh_high_dim_mean_single_expression(spark):
+    """The corpus-mean centering must not fan out into one avg()
+    aggregate per dimension (r08 verdict hygiene item #3): at real
+    embedding dims (1-4k) that is thousands of expressions in a
+    single plan. Pin the posexplode formulation structurally
+    (source-level) and functionally — a dim-512 two-cluster corpus
+    still recalls overwhelmingly within-cluster neighbors."""
+    import inspect
+
+    src = inspect.getsource(G.knn_edges_lsh)
+    assert "posexplode" in src
+    assert 'f"m{i}"' not in src
+    rng = np.random.RandomState(17)
+    dim = 512
+    centers = rng.randint(0, 3, size=(2, dim)) * 4
+    mat = np.stack(
+        [
+            np.maximum(0, centers[i % 2] + rng.randint(0, 2, size=dim))
+            for i in range(12)
+        ]
+    )
+    edges = G.knn_edges_lsh(
+        _vec_df(spark, mat), k=3, n_planes=3, n_tables=4
+    ).collect()
+    assert edges, "no edges returned"
+    same = sum(1 for r in edges if r.src % 2 == r.dst % 2)
+    assert same / len(edges) >= 0.9, (same, len(edges))
+
+
 def test_random_walks_follow_hash_picks(spark):
     """Hand-recompute the hash-driven edge choice for every step on a
     small ranked edge list (ring + chords) and require the walk frame

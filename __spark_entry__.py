@@ -6899,11 +6899,13 @@ FROM reach GROUP BY src
 def events_anomaly_daily(spark, sf_dir):
     """Rolling z-score anomaly detection over the events stream
     (operators/temporal.py rolling_zscore_anomalies): each (event
-    type, day) count scored against its trailing 7 days — mean and
-    sample stddev over a ROWS frame that EXCLUDES the scored day —
-    |z| > 2 flags the anomaly. The window runs over the k·days
-    aggregate, never raw events; z rounded to 4 decimals and the
-    flag tested on the rounded value (engine-reproducible)."""
+    type, day) count scored against its trailing 7 CALENDAR days —
+    the per-key calendar is densified with zero-count days between
+    first and last activity (round 9; a drop to zero is scoreable) —
+    mean and sample stddev over a ROWS frame that EXCLUDES the
+    scored day, |z| > 2 flags the anomaly. The window runs over the
+    k·days aggregate, never raw events; z rounded to 4 decimals and
+    the flag tested on the rounded value (engine-reproducible)."""
     from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
         rolling_zscore_anomalies,
     )
@@ -6970,12 +6972,23 @@ WITH daily AS MATERIALIZED (
          CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
          COUNT(*) AS cnt
   FROM events GROUP BY 1, 2),
+dense AS MATERIALIZED (
+  SELECT c.event_type, c.day, COALESCE(daily.cnt, 0) AS cnt
+  FROM (
+    SELECT s.event_type, CAST(g.d AS DATE) AS day
+    FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+          FROM daily GROUP BY 1) s,
+         LATERAL (SELECT unnest(generate_series(
+             CAST(s.lo AS TIMESTAMP), CAST(s.hi AS TIMESTAMP),
+             INTERVAL 1 DAY)) AS d) g) c
+  LEFT JOIN daily
+    ON daily.event_type = c.event_type AND daily.day = c.day),
 scored AS (
   SELECT event_type, day, cnt,
          COUNT(cnt) OVER w AS n_prior,
          AVG(cnt) OVER w AS mu,
          STDDEV_SAMP(cnt) OVER w AS sd
-  FROM daily
+  FROM dense
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
 SELECT event_type, day, cnt,
@@ -7144,7 +7157,9 @@ def incremental_agg_orders(spark, sf_dir):
     return merged.select(
         "o_orderpriority",
         "n_rows",
-        F.round("m_sum", 4).alias("sum_price"),
+        # state m_sum is DECIMAL(38,4) (exact merge lattice end-to-
+        # end, round-9 fix); double is a read-time display cast only
+        F.round(F.col("m_sum").cast("double"), 4).alias("sum_price"),
         "m_min",
         "m_max",
     )

@@ -32,10 +32,16 @@ def additive_agg_state(
     """Partial aggregate state for one measure: (keys, n_rows,
     m_sum, m_min, m_max). ``decimal=True`` sums through
     DECIMAL(18,4) (exact, order-independent — the money-sum
-    convention) and exposes the sum as double."""
+    convention) and KEEPS the state sum as DECIMAL(38,4): exposing
+    it as double rounded per-state sums to ~15 significant digits,
+    so at large totals merge(state(A), state(B)) could diverge from
+    state(A ∪ B) by ulps despite the exactness contract. 38,4 is a
+    fixed point in the merge lattice (Spark caps decimal-sum
+    precision growth at 38), so states union schema-stably through
+    arbitrary merge chains; cast to double at read/display time."""
     m = F.col(measure)
     s = (
-        F.sum(m.cast("decimal(18,4)")).cast("double")
+        F.sum(m.cast("decimal(18,4)")).cast("decimal(38,4)")
         if decimal
         else F.sum(m)
     )
@@ -55,8 +61,11 @@ def merge_agg_states(
     present in only one state pass through — union + one re-aggregate
     over the two STATE-sized frames."""
     u = a.unionByName(b)
+    # decimal states sum natively (DECIMAL(38,4) in, 38,4 out — no
+    # round-trip through double, which was the one lossy step in the
+    # pre-round-9 lattice)
     s = (
-        F.sum(F.col("m_sum").cast("decimal(18,4)")).cast("double")
+        F.sum("m_sum").cast("decimal(38,4)")
         if decimal
         else F.sum("m_sum")
     )

@@ -439,8 +439,10 @@ def mmr_rerank(
     engine — so the greedy choice sequence, ties included (broken on
     the doc id), is bit-identical to the oracle's.
 
-    ``cand``: (query, id, rel); ``sims``: (query, id_a, id_b, sim)
-    over all candidate pairs, symmetric, no self-pairs. Returns
+    ``cand``: (query, id, rel); ``sims``: (query, id_a, id_b, sim),
+    symmetric, no self-pairs. ``sims`` MAY be sparse/thresholded — a
+    (candidate, selected) pair with no row scores max_sim = 0 (fully
+    dissimilar), per the MMR definition. Returns
     (query, rank, id, mmr) with mmr rounded for display — ranking
     happens on the unrounded value.
 
@@ -472,6 +474,12 @@ def mmr_rerank(
                 selected.select(query_col, id_col), [query_col, id_col],
                 "left_anti",
             )
+            # LEFT join + coalesce-to-0: a candidate with no sims row
+            # against any selected doc has max_sim = 0 by the MMR
+            # definition (fully dissimilar), it is NOT unpickable. An
+            # inner join here silently excluded such candidates —
+            # harmless for the in-repo all-pairs caller, wrong for a
+            # sparse/thresholded sims input.
             maxsim = (
                 remaining.join(
                     sims.join(
@@ -484,9 +492,10 @@ def mmr_rerank(
                         query_col, F.col("id_a").alias(id_col), "sim"
                     ),
                     [query_col, id_col],
+                    "left",
                 )
                 .groupBy(query_col, id_col, rel_col)
-                .agg(F.max("sim").alias("_ms"))
+                .agg(F.coalesce(F.max("sim"), F.lit(0.0)).alias("_ms"))
             )
             scored = maxsim.withColumn(
                 "_mmr",

@@ -798,6 +798,12 @@ def label_silhouette(
             )
         ).alias("b"),
     )
+    # single-label degenerate case: no other-label centroid exists,
+    # array_min over the empty set is null — convention is
+    # silhouette 0 for k=1 (and trivially 0 misassignments), which
+    # b := a yields through the shared formula instead of nulling
+    # every output column
+    per_vec = per_vec.withColumn("b", F.coalesce("b", "a"))
     sil = F.when(
         F.greatest("a", "b") > 0,
         (F.col("b") - F.col("a")) / F.greatest("a", "b"),

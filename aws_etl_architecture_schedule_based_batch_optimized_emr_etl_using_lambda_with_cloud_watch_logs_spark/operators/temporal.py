@@ -330,14 +330,23 @@ def rolling_zscore_anomalies(
     including itself — no target leakage) as
     ``z = (cnt − mean) / stddev_samp``; a day is anomalous when
     |z| > z_threshold. The standard training-pipeline observability
-    signal ("did yesterday's crawl volume spike?").
+    signal ("did yesterday's crawl volume spike?" — and, since the
+    calendar is DENSIFIED, "did it drop to zero?").
 
     Plan: one linear date-truncate + (key, day) hash aggregate
-    (map-side combined), then a bounded ROWS-frame window over the
-    k·days aggregate — the window runs on the AGGREGATE, never the
-    raw events, so the frame entering the sort is tiny relative to
-    the corpus and partitions by key (no single-partition global
-    sort). Days with fewer than ``window_days`` prior observations
+    (map-side combined); each key's calendar is then densified from
+    its first to its last active day (per-key min/max + an exploded
+    date sequence left-joined back, zero counts filled in — frames
+    stay aggregate-sized), and a bounded ROWS-frame window runs over
+    the k·days dense aggregate — never the raw events, so the frame
+    entering the sort is tiny relative to the corpus and partitions
+    by key (no single-partition global sort). Densification makes
+    the trailing window a true trailing-calendar-days baseline
+    (before round 9 it was the trailing N OBSERVED days — calendar
+    gaps stretched it — and a zero-event day produced no row at all,
+    so a volume drop to zero was never scored). Days before a key's
+    first or after its last observation are not invented. Days with
+    fewer than ``window_days`` prior calendar days in-span
     or zero variance are not scored (baseline undefined). ``z`` is
     rounded to 4 decimals; the anomaly flag tests the rounded value
     so the verdict is engine-reproducible (both engines compute the
@@ -358,7 +367,21 @@ def zscore_daily_counts(
     watermarked 1-day tumbling window) can feed the same batch
     scoring window (silver layer) — the stream-then-score shape the
     streaming gate pins against its batch twin. ``daily`` must carry
-    (key, day, cnt)."""
+    (key, day, cnt); zero-count calendar days inside each key's
+    observed span are filled in here (see
+    :func:`rolling_zscore_anomalies` on why), so both the batch and
+    the streamed feed densify identically."""
+    spans = daily.groupBy("key").agg(
+        F.min("day").alias("_lo"), F.max("day").alias("_hi")
+    )
+    cal = spans.select(
+        "key", F.explode(F.sequence("_lo", "_hi")).alias("day")
+    )
+    daily = cal.join(daily, ["key", "day"], "left").select(
+        "key",
+        "day",
+        F.coalesce("cnt", F.lit(0).cast("long")).alias("cnt"),
+    )
     w = (
         Window.partitionBy("key")
         .orderBy("day")

@@ -3425,6 +3425,25 @@ def test_label_silhouette_separated_and_traitor(spark):
     assert out2[0]["mean_silhouette"] < out[0]["mean_silhouette"]
 
 
+def test_label_silhouette_single_label_is_zero_not_null(spark):
+    """With one distinct label there is no other-label centroid, so
+    b was null and every output column nulled out (round-9 advice
+    item); the convention is silhouette 0 for k=1, and trivially
+    zero misassignments."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (1, [0.9, 0.1], 7), (2, [0.0, 1.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = S.label_silhouette(emb).collect()[0]
+    assert row["n_vectors"] == 3
+    assert row["mean_silhouette"] == 0.0
+    assert row["n_misassigned"] == 0
+
+
 def test_funnel_order_and_gap_semantics(spark):
     """funnel pins: (a) steps must occur in strict order AFTER the
     previous step's FIRST occurrence — a purchase before the first
@@ -3673,6 +3692,47 @@ def test_rolling_zscore_skips_zero_variance_and_short_history(spark):
     assert rolling_zscore_anomalies(e).count() == 0
 
 
+def test_rolling_zscore_densifies_calendar_and_scores_drop_to_zero(spark):
+    """Round-9 advice fix: the trailing-7-day baseline is 7 CALENDAR
+    days, not 7 observed-active days. (a) A key active on days 1-8
+    and 16 must NOT score day 16 against days 1-8 (the gap days are
+    zero-filled, so day 16's trailing window is the zero days 9-15 —
+    zero variance, unscored); (b) a zero-event day INSIDE the span
+    gets a row and a volume collapse to zero is flagged."""
+    import datetime as dt
+    import statistics
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # "gap": varying counts days 0-7, silence 8-14, one event day 15
+    gap_counts = [10, 11, 10, 12, 10, 11, 10, 12]
+    for d, c in enumerate(gap_counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(days=d), "gap"))
+            eid += 1
+    rows.append((eid, base + dt.timedelta(days=15), "gap"))
+    eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string"
+    )
+    out = {(r.key, r.day): r for r in rolling_zscore_anomalies(e).collect()}
+    # day 15 scores against the zero-filled days 8-14 (sd == 0 ->
+    # unscored), NOT against the active days 1-7
+    assert ("gap", dt.date(2024, 3, 16)) not in out
+    # the first silent day (day 8) scores cnt=0 against days 1-7
+    drop = out[("gap", dt.date(2024, 3, 9))]
+    mu = statistics.mean(gap_counts[1:8])
+    sd = statistics.stdev(gap_counts[1:8])
+    assert drop.cnt == 0
+    assert drop.z == round((0 - mu) / sd, 4)
+    assert drop.is_anomaly
+
+
 def test_expectation_report_flags_planted_violations(spark):
     """Plant one violation per expectation class and require exact
     violation counts."""
@@ -3854,6 +3914,34 @@ def test_incremental_agg_merge_equals_direct(spark):
         for r in INC.additive_agg_state(df, ["k"], "v").collect()
     }
     assert merged == direct
+
+
+def test_incremental_agg_state_sum_stays_decimal_at_large_totals(spark):
+    """The merge lattice must be exact end-to-end: the state keeps
+    m_sum as DECIMAL(38,4) (round-9 fix) — the old double exposure
+    rounded per-state sums to ~15 significant digits, so totals
+    beyond ~1e12 could diverge from the direct aggregate by ulps in
+    the 4th decimal despite the exactness contract."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        incremental as INC,
+    )
+
+    big = 987654321098.7654
+    df = spark.createDataFrame(
+        [("k", big)] * 13 + [("k", 0.0001)], "k string, v double"
+    )
+    a = spark.createDataFrame([("k", big)] * 7, "k string, v double")
+    b = spark.createDataFrame(
+        [("k", big)] * 6 + [("k", 0.0001)], "k string, v double"
+    )
+    state = INC.additive_agg_state(a, ["k"], "v")
+    assert dict(state.dtypes)["m_sum"] == "decimal(38,4)"
+    merged = INC.merge_agg_states(
+        state, INC.additive_agg_state(b, ["k"], "v"), ["k"]
+    ).collect()[0]
+    direct = INC.additive_agg_state(df, ["k"], "v").collect()[0]
+    assert merged.m_sum == direct.m_sum  # exact Decimal equality
+    assert merged.n_rows == direct.n_rows == 14
 
 
 def test_pq_topk_recall_vs_exact(spark):

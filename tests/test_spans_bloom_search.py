@@ -845,3 +845,26 @@ def test_mmr_demotes_near_duplicate_of_top_pick(spark):
     assert set(bm_order[:2]) == {1, 2}
     assert mmr_order[0] in {1, 2}
     assert mmr_order[1] == 3  # diversity kicks the duplicate down
+
+
+def test_mmr_sparse_sims_treats_missing_pairs_as_zero(spark):
+    """A candidate with NO sims row against any selected doc scores
+    max_sim = 0 per the MMR definition — it must stay pickable. The
+    pre-round-9 inner join silently dropped such candidates, so a
+    sparse/thresholded sims input lost picks without error: here doc
+    3 (no sims rows at all) would have vanished and rank 3 would
+    never be emitted."""
+    cand = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 2, 9.0), ("q", 3, 1.0)],
+        "query_id string, doc_id bigint, rel double",
+    )
+    sims = spark.createDataFrame(
+        [("q", 1, 2, 0.95), ("q", 2, 1, 0.95)],
+        "query_id string, id_a bigint, id_b bigint, sim double",
+    )
+    rows = sorted(
+        SR.mmr_rerank(cand, sims, k=3, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[2].mmr == 0.5  # 0.5*rel - 0.5*max_sim(=0)

@@ -60,8 +60,11 @@ def _banded_rows(
     n_probes: int = 0,
 ) -> DataFrame:
     """Mean-centered multi-table sign-hash banding in ONE Arrow pass
-    that emits the rows already exploded: (_gid, _gvec, _gn2, tbl,
-    bucket, probe), one row per (vector, table, probe). Bucket =
+    that emits the rows already exploded and ID-ONLY: (_gid, tbl,
+    bucket, probe), one row per (vector, table, probe) — vectors do
+    NOT ride the banded rows (a vector would be serialized
+    tables·(1+probes) times through Arrow; consumers re-join ids to
+    the narrow corpus frame after candidate dedup instead). Bucket =
     sign(W·x − W·μ) bit-packed per table — the
     ``similarity.multitable_bucket_pudf`` hash family with the
     hyperplanes biased to the corpus centroid (see knn_edges_lsh
@@ -103,8 +106,6 @@ def _banded_rows(
     schema = StructType(
         [
             StructField("_gid", _LT(), False),
-            StructField("_gvec", _AT(_LT()), True),
-            StructField("_gn2", _LT(), True),
             StructField("tbl", _LT(), False),
             StructField("bucket", _LT(), False),
             StructField("probe", _LT(), False),
@@ -139,12 +140,6 @@ def _banded_rows(
                     "_gid": np.repeat(
                         pdf["_gid"].to_numpy(dtype=np.int64), per_vec
                     ),
-                    "_gvec": [
-                        v for v in pdf["_gvec"] for _ in range(per_vec)
-                    ],
-                    "_gn2": np.repeat(
-                        pdf["_gn2"].to_numpy(dtype=np.int64), per_vec
-                    ),
                     "tbl": np.tile(
                         np.repeat(
                             np.arange(n_tables, dtype=np.int64), reps
@@ -158,7 +153,7 @@ def _banded_rows(
                 }
             )
 
-    return base.select("_gid", "_gvec", "_gn2").mapInPandas(band, schema)
+    return base.select("_gid", "_gvec").mapInPandas(band, schema)
 
 
 def int_dot(a: Column, b: Column) -> Column:
@@ -370,9 +365,20 @@ def knn_edges_lsh(
 
     from .similarity import _lsh_tables
 
-    base = vecs.select(
-        F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
-    ).withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
+    # The narrow (id, vec, n2) projection is referenced five times
+    # (plane-count sizing, corpus mean, banding kernel, and the two
+    # vector fetches for the unique candidate pairs) — cut it once so
+    # the upstream lineage (e.g. the hashed-BoW embed's tokenize +
+    # aggregate) executes once, not per reference. At cluster scale
+    # this pins exactly the projection an ANN build would persist
+    # anyway.
+    base = (
+        vecs.select(
+            F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
+        )
+        .withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
+        .localCheckpoint()
+    )
     if n_planes is None:
         # occupancy-64 target with a floor of 2 (not near-dup's 6:
         # that floor over-partitions small node sets — 100 nodes into
@@ -415,20 +421,18 @@ def knn_edges_lsh(
         [sum(w * m for w, m in zip(plane, mu)) for plane in tbl]
         for tbl in tables
     ]
+    # The candidate join runs on ID-ONLY banded rows and dedups the
+    # (src, dst) pairs BEFORE any vector work: a pair sharing
+    # buckets in several tables/probes used to have its 32-dim
+    # integer dot evaluated once per co-occurrence (up to
+    # tables·(1+probes) times) — the round-9 bench caught that as
+    # the dominant cost. Ids-only rows also keep the (tbl, bucket)
+    # shuffle narrow; the vectors are fetched by two id joins
+    # against the corpus frame only for the unique pairs.
     banded = _banded_rows(base, tables, biases, n_probes=n_probes)
-    a = banded.select(
-        F.col("_gid").alias("src"),
-        F.col("_gvec").alias("_va"),
-        F.col("_gn2").alias("_na"),
-        "tbl",
-        "bucket",
-    )
+    a = banded.select(F.col("_gid").alias("src"), "tbl", "bucket")
     b = banded.filter(F.col("probe") == 0).select(
-        F.col("_gid").alias("dst"),
-        F.col("_gvec").alias("_vb"),
-        F.col("_gn2").alias("_nb"),
-        "tbl",
-        "bucket",
+        F.col("_gid").alias("dst"), "tbl", "bucket"
     )
     if max_bucket_candidates is not None:
         wb = Window.partitionBy("tbl", "bucket").orderBy(
@@ -439,10 +443,26 @@ def knn_edges_lsh(
             .filter(F.col("_bpos") <= max_bucket_candidates)
             .drop("_bpos")
         )
-    dot = int_dot(F.col("_va"), F.col("_vb"))
-    pairs = (
+    cand = (
         a.join(b, ["tbl", "bucket"])
         .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    va = base.select(
+        F.col("_gid").alias("src"),
+        F.col("_gvec").alias("_va"),
+        F.col("_gn2").alias("_na"),
+    )
+    vb = base.select(
+        F.col("_gid").alias("dst"),
+        F.col("_gvec").alias("_vb"),
+        F.col("_gn2").alias("_nb"),
+    )
+    dot = int_dot(F.col("_va"), F.col("_vb"))
+    pairs = (
+        cand.join(va, "src")
+        .join(vb, "dst")
         .select(
             "src",
             "dst",
@@ -451,7 +471,6 @@ def knn_edges_lsh(
                 / (F.col("_na") * F.col("_nb")).cast("double")
             ).alias("_skey"),
         )
-        .dropDuplicates(["src", "dst"])
     )
     w = Window.partitionBy("src").orderBy(
         F.col("_skey").desc(), F.col("dst").asc()

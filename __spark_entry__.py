@@ -1769,6 +1769,42 @@ def dedup_minhash_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def dedup_minhash_pairs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the MinHash+LSH pair gate (r08
+    verdict task #5 — shrinking the standing sf0.1 oracle-exclusion
+    list): the LSH + exact-verify pair set over the doc_id%10==0
+    sample of the sf0.1 corpus BY CONTRACT, like knn_graph_docs'
+    doc_id%5 sample. The full-corpus gate stays excluded from the
+    sf0.1 sweep because its all-pairs n-gram Jaccard ORACLE is
+    quadratic (5000 docs → 12.5M DuckDB list-intersect pairs, >90 s);
+    the 500-doc sample keeps the identical operator + truth
+    definition at 1/100th the oracle cost, so the sf0.1 evidence is
+    driver-checkable. Reads sf0.1 on both sides regardless of the
+    driver's sf parameter (the *_sf01 twin pattern)."""
+    d = _t(spark, "/root/testdata/sf0.1", "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    out = D.minhash_lsh_dedup(
+        d, n=3, num_hashes=64, bands=32, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+DEDUP_MINHASH_SF01_SQL = f"""
+WITH sh AS (SELECT doc_id, {{shingles}} AS shingles
+            FROM read_parquet('/root/testdata/sf0.1/documents.parquet')
+            WHERE doc_id % 10 = 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / len(list_distinct(a.shingles || b.shingles)) >= 0.5
+""".replace("{shingles}", _SQL_SHINGLES)
+
+
 def _pair_recall_gate(truth_pairs, sketch_pairs, bound: float):
     """Oracle-checkable sketch-dedup output (same pattern as
     _ann_recall_gate): the sketch's pair list is hash-algorithm-
@@ -7478,6 +7514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
+        "dedup_minhash_pairs_sf01": dedup_minhash_pairs_sf01,
         "dedup_cluster_docs": dedup_cluster_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "skew_salted_token_counts": skew_salted_token_counts,
@@ -7725,6 +7762,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
+        "dedup_minhash_pairs_sf01": DEDUP_MINHASH_SF01_SQL,
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "curation_pipeline_docs": CURATION_SQL,
         "skew_salted_token_counts": SKEW_TOKENS_SQL,

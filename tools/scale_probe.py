@@ -97,6 +97,9 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     graph as GPH,
 )
+from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+    scd as SCD,
+)
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
     get_spark,
 )
@@ -125,6 +128,43 @@ def timed(fn) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _mmr_case(d):
+    """The gate's MMR shape: BM25 candidate pool (the one linear
+    corpus pass), all-pairs hashed-BoW cosine WITHIN the |Q|·topk
+    pool, then 5 greedy rounds on checkpointed candidate frames."""
+    queries = [("q1", "hash join"), ("q2", "slow scan filter")]
+    cand = SR.bm25_topk(d, queries, topk=10).select(
+        "query_id", "doc_id", F.col("score").alias("rel")
+    )
+    emb_d = SR.hashed_embeddings(d, dim=32)
+    a = cand.select("query_id", F.col("doc_id").alias("id_a")).join(
+        emb_d.select(
+            F.col("doc_id").alias("id_a"), F.col("embedding").alias("_ea")
+        ),
+        "id_a",
+    )
+    b = cand.select("query_id", F.col("doc_id").alias("id_b")).join(
+        emb_d.select(
+            F.col("doc_id").alias("id_b"), F.col("embedding").alias("_eb")
+        ),
+        "id_b",
+    )
+    dot = GPH.int_dot(F.col("_ea"), F.col("_eb")).cast("double")
+    na = GPH.int_dot(F.col("_ea"), F.col("_ea")).cast("double")
+    nb = GPH.int_dot(F.col("_eb"), F.col("_eb")).cast("double")
+    sims = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            (dot / F.sqrt(na * nb)).alias("sim"),
+        )
+    )
+    return SR.mmr_rerank(cand, sims, k=5).count()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
@@ -136,6 +176,7 @@ def main() -> None:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
 
     cases = {
         "q1_shape_agg": lambda d: d.groupBy("l_returnflag", "l_linestatus")
@@ -285,6 +326,59 @@ def main() -> None:
         "rrf_fusion": lambda d: SR.hybrid_rrf_topk(
             d, [("q1", "hash join"), ("q2", "slow scan filter")], topk=5
         ).count(),
+        # pseudo-relevance feedback: two BM25 rounds over ONE shared
+        # tf/df index; the feedback frame entering round two is
+        # |Q|·fb_terms broadcast-sized, so growth should track the
+        # single linear index pass
+        "prf_expand": lambda d: SR.prf_expand_topk(
+            d,
+            [("q1", "hash join"), ("q2", "slow scan filter")],
+            topk=5,
+            fb_docs=3,
+            fb_terms=4,
+        ).count(),
+        # MMR diversified rerank: one linear BM25 pass to the
+        # candidate pool, then k greedy rounds over checkpointed
+        # |Q|·topk frames — candidate-bounded after the pool build
+        "mmr_rerank": lambda d: _mmr_case(d),
+        # backward as-of join: union + one windowed last-ignorenulls,
+        # a single shuffle on (user) — textbook linear
+        "asof_join": lambda e: TP.asof_join(
+            e.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts"
+            ),
+            e.filter(F.col("event_type") == "view").select(
+                "user_id",
+                "ts",
+                F.col("event_id").alias("view_id"),
+                "value",
+            ),
+            on=["user_id"],
+            right_payload=["view_id", "value"],
+        ).count(),
+        # SCD2 merge: joins only the current slice against the
+        # update batch (three semi/anti joins + unions), linear in
+        # dimension + batch
+        "scd2_merge": lambda c: SCD.scd2_merge(
+            SCD.scd2_init(
+                c.select(
+                    F.col("c_custkey").alias("key"),
+                    F.col("c_mktsegment").alias("segment"),
+                    F.col("c_acctbal").alias("acctbal"),
+                ),
+                "key",
+                ["segment", "acctbal"],
+                "2024-01-01",
+            ),
+            c.filter(F.col("c_custkey") % 10 == 0).select(
+                F.col("c_custkey").alias("key"),
+                F.col("c_mktsegment").alias("segment"),
+                (F.col("c_acctbal") + F.lit(100.0)).alias("acctbal"),
+            ),
+            "key",
+            ["segment", "acctbal"],
+            "2024-02-01",
+        ).count(),
     }
     inputs = {
         "lm_perplexity": (docs, ["doc_id"]),
@@ -338,6 +432,10 @@ def main() -> None:
         "sim_pq": (emb, ["vec_id"]),
         "pagerank_neardup": (docs, ["doc_id"]),
         "rrf_fusion": (docs, ["doc_id"]),
+        "prf_expand": (docs, ["doc_id"]),
+        "mmr_rerank": (docs, ["doc_id"]),
+        "asof_join": (ev, ["user_id", "event_id"]),
+        "scd2_merge": (cu, ["c_custkey"]),
     }
 
     # Round-3 operators with lifecycle state (a band store / a

@@ -102,6 +102,9 @@ def test_plan_allowlist_is_pinned():
         "decontam_fuzzy_docs": 3,
         "dedup_incremental_docs": 3,
         "dedup_minhash_pairs": 3,
+        # round-9 sampled sf0.1 twin — same LSH plan, own signature
+        # pass over the sampled corpus
+        "dedup_minhash_pairs_sf01": 3,
         "dedup_simhash_pairs": 3,
         "dedup_winnow_pairs": 3,
         "embed_label_spectrum": 2,

@@ -50,6 +50,11 @@ ARROW_STAGE_EXPECTED = {
     # banded minhash: Arrow signature pass + pudf exact-verify +
     # recall-gate truth side
     "dedup_minhash_pairs": 3,
+    # round-9 bounded-sample sf0.1 twin: identical LSH plan on the
+    # doc_id%10 sample (its own signature pass — the sampled corpus
+    # can't reuse the full-corpus shared-signature frame), so the
+    # same 3 stages as its full-corpus sibling
+    "dedup_minhash_pairs_sf01": 3,
     "dedup_simhash_pairs": 3,
     "dedup_winnow_pairs": 3,
     # multimodal: one mapInPandas extract stage (decode_stub="auto"

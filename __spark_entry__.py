@@ -1781,12 +1781,7 @@ def dedup_minhash_pairs_sf01(spark, sf_dir):
     definition at 1/100th the oracle cost, so the sf0.1 evidence is
     driver-checkable. Reads sf0.1 on both sides regardless of the
     driver's sf parameter (the *_sf01 twin pattern)."""
-    d = _t(spark, "/root/testdata/sf0.1", "documents").filter(
-        F.col("doc_id") % 10 == 0
-    )
-    out = D.minhash_lsh_dedup(
-        d, n=3, num_hashes=64, bands=32, threshold=0.5
-    )
+    out = _minhash_pairs_sf01_sample(spark)
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1803,6 +1798,59 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / len(list_distinct(a.shingles || b.shingles)) >= 0.5
 """.replace("{shingles}", _SQL_SHINGLES)
+
+
+_SAMPLED_PAIRS_SF01_CACHE: dict = {}
+
+
+def _minhash_pairs_sf01_sample(spark):
+    """The sampled-sf0.1 verified pair set behind both bounded twins
+    (pair list + clustering), persisted per session like its
+    full-corpus sibling."""
+    return _session_cached(
+        _SAMPLED_PAIRS_SF01_CACHE,
+        spark,
+        "/root/testdata/sf0.1",
+        lambda: D.minhash_lsh_dedup(
+            _t(spark, "/root/testdata/sf0.1", "documents").filter(
+                F.col("doc_id") % 10 == 0
+            ),
+            n=3,
+            num_hashes=64,
+            bands=32,
+            threshold=0.5,
+        ),
+    )
+
+
+def dedup_cluster_docs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the near-dup clustering gate
+    (r08 verdict task #5, same doc_id%10 contract as
+    dedup_minhash_pairs_sf01 — the two twins share one sampled pair
+    frame): pointer-jumping connected components over the sampled
+    sf0.1 LSH pair set, against the recursive-CTE transitive closure
+    of the sampled exact-Jaccard truth. Gives the min-label
+    propagation operator driver evidence at 10× the corpus the
+    full gate's quadratic oracle permits."""
+    return D.connected_components(
+        _minhash_pairs_sf01_sample(spark), "id_a", "id_b"
+    )
+
+
+DEDUP_CLUSTER_SF01_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_MINHASH_SF01_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
 
 
 def _pair_recall_gate(truth_pairs, sketch_pairs, bound: float):
@@ -7515,6 +7563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": dedup_ngram_pairs,
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_pairs_sf01": dedup_minhash_pairs_sf01,
+        "dedup_cluster_docs_sf01": dedup_cluster_docs_sf01,
         "dedup_cluster_docs": dedup_cluster_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "skew_salted_token_counts": skew_salted_token_counts,
@@ -7763,6 +7812,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "dedup_minhash_pairs_sf01": DEDUP_MINHASH_SF01_SQL,
+        "dedup_cluster_docs_sf01": DEDUP_CLUSTER_SF01_SQL,
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "curation_pipeline_docs": CURATION_SQL,
         "skew_salted_token_counts": SKEW_TOKENS_SQL,

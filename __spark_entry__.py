@@ -1801,26 +1801,85 @@ WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
 
 
 _SAMPLED_PAIRS_SF01_CACHE: dict = {}
+_SAMPLED_SIGS_SF01_CACHE: dict = {}
+
+
+def _docs_sf01_sample(spark):
+    return _t(spark, "/root/testdata/sf0.1", "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+
+
+def _doc_sigs_sf01_sample(spark):
+    """Shared sketch-signature frame for the SAMPLED sf0.1 corpus —
+    one Arrow pass serves all four bounded twins (minhash pairs,
+    clusters, simhash recall, winnow recall), mirroring the
+    full-corpus _doc_sigs design."""
+    return _session_cached(
+        _SAMPLED_SIGS_SF01_CACHE,
+        spark,
+        "/root/testdata/sf0.1",
+        lambda: G.combined_signatures(
+            _docs_sf01_sample(spark),
+            n=3, num_hashes=64, bands=32, k=16, window=8,
+        ),
+    )
 
 
 def _minhash_pairs_sf01_sample(spark):
-    """The sampled-sf0.1 verified pair set behind both bounded twins
-    (pair list + clustering), persisted per session like its
-    full-corpus sibling."""
+    """The sampled-sf0.1 verified pair set behind the bounded twins
+    (pair list + clustering + both recall truths), persisted per
+    session like its full-corpus sibling and fed from the shared
+    sampled signature frame."""
     return _session_cached(
         _SAMPLED_PAIRS_SF01_CACHE,
         spark,
         "/root/testdata/sf0.1",
         lambda: D.minhash_lsh_dedup(
-            _t(spark, "/root/testdata/sf0.1", "documents").filter(
-                F.col("doc_id") % 10 == 0
-            ),
+            _docs_sf01_sample(spark),
             n=3,
             num_hashes=64,
             bands=32,
             threshold=0.5,
+            banded=G.bands_view(_doc_sigs_sf01_sample(spark)),
         ),
     )
+
+
+def dedup_simhash_pairs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the SimHash recall gate (same
+    doc_id%10 contract as the other twins, same shared sampled
+    signature frame): Hamming≤3 pairs recalled against the sampled
+    exact-Jaccard truth. The sketch is deterministic, so the sample
+    recall is a fixed number (4 of 6 truth pairs = 0.667 against the
+    ≥0.5 contract — consistent with the 0.71 full-corpus
+    measurement; the 3-bit radius is deliberately tight)."""
+    truth = _minhash_pairs_sf01_sample(spark).select("id_a", "id_b")
+    sketch = D.simhash_dedup(
+        _docs_sf01_sample(spark),
+        max_hamming=3,
+        signatures=G.simhash_view(_doc_sigs_sf01_sample(spark)),
+    )
+    return _pair_recall_gate(truth, sketch, 0.5)
+
+
+def dedup_winnow_pairs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the winnowing recall gate: the
+    MOSS guarantee (any shared run of ≥ k+window-1 chars is
+    fingerprinted) holds at any corpus size, so the sampled recall
+    stays at the ≥0.8 contract of the full gate."""
+    truth = _minhash_pairs_sf01_sample(spark).select("id_a", "id_b")
+    return _pair_recall_gate(
+        truth,
+        _winnow_pairs_from(G.winnow_view(_doc_sigs_sf01_sample(spark))),
+        0.8,
+    )
+
+
+PAIR_RECALL_SF01_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SF01_SQL})
+SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM pairs
+"""
 
 
 def dedup_cluster_docs_sf01(spark, sf_dir):
@@ -1883,13 +1942,20 @@ SELECT COUNT(*) AS n_truth, TRUE AS recall_ok FROM pairs
 
 
 def _winnow_pairs_raw(spark, sf_dir):
+    """Winnowing-fingerprint near-dup pairs over the shared
+    full-corpus signature frame."""
+    return _winnow_pairs_from(G.winnow_view(_doc_sigs(spark, sf_dir)))
+
+
+def _winnow_pairs_from(fps):
     """Winnowing-fingerprint near-dup pairs: docs sharing winnowed
     k-gram fingerprints with overlap >= 0.5, paired via the same
-    grouped bucket expansion as minhash."""
+    grouped bucket expansion as minhash. Takes the fingerprint view
+    directly so the sampled-sf0.1 twin can reuse it on its own
+    signature frame."""
     # n_fp rides along with every fingerprint row so the whole pair
     # computation references the (shared) Python signature stage
     # exactly once; a self-join + sizes formulation recomputed it 3x.
-    fps = G.winnow_view(_doc_sigs(spark, sf_dir))
     members = (
         fps.groupBy("fingerprint")
         .agg(F.array_sort(F.collect_set(F.struct("doc_id", "n_fp"))).alias("ids"))
@@ -7564,6 +7630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_pairs_sf01": dedup_minhash_pairs_sf01,
         "dedup_cluster_docs_sf01": dedup_cluster_docs_sf01,
+        "dedup_simhash_pairs_sf01": dedup_simhash_pairs_sf01,
+        "dedup_winnow_pairs_sf01": dedup_winnow_pairs_sf01,
         "dedup_cluster_docs": dedup_cluster_docs,
         "curation_pipeline_docs": curation_pipeline_docs,
         "skew_salted_token_counts": skew_salted_token_counts,
@@ -7813,6 +7881,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "dedup_minhash_pairs_sf01": DEDUP_MINHASH_SF01_SQL,
         "dedup_cluster_docs_sf01": DEDUP_CLUSTER_SF01_SQL,
+        "dedup_simhash_pairs_sf01": PAIR_RECALL_SF01_SQL,
+        "dedup_winnow_pairs_sf01": PAIR_RECALL_SF01_SQL,
         "dedup_cluster_docs": DEDUP_CLUSTER_SQL,
         "curation_pipeline_docs": CURATION_SQL,
         "skew_salted_token_counts": SKEW_TOKENS_SQL,

@@ -105,6 +105,10 @@ def test_plan_allowlist_is_pinned():
         # round-9 sampled sf0.1 twin — same LSH plan, own signature
         # pass over the sampled corpus
         "dedup_minhash_pairs_sf01": 3,
+        # sampled recall twins — same 3-stage shape as their
+        # full-corpus siblings over the shared sampled signature pass
+        "dedup_simhash_pairs_sf01": 3,
+        "dedup_winnow_pairs_sf01": 3,
         "dedup_simhash_pairs": 3,
         "dedup_winnow_pairs": 3,
         "embed_label_spectrum": 2,

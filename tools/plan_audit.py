@@ -55,6 +55,11 @@ ARROW_STAGE_EXPECTED = {
     # can't reuse the full-corpus shared-signature frame), so the
     # same 3 stages as its full-corpus sibling
     "dedup_minhash_pairs_sf01": 3,
+    # the sampled recall twins mirror their full-corpus siblings'
+    # 3-stage shape (shared sampled signature pass + sketch view +
+    # the recall gate's exact-verify truth side)
+    "dedup_simhash_pairs_sf01": 3,
+    "dedup_winnow_pairs_sf01": 3,
     "dedup_simhash_pairs": 3,
     "dedup_winnow_pairs": 3,
     # multimodal: one mapInPandas extract stage (decode_stub="auto"

@@ -191,8 +191,9 @@ HEADLINE = [
     "purge_audit_docs",
     "span_clean_docs",
     # round-8 additions (the three *_sf01 twins are excluded like
-    # ccnet_buckets_docs_sf01, and round 9's dedup_minhash_pairs_sf01
-    # likewise: each IS an already-benched plan pinned to sf0.1; bpe_symbols_docs, bpe_doc_tokens_docs and
+    # ccnet_buckets_docs_sf01, and round 9's four sampled dedup twins
+    # (minhash/cluster/simhash/winnow _sf01) likewise: each IS an
+    # already-benched plan pinned to sf0.1; bpe_symbols_docs, bpe_doc_tokens_docs and
     # curriculum_stages_docs are excluded because each re-runs the
     # same training loop bpe_vocab_docs already times, plus one
     # vocab-bounded aggregate / broadcast

@@ -425,9 +425,22 @@ def main() -> None:
                     for r in rows)
     if "--write" in sys.argv:
         head = _git("rev-parse", "HEAD").strip()
+        # as_of_round: the newest driver CORRECTNESS round visible at
+        # generation time. The freshness guard evaluates its invariant
+        # as-of this round, so the order stays valid when the driver
+        # lands CORRECTNESS_r{N+1}.json AFTER the round's final commit
+        # (the r09 handoff failure mode) — but goes red if TWO driver
+        # rounds land without a regen (round-10 verdict task #2).
+        as_of = max(
+            (int(m.group(1)) for fn in os.listdir(REPO)
+             if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", fn))),
+            default=0,
+        )
         with open(os.path.join(REPO, "tools", "gate_order.json"), "w") as fh:
             json.dump(
-                {"generated_from": head, "order": order}, fh, indent=0
+                {"generated_from": head, "as_of_round": as_of,
+                 "order": order},
+                fh, indent=0,
             )
         print(f"gate_order.json: {len(order)} gates "
               f"({n_never} never-checked, {n_changed} changed-stale)")

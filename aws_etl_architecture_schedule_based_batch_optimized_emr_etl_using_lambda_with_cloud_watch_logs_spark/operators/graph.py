@@ -125,11 +125,16 @@ def _banded_rows(
             n = len(pdf)
             # (n, L, reps): original bucket then the n_probes
             # lowest-|margin| single-bit flips, XOR of that plane's
-            # weight. argsort is deterministic (stable, exact floats).
+            # weight. kind='stable' so exactly-tied |margin| planes
+            # keep index order across numpy versions (default
+            # quicksort is not stable — tied planes could swap probe
+            # order and change the emitted edge set).
             all_bks = np.empty((n, n_tables, reps), dtype=np.int64)
             all_bks[:, :, 0] = bks
             if n_probes:
-                order = np.argsort(np.abs(margins), axis=2)
+                order = np.argsort(
+                    np.abs(margins), axis=2, kind="stable"
+                )
                 for j in range(n_probes):
                     all_bks[:, :, j + 1] = bks ^ weights[
                         order[:, :, j]
@@ -371,13 +376,16 @@ def knn_edges_lsh(
     # the upstream lineage (e.g. the hashed-BoW embed's tokenize +
     # aggregate) executes once, not per reference. At cluster scale
     # this pins exactly the projection an ANN build would persist
-    # anyway.
+    # anyway. eager=False: no Spark job fires at operator-construction
+    # time — the checkpoint materializes only when the returned plan
+    # actually executes (constructing-but-not-consuming the frame is
+    # free).
     base = (
         vecs.select(
             F.col(id_col).alias("_gid"), F.col(vec_col).alias("_gvec")
         )
         .withColumn("_gn2", int_dot(F.col("_gvec"), F.col("_gvec")))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     if n_planes is None:
         # occupancy-64 target with a floor of 2 (not near-dup's 6:

@@ -59,7 +59,26 @@ def merge_agg_states(
     """Merge two partial states: counts add, sums add (through the
     same decimal lattice they were built in), min/max fold. Groups
     present in only one state pass through — union + one re-aggregate
-    over the two STATE-sized frames."""
+    over the two STATE-sized frames.
+
+    Guard: with ``decimal=True`` BOTH inputs must already carry
+    m_sum as decimal(38,4). unionByName of a stale pre-round-9
+    persisted state (double) with a decimal state would coerce both
+    sides to double — silently restoring exactly the lossy path the
+    decimal lattice removed — so a mixed-lattice merge fails loudly
+    instead."""
+    if decimal:
+        for name, df in (("a", a), ("b", b)):
+            dt = dict(df.dtypes).get("m_sum")
+            if dt != "decimal(38,4)":
+                raise TypeError(
+                    f"merge_agg_states(decimal=True): input {name!r} "
+                    f"carries m_sum as {dt}, not decimal(38,4) — a "
+                    f"stale pre-decimal persisted state would merge "
+                    f"lossily through double; rebuild it with "
+                    f"additive_agg_state(decimal=True) or pass "
+                    f"decimal=False explicitly"
+                )
     u = a.unionByName(b)
     # decimal states sum natively (DECIMAL(38,4) in, 38,4 out — no
     # round-trip through double, which was the one lossy step in the

@@ -3944,6 +3944,30 @@ def test_incremental_agg_state_sum_stays_decimal_at_large_totals(spark):
     assert merged.n_rows == direct.n_rows == 14
 
 
+def test_incremental_merge_rejects_stale_double_state(spark):
+    """A pre-round-9 persisted state (m_sum as double) unioned with a
+    decimal(38,4) state would coerce BOTH to double — silently
+    restoring the lossy path the decimal lattice removed. The merge
+    must fail loudly on the mixed-lattice input instead (round-9
+    advice item)."""
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        incremental as INC,
+    )
+
+    df = spark.createDataFrame([("k", 1.5)], "k string, v double")
+    fresh = INC.additive_agg_state(df, ["k"], "v")
+    stale = fresh.withColumn("m_sum", F.col("m_sum").cast("double"))
+    with pytest.raises(TypeError, match="decimal"):
+        INC.merge_agg_states(fresh, stale, ["k"])
+    with pytest.raises(TypeError, match="decimal"):
+        INC.merge_agg_states(stale, fresh, ["k"])
+    # explicit opt-out still merges (the caller owns the semantics)
+    got = INC.merge_agg_states(stale, stale, ["k"], decimal=False)
+    assert got.collect()[0].m_sum == 3.0
+
+
 def test_pq_topk_recall_vs_exact(spark):
     """PQ/ADC shortlist + exact rerank must recover most of the exact
     top-5 on the fixture embeddings (same ≥0.5 contract as the other

@@ -2952,23 +2952,7 @@ def dedup_incremental_docs(spark, sf_dir):
         p2.select("id_a", "id_b")
     )
     oneshot = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
-    missing = oneshot.join(incremental, ["id_a", "id_b"], "left_anti").agg(
-        F.count("*").alias("n_missing")
-    )
-    extra = incremental.join(oneshot, ["id_a", "id_b"], "left_anti").agg(
-        F.count("*").alias("n_extra")
-    )
-    total = oneshot.agg(F.count("*").alias("n_pairs"))
-    return (
-        total.crossJoin(missing)
-        .crossJoin(extra)
-        .select(
-            "n_pairs",
-            ((F.col("n_missing") == 0) & (F.col("n_extra") == 0)).alias(
-                "incremental_matches_oneshot"
-            ),
-        )
-    )
+    return _incremental_vs_oneshot_gate(incremental, oneshot)
 
 
 DEDUP_INCREMENTAL_SQL = f"""
@@ -3032,6 +3016,12 @@ def stream_incremental_dedup_docs(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     oneshot = _minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    return _incremental_vs_oneshot_gate(incremental, oneshot)
+
+
+def _incremental_vs_oneshot_gate(incremental, oneshot):
+    """(n_pairs, incremental_matches_oneshot) compare frame shared by
+    the incremental-dedup gates and their sampled sf0.1 twins."""
     missing = oneshot.join(incremental, ["id_a", "id_b"], "left_anti").agg(
         F.count("*").alias("n_missing")
     )
@@ -3049,6 +3039,101 @@ def stream_incremental_dedup_docs(spark, sf_dir):
             ),
         )
     )
+
+
+def dedup_incremental_docs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the incremental band-store dedup
+    gate (r10 verdict task #3 — the last excluded operators with no
+    sf0.1 evidence): replay the doc_id%10==0 sample of the sf0.1
+    corpus through incremental_minhash_dedup in two batches
+    (doc_id%20 == 0 then == 10) and assert the per-batch pair union
+    equals the one-shot LSH result over the same sample. The
+    full-corpus gate stays sf0.1-excluded because its exact all-pairs
+    n-gram ORACLE is quadratic (5000 docs → 12.5M DuckDB
+    list-intersect pairs); the 500-doc sample keeps the identical
+    operator + order-independence invariant at 1/100th the oracle
+    cost. Reads sf0.1 on both sides regardless of the driver's sf
+    parameter (the *_sf01 twin pattern); band store in a fresh temp
+    dir per call, removed before returning (safe — per-batch pairs
+    are eagerly localCheckpoint-ed inside the operator)."""
+    import shutil
+    import tempfile
+
+    d = _docs_sf01_sample(spark)
+    b1 = d.filter(F.col("doc_id") % 20 == 0)
+    b2 = d.filter(F.col("doc_id") % 20 == 10)
+    tmp = tempfile.mkdtemp(prefix="incr_bands_sf01_")
+    store = tmp + "/bands"
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+    try:
+        p1 = D.incremental_minhash_dedup(b1, store, old_docs=None, **kwargs)
+        p2 = D.incremental_minhash_dedup(b2, store, old_docs=b1, **kwargs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    incremental = p1.select("id_a", "id_b").unionByName(
+        p2.select("id_a", "id_b")
+    )
+    oneshot = _minhash_pairs_sf01_sample(spark).select("id_a", "id_b")
+    return _incremental_vs_oneshot_gate(incremental, oneshot)
+
+
+DEDUP_INCREMENTAL_SF01_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SF01_SQL})
+SELECT COUNT(*) AS n_pairs, TRUE AS incremental_matches_oneshot FROM pairs
+"""
+
+
+def stream_incremental_dedup_docs_sf01(spark, sf_dir):
+    """Bounded-sample sf0.1 twin of the STREAMING incremental dedup
+    gate (r10 verdict task #3): the doc_id%10==0 sample of the sf0.1
+    corpus re-played as a 2-file JSON stream through
+    stream_incremental_dedup (foreachBatch band store), cumulative
+    pair union checked against the sampled one-shot LSH result. Same
+    sampled exact-truth oracle as dedup_incremental_docs_sf01."""
+    import shutil
+    import tempfile
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        run_available_now,
+        stream_incremental_dedup,
+    )
+
+    d = _docs_sf01_sample(spark)
+    tmp = tempfile.mkdtemp(prefix="stream_incr_sf01_")
+    src = tmp + "/src"
+    try:
+        # two source files → two micro-batches at maxFilesPerTrigger=1
+        d.filter(F.col("doc_id") % 20 == 0).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        d.filter(F.col("doc_id") % 20 == 10).coalesce(1).write.mode(
+            "append"
+        ).json(src)
+        schema = spark.read.json(src).schema
+        q = stream_incremental_dedup(
+            spark,
+            source_path=src,
+            store_path=tmp + "/bands",
+            corpus_sink=tmp + "/corpus",
+            pairs_sink=tmp + "/pairs",
+            checkpoint_path=tmp + "/chk",
+            schema=schema,
+            reader_options={"maxFilesPerTrigger": "1"},
+            n=3,
+            num_hashes=64,
+            bands=32,
+            threshold=0.5,
+        )
+        run_available_now(q)
+        incremental = (
+            spark.read.parquet(tmp + "/pairs")
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    oneshot = _minhash_pairs_sf01_sample(spark).select("id_a", "id_b")
+    return _incremental_vs_oneshot_gate(incremental, oneshot)
 
 
 def text_repetition_docs(spark, sf_dir):
@@ -7551,6 +7636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks_docs": cdc_chunks_docs,
         "purge_audit_docs": purge_audit_docs,
         "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
+        "stream_incremental_dedup_docs_sf01": stream_incremental_dedup_docs_sf01,
         "span_clean_docs": span_clean_docs,
         "events_sessionize": events_sessionize,
         "events_range_join": events_range_join,
@@ -7563,6 +7649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": events_session_window,
         "text_repetition_docs": text_repetition_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "dedup_incremental_docs_sf01": dedup_incremental_docs_sf01,
         "span_dedup_docs": span_dedup_docs,
         "bloom_decontam_docs": bloom_decontam_docs,
         "bm25_search_docs": bm25_search_docs,
@@ -7769,6 +7856,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks_docs": CDC_CHUNKS_SQL,
         "purge_audit_docs": PURGE_AUDIT_SQL,
         "stream_incremental_dedup_docs": DEDUP_INCREMENTAL_SQL,
+        "stream_incremental_dedup_docs_sf01": DEDUP_INCREMENTAL_SF01_SQL,
         "span_clean_docs": SPAN_CLEAN_SQL,
         "events_hopping_window": HOPPING_SQL,
         "drift_tokens_docs": DRIFT_SQL,
@@ -7918,5 +8006,6 @@ def oracle_sql() -> dict[str, str]:
         "events_session_window": SESSION_WINDOW_SQL,
         "text_repetition_docs": REPETITION_SQL,
         "dedup_incremental_docs": DEDUP_INCREMENTAL_SQL,
+        "dedup_incremental_docs_sf01": DEDUP_INCREMENTAL_SF01_SQL,
         "embed_cluster_vecs": EMBED_CLUSTER_SQL,
     }

@@ -253,7 +253,9 @@ HEADLINE = [
     # as dedup_incremental_docs: the gate re-plays the corpus into a
     # fresh band store + corpus sink per call by design; the
     # steady-state per-batch path it exercises is benched via the
-    # shared-signature gates
+    # shared-signature gates. Their round-10 *_sf01 sampled twins are
+    # excluded for both reasons at once (pinned to sf0.1, fresh band
+    # store per call).
 ]
 
 

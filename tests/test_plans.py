@@ -101,6 +101,9 @@ def test_plan_allowlist_is_pinned():
     assert dict(sorted(ARROW_STAGE_EXPECTED.items())) == {
         "decontam_fuzzy_docs": 3,
         "dedup_incremental_docs": 3,
+        # round-10 sampled sf0.1 twins of the incremental band-store
+        # gates — same 3-stage shape as their full siblings
+        "dedup_incremental_docs_sf01": 3,
         "dedup_minhash_pairs": 3,
         # round-9 sampled sf0.1 twin — same LSH plan, own signature
         # pass over the sampled corpus
@@ -136,6 +139,7 @@ def test_plan_allowlist_is_pinned():
         "sim_topk_pq": 3,
         "sim_topk_sq": 2,
         "stream_incremental_dedup_docs": 3,
+        "stream_incremental_dedup_docs_sf01": 3,
         "triplet_mining_vecs": 2,
     }
 

@@ -108,6 +108,11 @@ ARROW_STAGE_EXPECTED = {
     # streaming twin: the returned compare plan embeds the one-shot
     # minhash truth side; the stream itself ran in foreachBatch
     "stream_incremental_dedup_docs": 3,
+    # bounded doc_id%10 sf0.1 twins of the two gates above (r10 task
+    # #3): identical plan shapes over the sampled corpus — measured 3
+    # distinct Arrow signatures each, same as their full siblings
+    "dedup_incremental_docs_sf01": 3,
+    "stream_incremental_dedup_docs_sf01": 3,
     # embed_cluster_vecs is deliberately ABSENT: its Arrow cosine
     # pair source materializes through a localCheckpoint during
     # construction, so the returned plan is checkpoint-scan-rooted

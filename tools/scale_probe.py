@@ -105,8 +105,18 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 )
 
 
-def scaled(df, n: int, id_cols: list[str]):
-    """N-way union with ids offset per copy (keys stay unique)."""
+def scaled(df, n: int, id_cols: list[str], salt_text_col: str | None = None):
+    """N-way union with ids offset per copy (keys stay unique).
+
+    ``salt_text_col``: also suffix every token of that column with
+    the replica index, so copies are NOT content-clones. The default
+    all-clones remap is the adversarial corpus for dedup/LSH (every
+    doc gains n-1 identical siblings — the giant-bucket worst case,
+    kept as the stress probe); the salted remap is the REALISTIC
+    100× corpus for bucket-entropy-sensitive operators (r10 verdict
+    task #4): each replica carries its own vocabulary, so hashed-BoW
+    vectors differ across copies and buckets fill at natural
+    occupancy instead of concentrating clone armies."""
     if n == 1:
         return df
     offset = df.agg(*[F.max(c) for c in id_cols]).collect()[0]
@@ -115,6 +125,11 @@ def scaled(df, n: int, id_cols: list[str]):
         part = df
         for j, c in enumerate(id_cols):
             part = part.withColumn(c, F.col(c) + F.lit(i * (offset[j] + 1)))
+        if salt_text_col is not None and i:
+            part = part.withColumn(
+                salt_text_col,
+                F.regexp_replace(F.col(salt_text_col), r"(\w+)", f"$1{i}"),
+            )
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -305,6 +320,16 @@ def main() -> None:
             id_col="doc_id",
             vec_col="embedding",
         ).count(),
+        # same operator on the SALTED remap (replica-suffixed tokens
+        # → no cross-copy clones): separates multi-probe cost on a
+        # realistic-entropy corpus from the all-clones pathology the
+        # unsalted case deliberately keeps
+        "knn_graph_lsh_salted": lambda d: GPH.knn_edges_lsh(
+            SR.hashed_embeddings(d, dim=32),
+            k=5,
+            id_col="doc_id",
+            vec_col="embedding",
+        ).count(),
         # PageRank over the symmetrized near-duplicate pair graph
         # (the curation signal); growth = pair growth (bounded by the
         # banded LSH) + linear join/agg per iteration
@@ -429,6 +454,7 @@ def main() -> None:
         "funnel_3step": (ev, ["user_id", "event_id"]),
         "cohort_retention": (ev, ["user_id", "event_id"]),
         "knn_graph_lsh": (docs, ["doc_id"]),
+        "knn_graph_lsh_salted": (docs, ["doc_id"]),
         "sim_pq": (emb, ["vec_id"]),
         "pagerank_neardup": (docs, ["doc_id"]),
         "rrf_fusion": (docs, ["doc_id"]),
@@ -497,10 +523,14 @@ def main() -> None:
             raise SystemExit(f"unknown cases: {sorted(unknown)}")
         cases = {k: v for k, v in cases.items() if k in only}
 
+    _salt_text = {"knn_graph_lsh_salted"}
     ops = {}
     for name, fn in cases.items():
         base, id_cols = inputs[name]
-        big = scaled(base, n, id_cols).localCheckpoint(eager=True)
+        salt = "text" if name in _salt_text else None
+        big = scaled(base, n, id_cols, salt_text_col=salt).localCheckpoint(
+            eager=True
+        )
         one = scaled(base, 1, id_cols).localCheckpoint(eager=True)
         # Warm the case once (python-worker startup, codegen) so the
         # timed ratio compares operator cost, not cold-start — a cold

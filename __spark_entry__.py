@@ -7566,6 +7566,211 @@ FROM ({EVENTS_ANOMALY_SQL}) t
 """
 
 
+def exists_window_orders(spark, sf_dir):
+    """Correlated EXISTS feeding a window (r10 verdict task #5 — the
+    Athena-surface shape the inventory lacked): orders with at least
+    one line shipped >60 days after the order date (the Q4 late
+    predicate, correlated on BOTH tables' columns so it compiles to a
+    conditioned left-semi, not a pre-filtered IN), then each
+    customer's top-3 such orders by totalprice via ROW_NUMBER. Ties
+    break on the unique o_orderkey."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l.select("l_orderkey", "l_shipdate"),
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        late.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+EXISTS_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)) ranked
+WHERE rnk <= 3
+"""
+
+
+def merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO-shape upsert over the partitioned-parquet sink
+    (sources/writers.py merge_upsert — implemented since r? but never
+    driver-gated; r10 verdict task #5): bootstrap a sink from orders
+    partitioned by o_orderpriority, then upsert a batch that UPDATES
+    every o_orderkey%97==0 row in two of the five priorities
+    (totalprice +1000) and INSERTS a shifted-key copy of each —
+    dynamic partition overwrite rewrites ONLY the two touched
+    partitions. Returns the post-merge per-priority rollup read back
+    from the sink; DuckDB recomputes it from the anti-join + union
+    definition, so the hash match proves the rewrite touched exactly
+    the right rows and nothing else."""
+    import shutil
+    import tempfile
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources import (
+        writers as W,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    hot = F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+    batch = o.filter((F.col("o_orderkey") % 97 == 0) & hot)
+    updates = batch.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    ).unionByName(
+        batch.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="merge_upsert_")
+    sink = tmp + "/sink"
+    try:
+        o.write.partitionBy("o_orderpriority").parquet(sink)
+        W.merge_upsert(
+            spark, sink, updates,
+            key_cols=["o_orderkey"],
+            partition_cols=["o_orderpriority"],
+        )
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+MERGE_UPSERT_SQL = """
+WITH upd AS MATERIALIZED (
+  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
+merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+  FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM upd)
+SELECT o_orderpriority, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+def drift_multibatch_pipeline(spark, sf_dir):
+    """Multi-batch schema-drift e2e through the full scheduled-batch
+    pipeline (plans/pipeline.py run_batch, drift_mode=incremental;
+    r10 verdict task #5): four JSON batches derived from orders —
+    (1) the base shape → 'created'; (2) +color column →
+    'drift-recreated'; (3) color REMOVED → 'partitions-only' (the
+    pinned append-sink semantic: parquet append can only widen the
+    name set, so a column absent from one batch is not drift);
+    (4) same names but tts sent as STRING → 'partitions-only' (the
+    pinned H3 names-only / type-blind contract — safe exactly
+    because incremental mode never mergeSchema-re-reads the mixed
+    sink). Returns (batch_id, catalog_action, rows_written); DuckDB
+    recomputes the row counts from orders and pins the action
+    sequence."""
+    import shutil
+    import tempfile
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+
+    def batch(k: int, color: bool = False, tts_string: bool = False):
+        b = o.filter(F.col("o_orderkey") % 10 == k).select(
+            F.col("o_custkey").cast("string").alias("customerid"),
+            F.concat(
+                F.lit("v"), (F.col("o_orderkey") % 3).cast("string")
+            ).alias("vehicle"),
+            F.concat(
+                F.lit("c"), (F.col("o_orderkey") % 2).cast("string")
+            ).alias("category"),
+            F.unix_timestamp("o_orderdate").alias("tts"),
+            *([F.col("o_orderpriority").alias("color")] if color else []),
+        )
+        if tts_string:
+            b = b.withColumn("tts", F.col("tts").cast("string"))
+        return b
+
+    tmp = tempfile.mkdtemp(prefix="drift_mb_")
+    src = tmp + "/source"
+    cfg = EtlConfig(
+        source_path=src,
+        sink_path=tmp + "/sink",
+        catalog_db_name="driftmb",
+        catalog_table_prefix="mb",
+        drift_mode="incremental",
+    )
+    spark.sql("DROP DATABASE IF EXISTS `driftmb` CASCADE")
+    rows = []
+    try:
+        plan = [
+            (1, batch(1)),
+            (2, batch(2, color=True)),
+            (3, batch(3)),
+            (4, batch(4, tts_string=True)),
+        ]
+        for i, b in plan:
+            b.coalesce(1).write.mode("overwrite").json(src)
+            r = run_batch(spark, cfg)
+            rows.append((i, r.catalog_action, r.rows_written))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql("DROP DATABASE IF EXISTS `driftmb` CASCADE")
+    return spark.createDataFrame(
+        rows, "batch_id int, catalog_action string, rows_written bigint"
+    )
+
+
+DRIFT_MULTIBATCH_SQL = """
+SELECT CAST(1 AS INTEGER) AS batch_id, 'created' AS catalog_action,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1)
+       AS rows_written
+UNION ALL
+SELECT 2, 'drift-recreated',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 2)
+UNION ALL
+SELECT 3, 'partitions-only',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3)
+UNION ALL
+SELECT 4, 'partitions-only',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 4)
+"""
+
+
 # ----------------------------------------------------- driver contract
 
 
@@ -7665,6 +7870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangles_docs": knn_triangles_docs,
         "data_quality_audit": data_quality_audit,
         "scd2_customers": scd2_customers,
+        "exists_window_orders": exists_window_orders,
+        "merge_upsert_orders": merge_upsert_orders,
+        "drift_multibatch_pipeline": drift_multibatch_pipeline,
         "k_anonymity_customers": k_anonymity_customers,
         "incremental_agg_orders": incremental_agg_orders,
         "reservoir_sample_docs": reservoir_sample_docs,
@@ -7825,6 +8033,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_triangles_docs": KNN_TRIANGLES_SQL,
         "data_quality_audit": DATA_QUALITY_SQL,
         "scd2_customers": SCD2_SQL,
+        "exists_window_orders": EXISTS_WINDOW_SQL,
+        "merge_upsert_orders": MERGE_UPSERT_SQL,
+        "drift_multibatch_pipeline": DRIFT_MULTIBATCH_SQL,
         "k_anonymity_customers": K_ANONYMITY_SQL,
         "incremental_agg_orders": INCREMENTAL_AGG_SQL,
         "reservoir_sample_docs": RESERVOIR_SQL,

@@ -260,3 +260,90 @@ def test_triangle_counts_direction_and_dup_insensitive(spark):
     )
     got = {r.id: r.n_triangles for r in G.triangle_counts(e).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_knn_lsh_probe_dial_recall_sf01(spark):
+    """The knn_graph_lsh_docs 0.9 contract with the probe dial made
+    visible (r10 verdict task #8): tie-aware recall at sf0.1
+    (doc_id%5 sample, the gate's exact corpus) measured at BOTH
+    probes=1 and the shipped probes=2. r09 baseline readings: 0.894
+    at probes=1 (just UNDER the contract) and 0.944 at probes=2 — so
+    a fixture or operator change that nudges either number flips the
+    driver gate; this assertion prints the pair so that failure is
+    self-diagnosing instead of a bare recall_ok=false."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        search as SR,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).filter(F.col("doc_id") % 5 == 0)
+    emb = SR.hashed_embeddings(docs, dim=32).localCheckpoint()
+    base = emb.select(
+        "doc_id",
+        "embedding",
+        G.int_dot(F.col("embedding"), F.col("embedding")).alias("_n2"),
+    )
+    a = base.select(
+        F.col("doc_id").alias("src"),
+        F.col("embedding").alias("_va"),
+        F.col("_n2").alias("_na"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("dst"),
+        F.col("embedding").alias("_vb"),
+        F.col("_n2").alias("_nb"),
+    )
+
+    def skey(edges):
+        dot = G.int_dot(F.col("_va"), F.col("_vb"))
+        return (
+            edges.join(a, "src")
+            .join(b, "dst")
+            .select(
+                "src",
+                "dst",
+                (
+                    (dot * dot).cast("double")
+                    / (F.col("_na") * F.col("_nb")).cast("double")
+                ).alias("_skey"),
+            )
+        )
+
+    exact = G.knn_edges_exact_int(
+        emb, k=5, id_col="doc_id", vec_col="embedding"
+    ).select("src", "dst").localCheckpoint()
+    n_exact = exact.count()
+    kth = skey(exact).groupBy("src").agg(F.min("_skey").alias("_kth"))
+
+    def tie_recall(n_probes: int) -> float:
+        approx = G.knn_edges_lsh(
+            emb, k=5, id_col="doc_id", vec_col="embedding",
+            n_tables=8, n_probes=n_probes,
+        ).select("src", "dst")
+        hits = (
+            skey(approx)
+            .join(kth, "src")
+            .filter(F.col("_skey") >= F.col("_kth"))
+            .count()
+        )
+        return hits / n_exact
+
+    r1, r2 = tie_recall(1), tie_recall(2)
+    assert r2 >= 0.9, (
+        f"shipped probes=2 tie-aware recall {r2:.3f} < 0.9 contract "
+        f"(dial: probes=1 reads {r1:.3f}; r09 baselines were "
+        f"probes=1 0.894 / probes=2 0.944 — if both dropped, suspect "
+        f"the fixture or the banding kernel; if only probes=2, "
+        f"suspect the multi-probe flip path)"
+    )
+    # probes=1 sits just under the contract BY MEASUREMENT — if it
+    # ever reads >= 0.9 the shipped probes=2 default is paying double
+    # candidate volume for recall the corpus no longer needs; if it
+    # collapses far below its 0.894 baseline the operator regressed
+    # even though probes=2 may still clear the gate.
+    assert 0.75 <= r1 < r2 + 1e-9, (
+        f"probes=1 recall {r1:.3f} left its expected band "
+        f"[0.75, probes=2={r2:.3f}] — re-measure the dial and re-pin "
+        f"(r09 baseline 0.894)"
+    )

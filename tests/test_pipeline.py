@@ -235,6 +235,36 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
     assert {f: os.path.getmtime(f) for f in untouched_files} == mtimes
 
 
+def test_merge_upsert_new_partition_and_empty_batch(spark, tmp_path):
+    """Two edges the partition-rewrite idiom must get right: an
+    insert whose partition value does not exist yet in the sink
+    (the pruning predicate matches nothing — survivors are empty,
+    dynamic overwrite still creates the new directory), and an
+    EMPTY update batch (zero touched partitions → a true no-op that
+    never lists, reads, or rewrites the sink)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], ["id", "grp", "val"]
+    )
+    write_partitioned(base, sink, ["grp"])
+
+    brand_new = spark.createDataFrame([(9, "g9", 90.0)], ["id", "grp", "val"])
+    stats = merge_upsert(spark, sink, brand_new, ["id"], ["grp"])
+    assert stats == {"updated_partitions": 1, "rows_written": 1}
+    after = {r["id"]: (r["grp"], r["val"]) for r in spark.read.parquet(sink).collect()}
+    assert after == {1: ("g1", 10.0), 2: ("g2", 20.0), 9: ("g9", 90.0)}
+
+    empty = brand_new.filter("id < 0")
+    stats = merge_upsert(spark, sink, empty, ["id"], ["grp"])
+    assert stats == {"updated_partitions": 0, "rows_written": 0}
+    assert spark.read.parquet(sink).count() == 3
+
+
 def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     """Footer-stats proof: clustered files cover near-disjoint key
     ranges (skippable); unclustered files all span the whole domain."""

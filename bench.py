@@ -35,6 +35,8 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q4_late_orders",
+    # round-10: correlated EXISTS + per-customer window top-3 (linear)
+    "exists_window_orders",
     "q10_returned_revenue",
     "q14_promo_share",
     "q18_large_orders",
@@ -255,7 +257,12 @@ HEADLINE = [
     # steady-state per-batch path it exercises is benched via the
     # shared-signature gates. Their round-10 *_sf01 sampled twins are
     # excluded for both reasons at once (pinned to sf0.1, fresh band
-    # store per call).
+    # store per call). merge_upsert_orders and
+    # drift_multibatch_pipeline are excluded for the same replay
+    # reason: each bootstraps a fresh sink (and the drift gate a
+    # fresh catalog db) per call by design — the steady-state write
+    # path they exercise is the partitioned writer the layout tests
+    # pin.
 ]
 
 

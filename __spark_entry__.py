@@ -7709,16 +7709,25 @@ def drift_multibatch_pipeline(spark, sf_dir):
 
     o = _t(spark, sf_dir, "orders")
 
+    # Partition-tuple cardinality is BOUNDED by construction
+    # (customerid%5 × 3 vehicles × 2 categories × year-truncated
+    # dates ≤ ~210 tuples at ANY sf): the 6-level reference layout
+    # over raw near-unique keys would mint one hive directory per
+    # row — fine for the reference's per-customer feeds, quadratic
+    # metadata pain for a whole-fact replay (first sf0.1 run spent
+    # its time in partition DDL, not data).
     def batch(k: int, color: bool = False, tts_string: bool = False):
         b = o.filter(F.col("o_orderkey") % 10 == k).select(
-            F.col("o_custkey").cast("string").alias("customerid"),
+            (F.col("o_custkey") % 5).cast("string").alias("customerid"),
             F.concat(
                 F.lit("v"), (F.col("o_orderkey") % 3).cast("string")
             ).alias("vehicle"),
             F.concat(
                 F.lit("c"), (F.col("o_orderkey") % 2).cast("string")
             ).alias("category"),
-            F.unix_timestamp("o_orderdate").alias("tts"),
+            F.unix_timestamp(
+                F.date_trunc("year", F.col("o_orderdate"))
+            ).alias("tts"),
             *([F.col("o_orderpriority").alias("color")] if color else []),
         )
         if tts_string:

@@ -7736,14 +7736,18 @@ def drift_multibatch_pipeline(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="drift_mb_")
     src = tmp + "/source"
+    # db name derived from the (unique) temp dir: concurrent gate
+    # executions (a check_oracle sweep racing a pytest plan audit in
+    # another session sharing the warehouse) must not DROP each
+    # other's catalog mid-run
+    db = "driftmb_" + os.path.basename(tmp).removeprefix("drift_mb_")
     cfg = EtlConfig(
         source_path=src,
         sink_path=tmp + "/sink",
-        catalog_db_name="driftmb",
+        catalog_db_name=db,
         catalog_table_prefix="mb",
         drift_mode="incremental",
     )
-    spark.sql("DROP DATABASE IF EXISTS `driftmb` CASCADE")
     rows = []
     try:
         plan = [
@@ -7758,7 +7762,7 @@ def drift_multibatch_pipeline(spark, sf_dir):
             rows.append((i, r.catalog_action, r.rows_written))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.sql("DROP DATABASE IF EXISTS `driftmb` CASCADE")
+        spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
     return spark.createDataFrame(
         rows, "batch_id int, catalog_action string, rows_written bigint"
     )

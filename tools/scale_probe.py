@@ -515,6 +515,8 @@ def main() -> None:
         "incremental_dedup_batch",
         "lsh_index_probe",
         "lm_stored_model_score",
+        "exists_window",
+        "merge_upsert",
     }
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     if only:
@@ -558,6 +560,127 @@ def main() -> None:
         f1 = build(one, f"{name}_1")
         fn_big = build(big, f"{name}_N")
         f1()
+        fn_big()
+        t1 = timed(f1)
+        tn = timed(fn_big)
+        ops[name] = {"t1": t1, "tN": tn, "ratio": round(tn / t1, 2) if t1 else None}
+        print(f"{name:22} 1x={t1:7.2f}s {n}x={tn:7.2f}s ratio={ops[name]['ratio']}",
+              file=sys.stderr)
+
+    # Joint-input cases (round-10 gates): the foreign key must stay
+    # coherent across replicas, so BOTH tables are offset-scaled with
+    # a SHARED per-key stride (scaled()'s single-frame remap can't
+    # express that). Customers are remapped too: growth models MORE
+    # customers at constant per-customer order density — the realistic
+    # 100 TB shape — so window partitions stay constant-sized and the
+    # expected growth is the linear shuffle, not a per-partition sort.
+    from pyspark.sql import Window
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources import (
+        writers as W,
+    )
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok_stride = (od.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
+    ck_stride = (od.agg(F.max("o_custkey")).collect()[0][0] or 0) + 1
+
+    def _rep(df, strides: dict, m: int):
+        if m == 1:
+            return df
+        parts = []
+        for i in range(m):
+            part = df
+            for c, stride in strides.items():
+                part = part.withColumn(c, F.col(c) + F.lit(i * stride))
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out.localCheckpoint(eager=True)
+
+    def exists_window_build(m: int):
+        """The r10 `exists_window_orders` gate shape: conditioned
+        left-semi (orders with a >60-day-late line) + per-customer
+        ROW_NUMBER top-3. Both stages shuffle on a key (orderkey,
+        then custkey) — textbook linear."""
+        o_s = _rep(
+            od.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            {"o_orderkey": ok_stride, "o_custkey": ck_stride},
+            m,
+        )
+        l_s = _rep(
+            li.select("l_orderkey", "l_shipdate"),
+            {"l_orderkey": ok_stride},
+            m,
+        )
+
+        def run():
+            late = o_s.join(
+                l_s,
+                (o_s.o_orderkey == l_s.l_orderkey)
+                & (
+                    l_s.l_shipdate
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ),
+                "left_semi",
+            )
+            w = Window.partitionBy("o_custkey").orderBy(
+                F.col("o_totalprice").desc(), F.col("o_orderkey")
+            )
+            return (
+                late.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 3)
+                .count()
+            )
+
+        return run
+
+    def merge_upsert_build(m: int):
+        """The r10 `merge_upsert_orders` gate shape: bootstrap a
+        priority-partitioned sink once per size (untimed), then time
+        the MERGE path — anti-join of the 2 touched partitions
+        against the batch keys + dynamic partition overwrite. Growth
+        tracks the touched-partition rewrite, linear in rows."""
+        proj = od.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        o_s = _rep(proj, {"o_orderkey": ok_stride}, m)
+        sink = f"{work}/merge_{m}/sink"
+        o_s.write.partitionBy("o_orderpriority").parquet(sink)
+        hot = F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
+        batch = o_s.filter((F.col("o_orderkey") % 97 == 0) & hot)
+        updates = batch.withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        ).unionByName(
+            batch.withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
+            )
+        ).localCheckpoint(eager=True)
+
+        def run():
+            W.merge_upsert(
+                spark,
+                sink,
+                updates,
+                key_cols=["o_orderkey"],
+                partition_cols=["o_orderpriority"],
+            )
+            return spark.read.parquet(sink).count()
+
+        return run
+
+    joint = {
+        "exists_window": exists_window_build,
+        "merge_upsert": merge_upsert_build,
+    }
+    if only:
+        joint = {k: v for k, v in joint.items() if k in only}
+    for name, build in joint.items():
+        f1 = build(1)
+        fn_big = build(n)
+        f1()  # warm both sizes (codegen, partition discovery)
         fn_big()
         t1 = timed(f1)
         tn = timed(fn_big)

@@ -7632,8 +7632,12 @@ def merge_upsert_orders(spark, sf_dir):
     updates = batch.withColumn(
         "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
     ).unionByName(
+        # insert-key shift sits above any real o_orderkey at ANY sf
+        # (TPC-H keys reach 6M x sf; 10^7 would collide from sf~2,
+        # where the oracle's corpus-wide NOT EXISTS and the sink's
+        # partition-scoped anti-join diverge on the colliding row)
         batch.withColumn(
-            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+            "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
         )
     )
     tmp = tempfile.mkdtemp(prefix="merge_upsert_")
@@ -7668,7 +7672,7 @@ WITH upd AS MATERIALIZED (
   FROM orders
   WHERE o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
   UNION ALL
-  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice, o_orderpriority
   FROM orders
   WHERE o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
 merged AS (

@@ -153,7 +153,6 @@ def merge_upsert(
     """
     from pyspark.sql import functions as F
 
-    existing = spark.read.parquet(path)
     touched = updates.select(*partition_cols).distinct()
     # Partition-pruning predicate from the (small) touched set.
     touched_rows = touched.collect()
@@ -165,8 +164,11 @@ def merge_upsert(
             clause = eq if clause is None else (clause & eq)
         cond = clause if cond is None else (cond | clause)
     if cond is None:
+        # Empty batch: return BEFORE touching the sink — at 100 TB a
+        # scheduled no-op tick must not pay the sink file listing.
         return {"updated_partitions": 0, "rows_written": 0}
 
+    existing = spark.read.parquet(path)
     survivors = existing.filter(cond).join(
         updates.select(*key_cols), key_cols, "left_anti"
     )

@@ -264,6 +264,15 @@ def test_merge_upsert_new_partition_and_empty_batch(spark, tmp_path):
     assert stats == {"updated_partitions": 0, "rows_written": 0}
     assert spark.read.parquet(sink).count() == 3
 
+    # The "never lists, reads, or rewrites" claim, pinned for real:
+    # an empty batch against a sink path that does not even exist
+    # must succeed — any sink read before the early exit would throw
+    # PATH_NOT_FOUND here.
+    stats = merge_upsert(
+        spark, str(tmp_path / "no_such_sink"), empty, ["id"], ["grp"]
+    )
+    assert stats == {"updated_partitions": 0, "rows_written": 0}
+
 
 def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     """Footer-stats proof: clustered files cover near-disjoint key

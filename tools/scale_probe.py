@@ -105,7 +105,13 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 )
 
 
-def scaled(df, n: int, id_cols: list[str], salt_text_col: str | None = None):
+def scaled(
+    df,
+    n: int,
+    id_cols: list[str],
+    salt_text_col: str | None = None,
+    strides: dict[str, int] | None = None,
+):
     """N-way union with ids offset per copy (keys stay unique).
 
     ``salt_text_col``: also suffix every token of that column with
@@ -116,15 +122,25 @@ def scaled(df, n: int, id_cols: list[str], salt_text_col: str | None = None):
     100× corpus for bucket-entropy-sensitive operators (r10 verdict
     task #4): each replica carries its own vocabulary, so hashed-BoW
     vectors differ across copies and buckets fill at natural
-    occupancy instead of concentrating clone armies."""
+    occupancy instead of concentrating clone armies.
+
+    ``strides``: explicit per-column replica offsets. Needed when
+    TWO frames joined on a foreign key are scaled together — both
+    sides must shift by the SAME stride or the key stops resolving
+    across replicas; the default per-frame max+1 derivation cannot
+    guarantee that."""
     if n == 1:
         return df
-    offset = df.agg(*[F.max(c) for c in id_cols]).collect()[0]
+    if strides is None:
+        offset = df.agg(*[F.max(c) for c in id_cols]).collect()[0]
+        strides = {
+            c: (offset[j] or 0) + 1 for j, c in enumerate(id_cols)
+        }
     parts = []
     for i in range(n):
         part = df
-        for j, c in enumerate(id_cols):
-            part = part.withColumn(c, F.col(c) + F.lit(i * (offset[j] + 1)))
+        for c in id_cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * strides[c]))
         if salt_text_col is not None and i:
             part = part.withColumn(
                 salt_text_col,
@@ -569,52 +585,46 @@ def main() -> None:
 
     # Joint-input cases (round-10 gates): the foreign key must stay
     # coherent across replicas, so BOTH tables are offset-scaled with
-    # a SHARED per-key stride (scaled()'s single-frame remap can't
-    # express that). Customers are remapped too: growth models MORE
-    # customers at constant per-customer order density — the realistic
-    # 100 TB shape — so window partitions stay constant-sized and the
-    # expected growth is the linear shuffle, not a per-partition sort.
-    from pyspark.sql import Window
+    # a SHARED per-key stride (scaled()'s explicit ``strides``).
+    # Customers are remapped too: growth models MORE customers at
+    # constant per-customer order density — the realistic 100 TB
+    # shape — so window partitions stay constant-sized and the
+    # expected growth is the linear shuffle, not a per-partition
+    # sort. All setup (orders read, stride jobs) is skipped when the
+    # case filter excludes both joint cases.
+    joint_names = ["exists_window", "merge_upsert"]
+    run_joint = [nm for nm in joint_names if only is None or nm in only]
+    if run_joint:
+        from pyspark.sql import Window
 
-    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources import (
-        writers as W,
-    )
+        from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources import (
+            writers as W,
+        )
 
-    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    ok_stride = (od.agg(F.max("o_orderkey")).collect()[0][0] or 0) + 1
-    ck_stride = (od.agg(F.max("o_custkey")).collect()[0][0] or 0) + 1
-
-    def _rep(df, strides: dict, m: int):
-        if m == 1:
-            return df
-        parts = []
-        for i in range(m):
-            part = df
-            for c, stride in strides.items():
-                part = part.withColumn(c, F.col(c) + F.lit(i * stride))
-            parts.append(part)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.union(p)
-        return out.localCheckpoint(eager=True)
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        mx = od.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+        ok_stride, ck_stride = (mx[0] or 0) + 1, (mx[1] or 0) + 1
 
     def exists_window_build(m: int):
         """The r10 `exists_window_orders` gate shape: conditioned
         left-semi (orders with a >60-day-late line) + per-customer
         ROW_NUMBER top-3. Both stages shuffle on a key (orderkey,
-        then custkey) — textbook linear."""
-        o_s = _rep(
+        then custkey) — textbook linear. Both sizes eagerly
+        checkpointed so 1× and N× time the same storage path."""
+        o_s = scaled(
             od.select(
                 "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
             ),
-            {"o_orderkey": ok_stride, "o_custkey": ck_stride},
             m,
-        )
-        l_s = _rep(
+            ["o_orderkey", "o_custkey"],
+            strides={"o_orderkey": ok_stride, "o_custkey": ck_stride},
+        ).localCheckpoint(eager=True)
+        l_s = scaled(
             li.select("l_orderkey", "l_shipdate"),
-            {"l_orderkey": ok_stride},
             m,
-        )
+            ["l_orderkey"],
+            strides={"l_orderkey": ok_stride},
+        ).localCheckpoint(eager=True)
 
         def run():
             late = o_s.join(
@@ -646,7 +656,12 @@ def main() -> None:
         proj = od.select(
             "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
         )
-        o_s = _rep(proj, {"o_orderkey": ok_stride}, m)
+        o_s = scaled(
+            proj,
+            m,
+            ["o_orderkey"],
+            strides={"o_orderkey": ok_stride},
+        ).localCheckpoint(eager=True)
         sink = f"{work}/merge_{m}/sink"
         o_s.write.partitionBy("o_orderpriority").parquet(sink)
         hot = F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM")
@@ -675,8 +690,7 @@ def main() -> None:
         "exists_window": exists_window_build,
         "merge_upsert": merge_upsert_build,
     }
-    if only:
-        joint = {k: v for k, v in joint.items() if k in only}
+    joint = {k: v for k, v in joint.items() if k in run_joint}
     for name, build in joint.items():
         f1 = build(1)
         fn_big = build(n)

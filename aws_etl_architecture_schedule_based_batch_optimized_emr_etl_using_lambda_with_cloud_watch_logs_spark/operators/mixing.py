@@ -73,15 +73,25 @@ def temperature_fractions(
 def _keeps_expr(
     fractions: dict[str, float], label_col: str, key_col: str
 ) -> Column:
-    """OR over domains of (label matches AND Bernoulli accepts) —
+    """hash32(key) < threshold[label] via ONE literal-map lookup —
     the single definition both the filter and the audit report use,
-    so they can never disagree on sampling semantics."""
-    cond = F.lit(False)
+    so they can never disagree on sampling semantics.
+
+    The map form is O(1) per row; the previous OR-over-domains chain
+    re-evaluated the two-limb hash once per domain (a 150-language
+    mix paid up to 150 hash evaluations per scanned row — HOF/OR
+    chains block subexpression elimination). Semantics are
+    identical: a label absent from ``fractions`` (or NULL) looks up
+    NULL, the comparison is NULL, and filter/when treat it as
+    not-kept, exactly like the old no-branch-matched FALSE."""
+    if not fractions:
+        return F.lit(False)
+    entries: list[Column] = []
     for label, frac in fractions.items():
-        cond = cond | (
-            (F.col(label_col) == label) & keep_fraction_expr(key_col, frac)
-        )
-    return cond
+        entries.append(F.lit(label))
+        entries.append(F.lit(int(frac * _MOD)))
+    thresholds = F.create_map(*entries)
+    return hash32_expr(key_col) < thresholds[F.col(label_col)]
 
 
 def weighted_sample(
@@ -334,6 +344,12 @@ def curriculum_stages(
     broadcast join."""
     from pyspark.sql import Window
 
+    # NULL values are excluded up front: they would otherwise count
+    # into the cumulative histogram (NULLs sort first ascending),
+    # skewing every real value's stage boundary, and then silently
+    # vanish from the output via the equi-join anyway. Excluding
+    # them makes the drop explicit AND keeps the boundaries correct.
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_c"))
     w = (
         Window.orderBy(value_col)

@@ -60,7 +60,14 @@ def pack_sequences(
     or pin a layout."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as the empty document (1 token, like "").
+        # Unguarded, size(split(NULL)) is NULL → NaN in the Arrow
+        # batch, and NaN poisons the greedy state: budget_left -= NaN
+        # sticks at NaN and every later comparison is False, so the
+        # partition collapses into one unbounded pack.
+        F.size(tokens_col(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
     )
     if n_partitions is None:
         n_docs = toks.count()
@@ -169,13 +176,18 @@ def pack_boundaries(packed: DataFrame) -> DataFrame:
           acc -> acc.ends)
         """
     )
+    # total_tokens derives from the ALIASED boundaries column in a
+    # second projection: higher-order folds are CodegenFallback (no
+    # subexpression elimination), so naming `ends` twice in one
+    # select evaluates the O(docs-per-pack) fold twice per row.
+    # CollapseProject keeps the two-step form because the alias is
+    # referenced more than once above it.
     return per.select(
         "pack_id",
         F.size("_docs").alias("n_docs"),
         F.transform(F.col("_docs"), lambda d: d["doc_id"]).alias("doc_ids"),
         ends.alias("boundaries"),
-        F.element_at(ends, -1).alias("total_tokens"),
-    )
+    ).withColumn("total_tokens", F.element_at(F.col("boundaries"), -1))
 
 
 def chunk_documents(
@@ -252,20 +264,17 @@ def shard_column(id_col: str | Column, n_shards: int) -> Column:
     return F.pmod(hash32_expr(id_col), F.lit(n_shards)).cast("int")
 
 
-def shard_manifest(
-    df: DataFrame,
-    n_shards: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _shard_agg(
+    frame: DataFrame, shard: Column, id_col: str, text_col: str
 ) -> DataFrame:
-    """Per-shard accounting frame: (shard, n_docs, n_tokens,
-    min_doc_id, max_doc_id) — one map-side-combined aggregate. The
-    manifest is the contract the trainer checks before a run
-    (complete? balanced? token totals match the curation report?)."""
+    """The one manifest aggregate both `shard_manifest` (pre-run
+    check over the source) and `write_training_shards` (read-back
+    over the written files) use — a shared body so the trainer's
+    contract schema can never silently diverge between the two."""
     toks = F.size(tokens_col(text_col))
     return (
-        df.select(
-            shard_column(id_col, n_shards).alias("shard"),
+        frame.select(
+            shard.alias("shard"),
             F.col(id_col).alias("_id"),
             toks.alias("_nt"),
         )
@@ -277,6 +286,19 @@ def shard_manifest(
             F.max("_id").alias("max_doc_id"),
         )
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard accounting frame: (shard, n_docs, n_tokens,
+    min_doc_id, max_doc_id) — one map-side-combined aggregate. The
+    manifest is the contract the trainer checks before a run
+    (complete? balanced? token totals match the curation report?)."""
+    return _shard_agg(df, shard_column(id_col, n_shards), id_col, text_col)
 
 
 def write_training_shards(
@@ -309,21 +331,16 @@ def write_training_shards(
     sharded.repartition(n_shards, "shard").write.mode(
         "overwrite"
     ).partitionBy("shard").format(fmt).save(path)
-    written = df.sparkSession.read.format(fmt).load(path)
-    toks = F.size(tokens_col(text_col))
-    manifest = (
-        written.select(
-            F.col("shard").cast("int").alias("shard"),
-            F.col(id_col).alias("_id"),
-            toks.alias("_nt"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_nt").alias("n_tokens"),
-            F.min("_id").alias("min_doc_id"),
-            F.max("_id").alias("max_doc_id"),
-        )
+    reader = df.sparkSession.read.format(fmt)
+    if fmt == "json":
+        # the writer's schema is known — supplying it skips the JSON
+        # reader's full-corpus inference scan (a second complete read
+        # of the just-written 100 TB before the aggregate even runs);
+        # parquet needs nothing (footer-only inference)
+        reader = reader.schema(sharded.schema)
+    written = reader.load(path)
+    manifest = _shard_agg(
+        written, F.col("shard").cast("int"), id_col, text_col
     )
     # materialize the read-back agg BEFORE overwriting _manifest so
     # a stale manifest can never feed its own replacement
@@ -444,8 +461,8 @@ def cdc_chunk_stats(
     spaces = F.expr(
         f"""
         aggregate(
-          slice(split({text_col}, '{ws_class}'),
-                1, greatest(size(split({text_col}, '{ws_class}')) - 1, 0)),
+          slice(split(`{text_col}`, '{ws_class}'),
+                1, greatest(size(split(`{text_col}`, '{ws_class}')) - 1, 0)),
           struct(CAST(0 AS INT) AS run, CAST(array() AS ARRAY<INT>) AS pos),
           (acc, w) -> struct(acc.run + length(w) + 1,
                              array_append(acc.pos,
@@ -470,30 +487,49 @@ def cdc_chunk_stats(
     per_chunk = df.select(
         F.col(group_col).alias("grp"), F.explode(chunks).alias("chunk")
     ).select("grp", F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
+    return _cdc_report(per_chunk, df, group_col)
+
+
+def _cdc_report(
+    per_chunk: DataFrame, df: DataFrame, group_col: str
+) -> DataFrame:
+    """Shared report tail of the two CDC variants (the 'swap the two
+    functions freely' contract needs ONE definition). Doc counts on
+    the LEFT of the join: a group whose documents are all empty/NULL
+    yields no chunk rows, and the old inner join dropped it from the
+    report entirely — summing n_docs over the report then disagreed
+    with df.count(). Such a group now reports n_chunks=0 with the
+    quantized ratios conventionally 0."""
+    chunk_aggs = per_chunk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("h").alias("n_distinct"),
+        F.sum("l").alias("_chars"),
+    )
     return (
-        per_chunk.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("h").alias("n_distinct"),
-            F.sum("l").alias("_chars"),
-        )
-        .join(
-            df.groupBy(F.col(group_col).alias("grp")).agg(
-                F.count(F.lit(1)).alias("n_docs")
-            ),
-            "grp",
-        )
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(chunk_aggs, "grp", "left")
         .select(
             F.col("grp").alias(group_col),
             F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.col("n_chunks").cast("bigint").alias("n_chunks"),
-            F.col("n_distinct").cast("bigint").alias("n_distinct"),
-            F.expr(
-                "CAST(((n_chunks - n_distinct) * 1000000) DIV n_chunks"
-                " AS BIGINT)"
+            F.coalesce(F.col("n_chunks").cast("bigint"), F.lit(0)).alias(
+                "n_chunks"
+            ),
+            F.coalesce(F.col("n_distinct").cast("bigint"), F.lit(0)).alias(
+                "n_distinct"
+            ),
+            F.coalesce(
+                F.expr(
+                    "CAST(((n_chunks - n_distinct) * 1000000) DIV n_chunks"
+                    " AS BIGINT)"
+                ),
+                F.lit(0),
             ).alias("dup_ratio_q"),
-            F.expr(
-                "CAST((_chars * 1000000) DIV n_chunks AS BIGINT)"
+            F.coalesce(
+                F.expr(
+                    "CAST((_chars * 1000000) DIV n_chunks AS BIGINT)"
+                ),
+                F.lit(0),
             ).alias("avg_chunk_len_q"),
         )
     )
@@ -585,7 +621,11 @@ def gear_cdc_chunk_stats(
 
     schema = ST_(
         [
-            SF_("grp", StringType()),
+            # mirror the caller's group-column type — hardcoding
+            # StringType broke the 'swap the two functions freely'
+            # contract for non-string group columns (the md5 variant
+            # never fixes the type)
+            SF_("grp", df.schema[group_col].dataType),
             SF_("h", StringType()),
             SF_("l", LongType()),
         ]
@@ -593,30 +633,4 @@ def gear_cdc_chunk_stats(
     per_chunk = df.select(
         F.col(group_col).alias("grp"), F.col(text_col).alias("txt")
     ).mapInPandas(chunk, schema)
-    return (
-        per_chunk.groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.countDistinct("h").alias("n_distinct"),
-            F.sum("l").alias("_chars"),
-        )
-        .join(
-            df.groupBy(F.col(group_col).alias("grp")).agg(
-                F.count(F.lit(1)).alias("n_docs")
-            ),
-            "grp",
-        )
-        .select(
-            F.col("grp").alias(group_col),
-            F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.col("n_chunks").cast("bigint").alias("n_chunks"),
-            F.col("n_distinct").cast("bigint").alias("n_distinct"),
-            F.expr(
-                "CAST(((n_chunks - n_distinct) * 1000000) DIV n_chunks"
-                " AS BIGINT)"
-            ).alias("dup_ratio_q"),
-            F.expr(
-                "CAST((_chars * 1000000) DIV n_chunks AS BIGINT)"
-            ).alias("avg_chunk_len_q"),
-        )
-    )
+    return _cdc_report(per_chunk, df, group_col)

@@ -4040,3 +4040,86 @@ def test_label_centroid_eval_separable_clusters(spark):
     assert rep[0] == (4, 5, 4, 0.8, 1.0)
     assert rep[1] == (5, 4, 4, 1.0, 0.8)
     assert rep[2] == (4, 4, 4, 1.0, 1.0)
+
+
+def test_pack_sequences_null_text_counts_as_empty_doc(spark):
+    """A NULL text must behave like the empty document (1 token),
+    not poison the greedy state: unguarded, size(split(NULL)) is
+    NULL -> NaN in the Arrow batch, budget_left -= NaN sticks at NaN
+    and the whole partition collapses into one unbounded pack."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    rows = [(0, "a b c")] + [(i, None) for i in range(1, 4)] + [
+        (i, "w " * 40) for i in range(4, 10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    packed = PK.pack_sequences(df, max_tokens=64, n_partitions=1)
+    out = {r.doc_id: r for r in packed.collect()}
+    assert out[1].n_tokens == 1 and not out[1].oversize
+    # invariant frame must still certify the packing
+    inv = PK.packing_invariants(packed, 64).collect()[0]
+    assert inv.packs_within_budget and inv.docs_packed_once
+
+
+def test_cdc_report_keeps_all_empty_group(spark):
+    """A group whose docs are all empty/NULL yields zero chunks but
+    must still appear in the report (n_chunks=0) in BOTH variants —
+    summing n_docs over the report equals df.count()."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    df = spark.createDataFrame(
+        [("live", "some words repeated some words"), ("dead", ""),
+         ("dead", None)],
+        "source string, text string",
+    )
+    for fn in (PK.cdc_chunk_stats, PK.gear_cdc_chunk_stats):
+        rep = {r.source: r for r in fn(df).collect()}
+        assert set(rep) == {"live", "dead"}, fn.__name__
+        assert rep["dead"].n_docs == 2 and rep["dead"].n_chunks == 0
+        assert rep["dead"].dup_ratio_q == 0
+        assert sum(r.n_docs for r in rep.values()) == df.count()
+
+
+def test_gear_cdc_supports_non_string_group_col(spark):
+    """The 'swap the two functions freely' contract includes the
+    group column type: the Arrow schema must mirror the caller's
+    column, not hardcode string."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        packing as PK,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "alpha beta gamma delta"), (7, "alpha beta gamma delta"),
+         (9, "one two three four")],
+        "bucket int, text string",
+    )
+    a = {r.bucket: r.n_docs for r in
+         PK.gear_cdc_chunk_stats(df, group_col="bucket").collect()}
+    b = {r.bucket: r.n_docs for r in
+         PK.cdc_chunk_stats(df, group_col="bucket").collect()}
+    assert a == b == {7: 2, 9: 1}
+
+
+def test_curriculum_stages_null_values_do_not_skew_boundaries(spark):
+    """NULL values are excluded up front: with 100 NULLs and 25 rows
+    each of 1..4 at n_stages=4, the real values must stage 0,1,2,3
+    (NULLs counted into the cumulative histogram would collapse
+    values 1 and 2 into stage 2)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        mixing as MX,
+    )
+
+    rows = [(i, (i % 4) + 1) for i in range(100)] + [
+        (100 + i, None) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tokens int")
+    out = MX.curriculum_stages(
+        df, n_stages=4, value_col="n_tokens", id_col="doc_id"
+    )
+    stages = {r.n_tokens: r.stage for r in out.collect()}
+    assert stages == {1: 0, 2: 1, 3: 2, 4: 3}
+    assert out.count() == 100  # NULL rows explicitly excluded

@@ -2062,13 +2062,13 @@ SELECT doc_id,
   len(regexp_extract_all(text,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
   len(regexp_extract_all(text,
-      '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
+      '(?:\+\d{3}|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
   regexp_replace(
     regexp_replace(
       regexp_replace(text,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
-    '\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+    '(?:\+\d{3}|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
 FROM documents
 """
 
@@ -2587,10 +2587,10 @@ def text_diversity_docs(spark, sf_dir):
     return X.diversity_report(d)
 
 
-def _sql_ngrams(n: int) -> str:
+def _sql_ngrams(n: int, t: str | None = None) -> str:
     """DuckDB mirror of dedup.ngrams_col (multiplicity, whole-text
     fallback for docs shorter than n tokens)."""
-    t = _SQL_TOKENS
+    t = t or _SQL_TOKENS
     if n == 1:
         return t
     return (
@@ -2601,13 +2601,21 @@ def _sql_ngrams(n: int) -> str:
     )
 
 
+_SQL_TOKENS_NONEMPTY = f"list_filter({_SQL_TOKENS}, x -> x <> '')"
+
+# empty docs excluded and grams built on ''-cleaned tokens, mirroring
+# diversity_report (operators/text.py) — without this the n>1
+# whole-text fallback would mint a '' gram per empty document
 TEXT_DIVERSITY_SQL = f"""
 WITH g AS (
-  SELECT lang, 1 AS n, unnest({_sql_ngrams(1)}) AS gram FROM documents
+  SELECT lang, 1 AS n, unnest({_sql_ngrams(1, _SQL_TOKENS_NONEMPTY)}) AS gram
+  FROM documents WHERE len({_SQL_TOKENS_NONEMPTY}) > 0
   UNION ALL
-  SELECT lang, 2 AS n, unnest({_sql_ngrams(2)}) AS gram FROM documents
+  SELECT lang, 2 AS n, unnest({_sql_ngrams(2, _SQL_TOKENS_NONEMPTY)}) AS gram
+  FROM documents WHERE len({_SQL_TOKENS_NONEMPTY}) > 0
   UNION ALL
-  SELECT lang, 3 AS n, unnest({_sql_ngrams(3)}) AS gram FROM documents
+  SELECT lang, 3 AS n, unnest({_sql_ngrams(3, _SQL_TOKENS_NONEMPTY)}) AS gram
+  FROM documents WHERE len({_SQL_TOKENS_NONEMPTY}) > 0
 )
 SELECT lang, n,
        CAST(COUNT(*) AS BIGINT) AS total_ngrams,
@@ -2632,6 +2640,7 @@ TEXT_ZIPF_SQL = f"""
 WITH f AS (
   SELECT token, COUNT(*) AS n
   FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+  WHERE token <> ''
   GROUP BY token ORDER BY n DESC, token LIMIT 100
 ),
 xy AS (
@@ -2690,7 +2699,8 @@ def text_pmi_docs(spark, sf_dir):
 
 
 TEXT_PMI_SQL = f"""
-WITH toks AS (SELECT {_SQL_TOKENS} AS t FROM documents),
+WITH toks AS (SELECT list_filter({_SQL_TOKENS}, x -> x <> '') AS t
+              FROM documents),
 uc AS (SELECT w, COUNT(*) AS c
        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
 bi0 AS (SELECT unnest(list_slice(t, 1, len(t) - 1)) AS w1,
@@ -3944,7 +3954,7 @@ def text_token_freq(spark, sf_dir):
 TOKEN_FREQ_SQL = f"""
 SELECT token, COUNT(*) AS n FROM (
   SELECT UNNEST({_SQL_TOKENS}) AS token FROM documents
-) GROUP BY token HAVING COUNT(*) >= 5
+) WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 5
 """
 
 

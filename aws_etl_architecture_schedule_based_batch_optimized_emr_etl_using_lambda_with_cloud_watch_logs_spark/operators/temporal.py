@@ -95,6 +95,10 @@ def range_join(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
+    if bin_width is not None and bin_width <= 0:
+        # 0 would silently fall through `or` to the default and a
+        # negative width garbles the binning arithmetic — fail fast
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     width = bin_width or max(1, int(upper - lower))
     # TIMESTAMP_NTZ (Spark 4 reads tz-less parquet as NTZ) is rejected
     # by unix_micros; the cast is a no-op for plain timestamps.
@@ -156,6 +160,16 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts
     ]
 
+    # SQL ASOF / merge_asof semantics: a NULL join key matches
+    # nothing and a NULL right timestamp can never be "the most
+    # recent prior row". Unfiltered, Window.partitionBy groups NULL
+    # keys together (NULL-keyed left rows would inherit NULL-keyed
+    # right payloads) and NULLS-FIRST ordering would hand every
+    # pre-first-right left row the NULL-ts row's payload.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
+    right = right.filter(F.col(right_ts).isNotNull())
+
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
@@ -178,9 +192,29 @@ def asof_join(
     )
     unioned = left_tagged.unionByName(right_tagged)
 
+    # the payload struct joins the sort only when its type is
+    # orderable — a MapType payload field would otherwise throw
+    # AnalysisException from the ORDER BY even though the struct is
+    # only needed for transport; without it, ties among right rows
+    # at the same (key, ts) fall back to arrival order
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    rp_type = right.select(payload_struct.alias("_rp")).schema["_rp"]
+    order_cols = ["_ats", "_side"] + (
+        ["_rp"] if _orderable(rp_type.dataType) else []
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ats", "_side", "_rp")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -80,12 +80,27 @@ def quality_features(
         F.round(
             F.size(F.array_distinct(toks)) / n_tokens, 6
         ).alias("distinct_token_ratio"),
-        F.round(
-            (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) / n_chars, 6
-        ).alias("punct_ratio"),
-        F.round(
-            (n_chars - F.length(F.regexp_replace(text, r"[a-zA-Z]", ""))) / n_chars, 6
-        ).alias("alpha_ratio"),
+        # n_chars = 0 (empty doc) guards: under ANSI mode x/0 throws
+        # ArithmeticException, so one empty document would kill the
+        # whole quality scan; both ratios are conventionally 0 there
+        # (n_tokens is never 0 — the phantom '' token — so the other
+        # denominators are safe)
+        F.when(
+            n_chars > 0,
+            F.round(
+                (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", "")))
+                / n_chars,
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("punct_ratio"),
+        F.when(
+            n_chars > 0,
+            F.round(
+                (n_chars - F.length(F.regexp_replace(text, r"[a-zA-Z]", "")))
+                / n_chars,
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("alpha_ratio"),
         F.round(
             stopword_hits_col(toks, "en") / n_tokens, 6
         ).alias("en_stopword_ratio"),
@@ -189,6 +204,16 @@ def winnow_fingerprints(
     import numpy as np
     import pandas as pd
 
+    # the Arrow kernel packs ids with np.full(dtype=int64) and the
+    # output schema is LongType — fail fast at plan time instead of
+    # an opaque executor-side ValueError for a non-integral id_col
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"winnow_fingerprints requires an integral {id_col!r} "
+            f"(got {id_type}); hash or dense-rank string ids first"
+        )
+
     powers = _winnow_powers(k)
 
     def gen(batches):
@@ -229,7 +254,12 @@ def winnow_fingerprints(
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+    # start anchored like ipv4: either a literal '+' or a word
+    # boundary before the first digit — the unanchored form matched
+    # (and redacted) the 12-char tail of longer digit runs like
+    # "98555-123-4567". Alternation instead of lookbehind keeps the
+    # RE2 (DuckDB) compatibility promise above.
+    ("phone", r"(?:\+\d{3}|\b\d{3})[-. ]\d{3}[-. ]\d{4}\b"),
 ]
 
 
@@ -338,9 +368,13 @@ def token_frequencies(
     df: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
     """Corpus token frequency table: explode → hash-aggregate (the
-    canonical map-side-combined word count)."""
+    canonical map-side-combined word count). The phantom ''
+    token that ``tokens_col`` emits for empty/whitespace-only
+    documents is excluded — the same artifact convention as
+    entropy_scores / bpe / drift / dsir."""
     return (
         df.select(F.explode(tokens_col(text_col)).alias("token"))
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= min_count)
@@ -367,21 +401,22 @@ def diversity_report(
     same shuffle bound as the word-count."""
     from .dedup import ngrams_col
 
-    toks = tokens_col(text_col)
+    # empty/whitespace-only docs contribute no n-grams: tokens_col
+    # gives them one phantom '' token, and ngrams_col's short-doc
+    # fallback would mint a '' gram per n — filter the docs out
+    # instead (ngrams_col already returns the tokens for n == 1, so
+    # no per-n special case is needed)
+    toks = F.array_remove(tokens_col(text_col), "")
 
     def _tag(n: int):
         # a 2-arg lambda would make transform() pass (element, index)
         # and bind the index over the closure default — close properly
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
-    tagged = F.concat(
-        *[
-            F.transform(ngrams_col(toks, n) if n > 1 else toks, _tag(n))
-            for n in ns
-        ]
-    )
+    tagged = F.concat(*[F.transform(ngrams_col(toks, n), _tag(n)) for n in ns])
     per_gram = (
-        df.select(F.col(group_col), F.explode(tagged).alias("t"))
+        df.filter(F.size(toks) > 0)
+        .select(F.col(group_col), F.explode(tagged).alias("t"))
         .select(group_col, F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
         .groupBy(group_col, "n")
         .agg(
@@ -410,6 +445,9 @@ def zipf_slope(
     1e4 (float enters only via ln over ≤k values)."""
     freq = (
         df.select(F.explode(tokens_col(text_col)).alias("token"))
+        # a corpus heavy in empty docs would otherwise rank the
+        # phantom '' token into the fit and skew the slope
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "token")
@@ -463,7 +501,11 @@ def pmi_collocations(
     TakeOrderedAndProject."""
     from .lm import bigrams_col
 
-    toks = df.select(tokens_col(text_col).alias("t"))
+    # array_remove drops the phantom '' token of empty documents
+    # from BOTH streams (and the n_tok/n_bi denominators) at once
+    toks = df.select(
+        F.array_remove(tokens_col(text_col), "").alias("t")
+    )
     uni = (
         toks.select(F.explode("t").alias("w"))
         .groupBy("w")
@@ -652,6 +694,12 @@ def gopher_filter(
     One plan: the closed-form feature expressions join the
     repetition aggregate on doc_id — no extra corpus scans beyond
     ``repetition_signals``'s single explode."""
+    # NULL text must FAIL the filter, not sail through it: NULL
+    # features make every rule predicate NULL, array_compact drops
+    # them all, and keep comes out true for exactly the document
+    # most obviously droppable. The empty-document convention (same
+    # as pack_sequences) routes NULLs into the too_short rule.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     q = quality_features(df, text_col, id_col)
     r = repetition_signals(df, 2, text_col, id_col)
     j = q.join(r, [id_col], "left")

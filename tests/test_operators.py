@@ -4123,3 +4123,117 @@ def test_curriculum_stages_null_values_do_not_skew_boundaries(spark):
     stages = {r.n_tokens: r.stage for r in out.collect()}
     assert stages == {1: 0, 2: 1, 3: 2, 4: 3}
     assert out.count() == 100  # NULL rows explicitly excluded
+
+
+def test_asof_join_null_keys_and_null_right_ts(spark):
+    """SQL ASOF semantics: NULL join keys match nothing (a NULL-key
+    left row keeps NULL payload instead of inheriting a NULL-key
+    right row), and a right row with NULL timestamp is never 'the
+    most recent prior row' (NULLS-FIRST ordering would otherwise
+    hand its payload to every pre-first-right left row)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (None, "2024-01-01 10:00:00", "b")],
+        "user_id bigint, ts string, tag string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "tag")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100.0),
+         (1, None, 999.0),          # NULL ts: never a valid match
+         (None, "2024-01-01 09:00:00", 555.0)],  # NULL key
+        "user_id bigint, rts string, value double",
+    ).selectExpr("user_id", "CAST(rts AS TIMESTAMP) rts", "value")
+    out = {r.tag: r.asof_value for r in TP.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="rts",
+        right_payload=["value"],
+    ).collect()}
+    assert out == {"a": 100.0, "b": None}
+
+
+def test_range_join_rejects_nonpositive_bin_width(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    l = spark.createDataFrame([(1, "2024-01-01 00:00:00")],
+                              "user_id bigint, lts string")
+    r = spark.createDataFrame([(1, "2024-01-01 00:00:30")],
+                              "user_id bigint, rts string")
+    for bad in (0, -60):
+        with pytest.raises(ValueError, match="bin_width"):
+            TP.range_join(l, r, ["user_id"], "lts", "rts", 0, 60,
+                          bin_width=bad)
+
+
+def test_phone_pattern_anchored_but_matches_plus_form(spark):
+    """The phone regex must not redact the 12-char tail of a longer
+    digit run, while still matching bare and plus-prefixed phones
+    (RE2-compatible alternation, no lookbehind)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "order 98555-123-4567 stays"),
+         (1, "call 555-123-4567 now"),
+         (2, "intl +123 456 7890 ok")],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in X.redact_pii(df).collect()}
+    assert rows[0].n_phone == 0 and "98555-123-4567" in rows[0].redacted
+    assert rows[1].n_phone == 1 and "<PHONE>" in rows[1].redacted
+    assert rows[2].n_phone == 1 and "<PHONE>" in rows[2].redacted
+
+
+def test_gopher_filter_drops_null_and_empty_text(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "the " * 60 + "real document it is")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in X.gopher_filter(df).collect()}
+    assert not out[0].keep and "too_short" in out[0].reasons
+    assert not out[1].keep and "too_short" in out[1].reasons
+
+
+def test_token_stats_exclude_phantom_empty_token(spark):
+    """Empty/whitespace-only docs must not inject the '' token into
+    corpus statistics (token_frequencies, zipf, pmi, diversity)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    rows = [(i, "", "en") for i in range(50)] + [
+        (100 + i, "alpha beta alpha beta gamma", "en") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    freq = {r.token: r.n for r in X.token_frequencies(df).collect()}
+    assert "" not in freq and freq["alpha"] == 10
+    top = X.zipf_slope(df, top_k=3).collect()[0]
+    assert top.n_tokens_fit == 3  # alpha, beta, gamma — no ''
+    pmi = X.pmi_collocations(df, min_count=2, top_k=5).collect()
+    assert all(r.w1 != "" and r.w2 != "" for r in pmi)
+    div = {(r.lang, r.n): r.total_ngrams
+           for r in X.diversity_report(df).collect()}
+    assert div[("en", 1)] == 25  # 5 docs x 5 tokens, no phantom rows
+
+
+def test_winnow_rejects_non_integral_id(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        text as X,
+    )
+
+    df = spark.createDataFrame([("u1", "some text here")],
+                               "url string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        X.winnow_fingerprints(df, id_col="url")

@@ -1618,6 +1618,10 @@ FROM orders
 # ------------------------------------------------------- dedup family
 
 _SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+# the ''-cleaned variant (empty docs tokenize to ['']): mirrors the
+# engine-side convention shared by lm/_lm_tokens, text token stats,
+# drift, bpe, and dsir
+_SQL_TOKENS_NONEMPTY = f"list_filter({_SQL_TOKENS}, x -> x <> '')"
 
 
 def _hash32_sql(key: str) -> str:
@@ -2439,7 +2443,7 @@ def lm_perplexity_docs(spark, sf_dir):
 
 
 LM_PERPLEXITY_SQL = f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS_NONEMPTY} AS t FROM documents),
 bi AS (
   SELECT doc_id, u.w1 AS w1, u.w2 AS w2
   FROM (SELECT doc_id,
@@ -2476,7 +2480,7 @@ def kn_bigram_model_docs(spark, sf_dir):
 
 
 KN_BIGRAM_SQL = f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS_NONEMPTY} AS t FROM documents),
 bi AS (
   SELECT u.w1 AS w1, u.w2 AS w2
   FROM (SELECT unnest([{{'w1': t[i], 'w2': t[i+1]}}
@@ -2509,7 +2513,7 @@ def doremi_weights_docs(spark, sf_dir):
 
 
 DOREMI_SQL = f"""
-WITH toks AS (SELECT source AS domain, {_SQL_TOKENS} AS t
+WITH toks AS (SELECT source AS domain, {_SQL_TOKENS_NONEMPTY} AS t
               FROM documents),
 bi AS (
   SELECT domain, u.w1 AS w1, u.w2 AS w2
@@ -2601,7 +2605,6 @@ def _sql_ngrams(n: int, t: str | None = None) -> str:
     )
 
 
-_SQL_TOKENS_NONEMPTY = f"list_filter({_SQL_TOKENS}, x -> x <> '')"
 
 # empty docs excluded and grams built on ''-cleaned tokens, mirroring
 # diversity_report (operators/text.py) — without this the n>1
@@ -3429,11 +3432,14 @@ def purge_audit_docs(spark, sf_dir):
 
 
 PURGE_AUDIT_SQL = """
+-- coalesce mirrors governance.content_fingerprint: a NULL-text doc
+-- fingerprints as the empty string instead of a never-matching NULL
 WITH seeds AS (
-  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  SELECT DISTINCT md5(lower(trim(coalesce(text, '')))) AS fp
   FROM documents
   WHERE doc_id % 97 = 0 AND doc_id >= 0 AND doc_id < 10000),
-f AS (SELECT source, md5(lower(trim(text))) AS fp FROM documents)
+f AS (SELECT source, md5(lower(trim(coalesce(text, '')))) AS fp
+      FROM documents)
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN fp IN (SELECT fp FROM seeds)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,

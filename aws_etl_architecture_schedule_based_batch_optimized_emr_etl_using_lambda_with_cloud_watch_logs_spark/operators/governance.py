@@ -34,8 +34,30 @@ from pyspark.sql import functions as F
 
 
 def content_fingerprint(text_col: str = "text") -> Column:
-    """Normalized content key: md5 over lower(trim(text))."""
-    return F.md5(F.lower(F.trim(F.col(text_col))))
+    """Normalized content key: md5 over lower(trim(text)). NULL text
+    fingerprints as the empty string: md5(NULL) is NULL, and NULL
+    keys never match a Spark equi-join — an explicitly named NULL-text
+    doc would otherwise survive its own takedown (no seed match, no
+    anti-join match, no tombstone, and the audit would count it as
+    cleanly kept)."""
+    return F.md5(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    )
+
+
+def _seed_fingerprints(
+    docs: DataFrame, removal_ids: list[int], id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus-with-_fp, distinct seed fingerprints) — the one seed
+    expansion all three governance passes share, so purge, ledger,
+    and audit can never disagree on what 'the named content' means."""
+    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
+    seeds = (
+        with_fp.filter(F.col(id_col).isin(removal_ids))
+        .select("_fp")
+        .distinct()
+    )
+    return with_fp, seeds
 
 
 def purge_by_ids(
@@ -48,12 +70,7 @@ def purge_by_ids(
     just the listed rows): ids → distinct content fingerprints →
     broadcast anti-join. Returns the surviving corpus with its
     original columns."""
-    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
-    seeds = (
-        with_fp.filter(F.col(id_col).isin(removal_ids))
-        .select("_fp")
-        .distinct()
-    )
+    with_fp, seeds = _seed_fingerprints(docs, removal_ids, id_col, text_col)
     return with_fp.join(F.broadcast(seeds), "_fp", "left_anti").drop("_fp")
 
 
@@ -68,12 +85,7 @@ def tombstone_ledger(
     (counts add, ids min/max-merge); re-applying the ledger to a
     future batch is ``anti-join on fingerprint`` — recurring
     re-crawls of purged content never re-enter."""
-    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
-    seeds = (
-        with_fp.filter(F.col(id_col).isin(removal_ids))
-        .select("_fp")
-        .distinct()
-    )
+    with_fp, seeds = _seed_fingerprints(docs, removal_ids, id_col, text_col)
     return (
         with_fp.join(F.broadcast(seeds), "_fp")
         .groupBy(F.col("_fp").alias("fingerprint"))
@@ -95,12 +107,7 @@ def purge_audit(
     """Per-group compliance summary of a purge: docs before, copies
     removed (by content, so it can exceed the request count), docs
     after. One scan + the broadcast seed join."""
-    with_fp = docs.withColumn("_fp", content_fingerprint(text_col))
-    seeds = (
-        with_fp.filter(F.col(id_col).isin(removal_ids))
-        .select("_fp")
-        .distinct()
-    )
+    with_fp, seeds = _seed_fingerprints(docs, removal_ids, id_col, text_col)
     flagged = with_fp.join(
         F.broadcast(seeds.withColumn("_purge", F.lit(True))),
         "_fp",

@@ -43,6 +43,16 @@ from .dedup import tokens_col
 _Q = 1_000_000.0
 
 
+def _lm_tokens(text_col: str) -> Column:
+    """tokens_col minus the phantom '' token that split() emits for
+    empty/whitespace-only documents — otherwise '' enters the
+    vocabulary (inflating the add-1 denominator V) and the stored
+    unigram counts. Same artifact convention as drift/bpe/dsir;
+    interior tokens are never '' (split on \\s+), so this only
+    affects empty docs."""
+    return F.array_remove(tokens_col(text_col), "")
+
+
 def bigrams_col(tokens: Column) -> Column:
     """``array<struct<w1,w2>>`` of consecutive token pairs — one
     ``zip_with`` of the array against its shift, O(tokens) per row.
@@ -53,25 +63,6 @@ def bigrams_col(tokens: Column) -> Column:
         F.slice(tokens, 2, F.greatest(size - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-
-
-def bigram_counts(
-    df: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Train the add-1 bigram model: returns ``(c2, c1, vocab)``
-    count frames. All three are linear aggregates over one pass of
-    the corpus; c2/c1 merge across batches by summing counts, vocab
-    by distinct-union — the model is incrementally updatable."""
-    toks = df.select(tokens_col(text_col).alias("t"))
-    bi = toks.select(
-        F.explode(bigrams_col(F.col("t"))).alias("b")
-    ).select("b.w1", "b.w2")
-    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = toks.select(F.explode("t").alias("w")).agg(
-        F.countDistinct("w").alias("vocab")
-    )
-    return c2, c1, vocab
 
 
 def perplexity_scores(
@@ -88,7 +79,7 @@ def perplexity_scores(
     frame is a one-row broadcast cross join, and the quantized
     log-probs sum in a map-side-combined doc_id aggregate."""
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"), _lm_tokens(text_col).alias("t")
     )
     bi = toks.filter(F.size("t") >= 2).select(
         "doc_id", F.explode(bigrams_col(F.col("t"))).alias("b")
@@ -187,6 +178,9 @@ def perplexity_buckets(
     are excluded (their perplexity is undefined)."""
     from pyspark.sql import Window
 
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+
     s = perplexity_scores(df, text_col, id_col).filter(
         F.col("n_bigrams") > 0
     )
@@ -223,15 +217,20 @@ def perplexity_buckets(
         ).alias(f"_t{b}")
         for b in range(1, n_buckets)
     ]
-    t = cum.agg(*thresholds)
     bucket = F.lit(n_buckets)
     for b in range(n_buckets - 1, 0, -1):
         bucket = F.when(F.col("_qp") <= F.col(f"_t{b}"), F.lit(b)).otherwise(
             bucket
         )
+    # n_buckets == 1 needs no thresholds (cum.agg() with zero
+    # expressions is invalid): everything is bucket 1
+    staged = (
+        cum.crossJoin(F.broadcast(cum.agg(*thresholds)))
+        if thresholds
+        else cum
+    )
     return (
-        cum.crossJoin(F.broadcast(t))
-        .withColumn("bucket", bucket.cast("int"))
+        staged.withColumn("bucket", bucket.cast("int"))
         .groupBy("bucket")
         .agg(
             F.sum("_c").cast("bigint").alias("n_docs"),
@@ -257,7 +256,7 @@ def save_bigram_model(
     the vocabulary) — via Spark's filesystem layer, so the store
     works on HDFS/S3 like the LSH index. Both frames merge by
     addition: see :func:`update_bigram_model`."""
-    toks = df.select(tokens_col(text_col).alias("t"))
+    toks = df.select(_lm_tokens(text_col).alias("t"))
     bi = toks.filter(F.size("t") >= 2).select(
         F.explode(bigrams_col(F.col("t"))).alias("b")
     ).select("b.w1", "b.w2")
@@ -276,13 +275,20 @@ def update_bigram_model(
 ) -> None:
     """Fold a NEW batch into a stored model: counts add, vocabulary
     unions — training never replays old batches (same incremental
-    contract as the dedup band store). Reads the old counts
-    (model-sized), unions with the batch's counts, re-aggregates,
-    overwrites."""
+    contract as the dedup band store).
+
+    Crash-safety: both merged frames are fully written to staging
+    dirs FIRST (the stored model is never an input to files being
+    overwritten, so no lineage-break checkpoint is needed and the
+    old generation stays intact through the whole data write), then
+    swapped into place with filesystem renames. A failure during
+    the writes leaves the old model untouched; the residual
+    inconsistency window is the two metadata renames, not the two
+    data writes."""
     spark = df.sparkSession
     old_c2 = spark.read.parquet(f"{path}/c2")
     old_uni = spark.read.parquet(f"{path}/uni")
-    toks = df.select(tokens_col(text_col).alias("t"))
+    toks = df.select(_lm_tokens(text_col).alias("t"))
     bi = toks.filter(F.size("t") >= 2).select(
         F.explode(bigrams_col(F.col("t"))).alias("b")
     ).select("b.w1", "b.w2")
@@ -296,16 +302,26 @@ def update_bigram_model(
         old_c2.unionByName(new_c2)
         .groupBy("w1", "w2")
         .agg(F.sum("c2").alias("c2"))
-        .localCheckpoint()  # break lineage from the files being overwritten
     )
     merged_uni = (
         old_uni.unionByName(new_uni)
         .groupBy("w")
         .agg(F.sum("c").alias("c"))
-        .localCheckpoint()
     )
-    merged_c2.write.mode("overwrite").parquet(f"{path}/c2")
-    merged_uni.write.mode("overwrite").parquet(f"{path}/uni")
+    merged_c2.write.mode("overwrite").parquet(f"{path}/c2_staging")
+    merged_uni.write.mode("overwrite").parquet(f"{path}/uni_staging")
+
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    fs = hadoop_path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    for name in ("c2", "uni"):
+        fs.delete(hadoop_path(f"{path}/{name}"), True)
+        fs.rename(
+            hadoop_path(f"{path}/{name}_staging"),
+            hadoop_path(f"{path}/{name}"),
+        )
 
 
 def perplexity_with_model(
@@ -326,7 +342,7 @@ def perplexity_with_model(
         F.count(F.lit(1)).alias("vocab")
     )
     toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("t")
+        F.col(id_col).alias("doc_id"), _lm_tokens(text_col).alias("t")
     )
     bi = toks.filter(F.size("t") >= 2).select(
         "doc_id", F.explode(bigrams_col(F.col("t"))).alias("b")
@@ -361,7 +377,7 @@ def kneser_ney_bigrams(
     one-row broadcast. P_KN is a ratio of exact integer counts
     (D = 3/4 is dyadic), so the IEEE division + 6-decimal round is
     engine-identical."""
-    toks = df.select(tokens_col(text_col).alias("t"))
+    toks = df.select(_lm_tokens(text_col).alias("t"))
     bi = toks.filter(F.size("t") >= 2).select(
         F.explode(bigrams_col(F.col("t"))).alias("b")
     ).select("b.w1", "b.w2")
@@ -428,7 +444,7 @@ def doremi_domain_weights(
     log-prob sums), so results are partitioning-invariant and
     engine-identical."""
     toks = df.select(
-        F.col(domain_col).alias("domain"), tokens_col(text_col).alias("t")
+        F.col(domain_col).alias("domain"), _lm_tokens(text_col).alias("t")
     )
     bi = toks.filter(F.size("t") >= 2).select(
         "domain", F.explode(bigrams_col(F.col("t"))).alias("b")
@@ -445,6 +461,13 @@ def doremi_domain_weights(
         )
         * F.lit(_Q)
     ).cast("bigint")
+    # dom is O(domains) rows but its lineage is the full corpus
+    # explode, and THREE consumers reference it (tot, scored, z) —
+    # the lazy localCheckpoint materializes the aggregate once at
+    # first use instead of replaying the training scan per consumer.
+    # (Under ANSI mode the bigint _sq sum fails loudly on overflow;
+    # headroom is ~9.2e18 / 2e7-per-bigram ≈ 4.6e11 bigrams per
+    # domain before the quantum must be lowered.)
     dom = (
         bi.join(c2, ["w1", "w2"])
         .join(c1, ["w1"])
@@ -454,6 +477,7 @@ def doremi_domain_weights(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(qlp).alias("_sq"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = dom.agg(
         F.sum("n_bigrams").alias("_nt"), F.sum("_sq").alias("_sqt")
@@ -466,8 +490,24 @@ def doremi_domain_weights(
     # Quantize the un-normalized weight to a 1e12 integer BEFORE the
     # normalizing sum: an integer Σ is order/partitioning-invariant
     # where a double Σ of exp() terms is not — same discipline as
-    # the quantized log-prob numerators above.
-    qraw = F.round(raw * F.lit(1e12)).cast("bigint")
+    # the quantized log-prob numerators above. Guarded: beyond
+    # raw ≈ 9.2e6 (tiny temperature × large excess NLL) the 1e12
+    # quantization exceeds bigint and the non-ANSI double→bigint
+    # cast would saturate SILENTLY, corrupting the normalization —
+    # raise instead (DuckDB's strict CAST already throws there, so
+    # the engines agree on failing loudly).
+    qraw = (
+        F.when(raw < F.lit(9.2e6), F.round(raw * F.lit(1e12)))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "doremi weight exceeds the 1e12-quantized bigint "
+                    "range - raise temperature or lower the quantum"
+                )
+            )
+        )
+        .cast("bigint")
+    )
     scored = dom.crossJoin(F.broadcast(tot)).withColumn("_qraw", qraw)
     z = scored.agg(F.sum("_qraw").alias("_z"))
     return (

@@ -157,11 +157,17 @@ def heavy_hitters(
     heap; here it doubles as the in-plan verification."""
     toks = df.select(F.explode(tokens_col(text_col)).alias("token"))
     sketch = cms_build(toks, "token", depth, width)
+    # exact's lineage is a full-corpus aggregate + global top-k, and
+    # TWO consumers reference it (the probe side of cms_estimate and
+    # the final join) — the lazy localCheckpoint materializes the
+    # ≤top_k rows once instead of replaying the exact ranking (and
+    # its corpus scan) per consumer
     exact = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
         .orderBy(F.desc("exact_n"), "token")
         .limit(top_k)
+        .localCheckpoint(eager=False)
     )
     # same depth variable builds and probes → mismatch impossible;
     # skip the guard's extra aggregate over the sketch subplan

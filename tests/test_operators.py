@@ -4237,3 +4237,66 @@ def test_winnow_rejects_non_integral_id(spark):
                                "url string, text string")
     with pytest.raises(TypeError, match="integral"):
         X.winnow_fingerprints(df, id_col="url")
+
+
+def test_purge_reaches_null_text_docs(spark):
+    """A takedown naming a NULL-text doc must remove it (and every
+    other copy of the empty content): md5(NULL) is NULL and NULL
+    keys never equi-join, so the unguarded fingerprint silently
+    skipped exactly the doc that was named."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        governance as GV,
+    )
+
+    df = spark.createDataFrame(
+        [(42, None, "s1"), (43, "", "s1"), (44, "keep me", "s2")],
+        "doc_id bigint, text string, source string",
+    )
+    survivors = {r.doc_id for r in GV.purge_by_ids(df, [42]).collect()}
+    assert survivors == {44}  # 43 is a copy of the empty content
+    ledger = GV.tombstone_ledger(df, [42]).collect()
+    assert len(ledger) == 1 and ledger[0].n_copies == 2
+    audit = {r.source: r for r in GV.purge_audit(df, [42]).collect()}
+    assert audit["s1"].n_purged == 2 and audit["s2"].n_kept == 1
+
+
+def test_perplexity_buckets_single_bucket(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "c d c d"), (2, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    out = LM.perplexity_buckets(df, n_buckets=1).collect()
+    assert len(out) == 1 and out[0].bucket == 1 and out[0].n_docs == 3
+    with pytest.raises(ValueError, match="n_buckets"):
+        LM.perplexity_buckets(df, n_buckets=0)
+
+
+def test_lm_vocab_excludes_phantom_empty_token(spark):
+    """Empty docs must not inflate the add-1 vocabulary V: scores
+    over a corpus with blank docs equal scores over the same corpus
+    without them."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        lm as LM,
+    )
+
+    clean = spark.createDataFrame(
+        [(0, "a b a b"), (1, "b a b a"), (2, "a a b b")],
+        "doc_id bigint, text string",
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame(
+            [(10, ""), (11, "   ")], "doc_id bigint, text string"
+        )
+    )
+    base = {r.doc_id: r.perplexity
+            for r in LM.perplexity_scores(clean).collect()}
+    with_blanks = {r.doc_id: r.perplexity
+                   for r in LM.perplexity_scores(noisy).collect()}
+    assert all(with_blanks[k] == v for k, v in base.items())
+    assert with_blanks[10] is None  # no bigrams -> NULL score

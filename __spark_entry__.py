@@ -2161,7 +2161,12 @@ def span_clean_docs(spark, sf_dir):
 
 
 SPAN_CLEAN_SQL = f"""
-WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+-- t (lowered) drives the span-match keys; ot (original case) is the
+-- reconstruction array, mirroring remove_duplicate_spans' split —
+-- same \\s+ separators, so the positions line up
+WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS t,
+                     string_split_regex(trim(text), '\\s+') AS ot
+              FROM documents),
 sites AS (
   SELECT doc_id, u.pos AS pos, u.g AS g
   FROM (SELECT doc_id,
@@ -2191,7 +2196,7 @@ SELECT toks.doc_id,
              if len(list_filter(COALESCE(sp, []),
                     x -> i >= x.s AND i <= x.e + 7)) = 0])
             AS BIGINT) AS n_removed,
-       COALESCE(array_to_string([t[i] for i in range(1, len(t) + 1)
+       COALESCE(array_to_string([ot[i] for i in range(1, len(t) + 1)
              if len(list_filter(COALESCE(sp, []),
                     x -> i >= x.s AND i <= x.e + 7)) = 0], ' '), '')
          AS cleaned_text

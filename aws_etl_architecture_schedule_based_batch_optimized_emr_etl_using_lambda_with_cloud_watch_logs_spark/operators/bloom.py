@@ -82,6 +82,21 @@ def bloom_contains(
     joins, no shuffle of ``df`` — the non-destructive form of
     :func:`bloom_probe` for audit plans that need the hit flag
     alongside other columns."""
+    # 'non-destructive' must include the caller's own columns:
+    # withColumn would silently overwrite (and the cleanup drop
+    # remove) any pre-existing column named like the internals
+    clash = {
+        c
+        for i in range(k)
+        for c in (f"_p{i}", f"_w{i}", f"_b{i}")
+        if c in df.columns
+    } | ({flag_col} if flag_col in df.columns else set())
+    if clash:
+        raise ValueError(
+            f"bloom_contains internal column name(s) {sorted(clash)} "
+            f"already exist on the input — rename them or pass a "
+            f"different flag_col"
+        )
     out = df
     hit = F.lit(True)
     for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):

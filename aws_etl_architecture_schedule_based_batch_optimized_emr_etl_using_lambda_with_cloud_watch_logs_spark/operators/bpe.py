@@ -169,6 +169,7 @@ def bpe_symbol_stats(
     n_merges: int = 10,
     text_col: str = "text",
     top_k: int = 20,
+    end_of_word: str = "</w>",
 ) -> DataFrame:
     """Tokenizer vocabulary COVERAGE after training: segment the
     corpus word types with the k learned merges and count how many
@@ -177,8 +178,10 @@ def bpe_symbol_stats(
     spot wasted vocab slots). Top-``top_k`` symbols by weighted
     count, count-desc then symbol. Same scale shape as training:
     every aggregate after the first corpus pass runs on the
-    vocabulary-bounded type frame."""
-    _merges, final = _train(df, n_merges, text_col, "</w>")
+    vocabulary-bounded type frame. ``end_of_word`` threads through
+    like the sibling entry points so the audited vocabulary is the
+    SAME one a custom-sentinel training run produced."""
+    _merges, final = _train(df, n_merges, text_col, end_of_word)
     return (
         final.select(F.explode("syms").alias("symbol"), "cnt")
         .groupBy("symbol")
@@ -221,12 +224,30 @@ def bpe_document_tokens(
     words = df.select(
         doc_id_col, F.explode(tokens_col(text_col)).alias("w")
     ).filter(F.col("w") != "")
-    return (
+    counted = (
         words.join(F.broadcast(seg), "w")
         .groupBy(doc_id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )
+    # every input doc gets a row: a NULL/empty-text doc has no words
+    # (explode of NULL yields nothing; '' is filtered) and would
+    # otherwise vanish from the length profile — a packing/curriculum
+    # consumer inner-joining on this frame would silently lose it
+    # instead of seeing zeros
+    return (
+        df.select(doc_id_col)
+        .join(counted, [doc_id_col], "left")
+        .select(
+            doc_id_col,
+            F.coalesce("n_words", F.lit(0))
+            .cast("bigint")
+            .alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_tokens"),
         )
     )
 

@@ -42,10 +42,14 @@ def ngram_overlap(
     def shingle_rows(df: DataFrame, *extra: str) -> DataFrame:
         # explode must be a top-level generator; hash in a second
         # projection (Catalyst collapses both into one stage).
+        # The '' shingle (empty doc → [''] tokens → whole-text
+        # fallback gram) is excluded: one blank row in the eval set
+        # would otherwise flag every blank corpus doc contaminated —
+        # a match on literally nothing.
         out = df.select(
             *extra,
             F.explode(shingles_col(tokens_col(text_col), n)).alias("shingle"),
-        )
+        ).filter(F.col("shingle") != "")
         if hashed:
             out = out.select(*extra, F.xxhash64("shingle").alias("shingle"))
         return out
@@ -86,16 +90,25 @@ def fuzzy_decontam(
     n-gram overlap pass (:func:`ngram_overlap`) misses — the
     two-stage policy FineWeb/Dolma-style pipelines run.
 
-    Implementation is pure reuse: union the two sides, run the
-    standard banded near-dup pipeline (one Arrow signature pass,
-    uniform-key bucket join, verify only candidates, giant-bucket
-    guard intact), then keep cross-side pairs oriented as
-    ``(doc_id, bench_id, jaccard)``. Ids must be distinct across the
-    two frames (remap one side if not — same contract as the union).
-    At 100 TB the benchmark side is tiny; its signatures could also
-    be persisted once and probed per batch via the incremental band
-    store, unchanged."""
-    from .dedup import minhash_lsh_dedup
+    Implementation reuses the banded near-dup pieces (one Arrow
+    signature pass, uniform-key bucket join, giant-bucket guard
+    intact) but classifies candidate pairs by side BEFORE the exact
+    Jaccard verify: within-corpus near-duplicates vastly outnumber
+    corpus↔benchmark pairs on a real web corpus (that is why dedup
+    exists), and each one would otherwise pay the Arrow verify and
+    the text join-back shuffle only to be discarded by the
+    cross-side filter. Only cross-side candidates reach the verify —
+    same results, verify volume bounded by the benchmark's LSH
+    neighborhood. Ids must be distinct across the two frames (remap
+    one side if not — same contract as the union). At 100 TB the
+    benchmark side is tiny; its signatures could also be persisted
+    once and probed per batch via the incremental band store,
+    unchanged."""
+    from .dedup import (
+        bucket_pairs,
+        jaccard_texts_pudf,
+        minhash_bands,
+    )
 
     tagged = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
@@ -104,35 +117,52 @@ def fuzzy_decontam(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
     )
-    pairs = minhash_lsh_dedup(
-        tagged,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=threshold,
+    banded = minhash_bands(
+        tagged, id_col="doc_id", text_col="text", n=n,
+        num_hashes=num_hashes, bands=bands,
+    )
+    candidates = bucket_pairs(
+        banded, ["band", "band_hash"], "doc_id",
         max_bucket_members=max_bucket_members,
     )
     bench_ids = benchmark.select(F.col(id_col).alias("_bid"))
     # classify sides; keep exactly-one-side-benchmark pairs, oriented
-    a_is_b = pairs.join(
-        F.broadcast(bench_ids), pairs.id_a == F.col("_bid"), "left"
-    ).select(
-        "id_a", "id_b", "jaccard", F.col("_bid").isNotNull().alias("_a_b")
-    )
+    a_is_b = candidates.join(
+        F.broadcast(bench_ids), candidates.id_a == F.col("_bid"), "left"
+    ).select("id_a", "id_b", F.col("_bid").isNotNull().alias("_a_b"))
     both = a_is_b.join(
         F.broadcast(bench_ids), a_is_b.id_b == F.col("_bid"), "left"
     ).select(
-        "id_a", "id_b", "jaccard", "_a_b", F.col("_bid").isNotNull().alias("_b_b")
+        "id_a", "id_b", "_a_b", F.col("_bid").isNotNull().alias("_b_b")
     )
+    cross = both.filter(F.col("_a_b") != F.col("_b_b")).select(
+        F.when(F.col("_a_b"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("doc_id"),
+        F.when(F.col("_a_b"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("bench_id"),
+    )
+    # exact verify ONLY on the oriented cross-side candidates
+    t_c = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_tc")
+    )
+    t_b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(text_col).alias("_tb")
+    )
+    jacc = jaccard_texts_pudf(n)
     return (
-        both.filter(F.col("_a_b") != F.col("_b_b"))
+        cross.join(t_c, "doc_id")
+        .join(F.broadcast(t_b), "bench_id")
         .select(
-            F.when(F.col("_a_b"), F.col("id_b"))
-            .otherwise(F.col("id_a"))
-            .alias("doc_id"),
-            F.when(F.col("_a_b"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias("bench_id"),
-            F.round("jaccard", 6).alias("jaccard"),
+            "doc_id",
+            "bench_id",
+            jacc(F.col("_tc"), F.col("_tb")).alias("_j"),
+        )
+        # threshold on the UNROUNDED value (matching the previous
+        # minhash_lsh_dedup-internal filter), round only for output
+        .filter(F.col("_j") >= threshold)
+        .select(
+            "doc_id", "bench_id", F.round("_j", 6).alias("jaccard")
         )
     )

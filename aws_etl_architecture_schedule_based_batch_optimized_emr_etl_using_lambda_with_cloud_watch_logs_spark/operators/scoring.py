@@ -71,17 +71,24 @@ def score_documents(
     """Per-document classifier score + keep flag. ``weights`` must
     have (bucket, weight_q) with integer-quantized weights; the doc
     score is sigmoid(sum(weight_q)/(n·2^32) - 0.5) — the mean of the
-    dequantized weights, computed with an exact integer numerator."""
+    dequantized weights, computed with an exact integer numerator.
+
+    Sparse-model safe: real fasttext/linear exports store only
+    NONZERO buckets, so the weight join is a LEFT join (a missing
+    bucket contributes weight 0 but still counts in the mean's
+    denominator) and every input doc gets an output row — a doc with
+    no tokens at all (NULL text) scores NULL with keep=false rather
+    than silently bypassing the quality gate."""
     toks = docs.select(
         id_col, F.explode(tokens_col(text_col)).alias("term")
     ).select(
         id_col, feature_bucket(F.col("term"), n_buckets).alias("bucket")
     )
     raw = (
-        toks.join(F.broadcast(weights), "bucket")
+        toks.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
-            F.sum("weight_q").alias("_s"),
+            F.sum(F.coalesce(F.col("weight_q"), F.lit(0))).alias("_s"),
             F.count("*").alias("_n"),
         )
         .select(
@@ -93,10 +100,22 @@ def score_documents(
         )
     )
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_raw")))
-    return raw.select(
-        id_col,
-        F.round(score, 6).alias("score"),
-        (score >= threshold).alias("keep"),
+    return (
+        docs.select(id_col)
+        .join(
+            raw.select(
+                id_col,
+                F.round(score, 6).alias("score"),
+                (score >= threshold).alias("keep"),
+            ),
+            [id_col],
+            "left",
+        )
+        .select(
+            id_col,
+            "score",
+            F.coalesce(F.col("keep"), F.lit(False)).alias("keep"),
+        )
     )
 
 
@@ -132,6 +151,13 @@ def percentile_filter_by_group(
     deterministic regardless of partitioning).
     """
     from pyspark.sql import Window
+
+    if not 0.0 < keep_frac <= 1.0:
+        # 0 would keep the top tie-group of every group (ceil(0)=0
+        # passes every cumulative row, cutoff = max qscore) and
+        # >1 makes the cutoff filter unsatisfiable, silently
+        # dropping whole groups from the output — fail fast
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
 
     qs = F.round(F.col(score_col) * 1e6).cast("bigint")
     with_q = scored.select(

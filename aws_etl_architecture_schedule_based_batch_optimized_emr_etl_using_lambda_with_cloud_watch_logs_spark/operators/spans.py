@@ -171,8 +171,17 @@ def remove_duplicate_spans(
         .groupBy(id_col)
         .agg(F.collect_list(F.struct("start", "end_")).alias("_spans"))
     )
+    # Reconstruction tokens keep the ORIGINAL case: tokens_col
+    # lowercases (correct for the span-match keys inside
+    # duplicate_spans), but rebuilding cleaned_text from lowered
+    # tokens would case-fold every rewritten document corpus-wide.
+    # A case-preserving split on the same \\s+ separators yields
+    # identical token positions, so the span offsets line up.
+    # (Inter-token whitespace is still normalized to single spaces —
+    # inherent to token-level surgery and documented here.)
     toks = df.select(
-        F.col(id_col), tokens_col(text_col).alias("_t")
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_t"),
     ).join(spans, id_col, "left")
     sp = F.coalesce(
         F.col("_spans"),

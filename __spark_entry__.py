@@ -7361,11 +7361,13 @@ FROM (
          SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) FROM orders
   UNION ALL
   SELECT 'orders_fk_customer', COUNT(*) FROM orders o
-  WHERE NOT EXISTS (SELECT 1 FROM customer c
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c
                     WHERE c.c_custkey = o.o_custkey)
   UNION ALL
   SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem l
-  WHERE NOT EXISTS (SELECT 1 FROM orders o
+  WHERE l.l_orderkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM orders o
                     WHERE o.o_orderkey = l.l_orderkey)
   UNION ALL
   SELECT 'lineitem_quantity_range',

@@ -21,9 +21,15 @@ from pyspark.sql import functions as F
 
 
 def _one(df: DataFrame, check: str, violations: Column) -> DataFrame:
+    # coalesce: SUM over an EMPTY table is NULL, which would ripple
+    # to passed=NULL in the report — a check that silently vanishes
+    # from both the pass and the fail filter. Zero rows violate
+    # nothing, so the empty-table convention is 0.
     return df.agg(
         F.lit(check).alias("check_name"),
-        violations.cast("bigint").alias("n_violations"),
+        F.coalesce(violations.cast("bigint"), F.lit(0)).alias(
+            "n_violations"
+        ),
     )
 
 
@@ -63,11 +69,20 @@ def fk_covered(
     check: str,
 ) -> DataFrame:
     """Orphaned-foreign-key row count via LEFT ANTI join (compiles to
-    a broadcast/shuffled hash anti-join — never a NOT IN scan)."""
-    orphans = child.select(F.col(child_col).alias("_fk")).join(
-        parent.select(F.col(parent_col).alias("_fk")),
-        "_fk",
-        "left_anti",
+    a broadcast/shuffled hash anti-join — never a NOT IN scan).
+
+    NULL child keys are NOT orphans — an optional relationship's
+    absent value is the `not_null` check's business, matching dbt's
+    relationships test and Deequ (a NULL key never equi-joins, so it
+    would otherwise count as an orphan on a perfectly valid table)."""
+    orphans = (
+        child.select(F.col(child_col).alias("_fk"))
+        .filter(F.col("_fk").isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias("_fk")),
+            "_fk",
+            "left_anti",
+        )
     )
     return orphans.agg(
         F.lit(check).alias("check_name"),

@@ -85,8 +85,20 @@ def rp_project(
             # pivot form, ADVICE r06): a null or wrong-length vector
             # contributes NO output row — np.stack on a ragged batch
             # would otherwise kill the whole job.
+            # isfinite too: a NaN/inf component passes the
+            # length/None test but astype(int64) on NaN yields
+            # platform garbage (-2^63 on x86) — every projected
+            # output for the row would be enormous wrong integers
+            # emitted silently, where the SQL twin propagates NULL
             ok = np.fromiter(
-                (v is not None and len(v) == d_in for v in pdf[vec_col]),
+                (
+                    v is not None
+                    and len(v) == d_in
+                    and np.isfinite(
+                        np.asarray(v, dtype=np.float64)
+                    ).all()
+                    for v in pdf[vec_col]
+                ),
                 dtype=bool,
                 count=len(pdf),
             )
@@ -299,6 +311,15 @@ def pq_topk(
     sample = np.stack(
         [np.asarray(r[0], dtype=np.float64) for r in sample_rows]
     )
+    if sample.shape[1] % m != 0:
+        # training/encode would silently drop the tail dimensions
+        # and the query reshape would crash after the expensive
+        # encode pass — fail fast like rp_project/minhash do on
+        # analogous misconfiguration
+        raise ValueError(
+            f"pq_topk requires dim % m == 0 (dim={sample.shape[1]}, "
+            f"m={m}); pad the vectors or pick a divisor m"
+        )
     books = _pq_codebooks(sample, m, kc, n_iter=n_iter, seed=seed)
     enc = pq_encode_pudf(books)
     codes = embeddings.select(

@@ -60,10 +60,34 @@ def scd2_merge(
 
     History rows (is_current = false) never enter the join. Returns
     the full new dimension state."""
+    from pyspark.sql import Window
+
     ts = F.lit(effective_ts).cast("timestamp")
     cur = current.filter(F.col("is_current"))
     hist = current.filter(~F.col("is_current"))
     u = updates.select(key_col, *tracked_cols)
+    # A batch with duplicate keys would insert multiple
+    # is_current=true rows for the same key — permanently corrupting
+    # the dimension and fanning out every later merge's current-side
+    # join. Assert uniqueness in-plan (one batch-sized window, no
+    # driver action); a CDC feed with several changes per key must
+    # collapse to last-change-wins BEFORE the merge.
+    kw = Window.partitionBy(key_col)
+    u = (
+        u.withColumn("_kcnt", F.count(F.lit(1)).over(kw))
+        .withColumn(
+            "_key_ok",
+            F.assert_true(
+                F.col("_kcnt") == 1,
+                F.lit(
+                    "scd2_merge: update batch contains duplicate "
+                    "keys - collapse to one change per key per batch"
+                ),
+            ),
+        )
+        .filter(F.col("_key_ok").isNull())  # keeps the assert live
+        .drop("_kcnt", "_key_ok")
+    )
 
     diff = F.lit(False)
     for c in tracked_cols:

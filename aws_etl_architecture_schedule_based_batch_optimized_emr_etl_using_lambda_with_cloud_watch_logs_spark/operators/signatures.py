@@ -67,6 +67,16 @@ def combined_signatures(
         raise ValueError(
             f"bands ({bands}) must divide evenly into num_hashes ({num_hashes})"
         )
+    # same plan-time fail-fast as winnow_fingerprints: the kernel
+    # packs ids with np.full(dtype=int64) and the schema is LongType,
+    # so a non-integral id would die executor-side mid-job with an
+    # opaque numpy ValueError
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"combined_signatures requires an integral {id_col!r} "
+            f"(got {id_type}); hash or dense-rank string ids first"
+        )
     rows_per_band = num_hashes // bands
     a_const, b_const = _mix_constants(num_hashes)
     fold_mult = np.uint64(0x9E3779B97F4A7C15)

@@ -38,12 +38,20 @@ def write_partitioned(
     fmt: str = "parquet",
     files_per_partition: int | None = 1,
     max_records_per_file: int | None = None,
+    partition_overwrite: str | None = None,
 ) -> None:
     """I1 with small-file hygiene. ``files_per_partition=None``
     preserves the reference's raw behavior (one file per task per
     partition value). ``fmt="delta"`` requires the delta-spark
     package (checked up front for a clear error instead of a JVM
-    classpath failure mid-write)."""
+    classpath failure mid-write). ``partition_overwrite="dynamic"``
+    (with ``mode="overwrite"``) rewrites ONLY the partitions present
+    in ``df`` — the idempotent-replay write shape the streaming
+    foreachBatch sinks key by ``ingest_batch``."""
+    if partition_overwrite == "dynamic" and mode != "overwrite":
+        raise ValueError(
+            "partition_overwrite='dynamic' requires mode='overwrite'"
+        )
     if fmt == "delta" and not delta_available():
         raise RuntimeError(
             "sink_format='delta' requested but the delta-spark package "
@@ -58,6 +66,8 @@ def write_partitioned(
             keys = keys + [(F.spark_partition_id() % files_per_partition)]
         df = df.repartition(*keys)
     writer = df.write.mode(mode).partitionBy(*partition_cols).format(fmt)
+    if partition_overwrite:
+        writer = writer.option("partitionOverwriteMode", partition_overwrite)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.save(path)

@@ -16,6 +16,7 @@ the source to list files, exactly-once accounting in the checkpoint.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -71,10 +72,20 @@ def stream_ingest(
 
 
 def run_available_now(query: StreamingQuery, timeout_s: int = 300) -> None:
-    """Block until an ``AvailableNow`` ingest drains and stops."""
-    query.awaitTermination(timeout_s)
-    if query.isActive:
+    """Block until an ``AvailableNow`` ingest drains and stops.
+
+    Raises on timeout instead of silently stopping a still-draining
+    query: callers (and ``run_to_memory``, which reads the sink
+    table immediately after) would otherwise treat a TRUNCATED drain
+    as the complete result."""
+    finished = query.awaitTermination(timeout_s)
+    if not finished and query.isActive:
         query.stop()
+        raise TimeoutError(
+            f"AvailableNow drain did not finish within {timeout_s}s — "
+            f"partial ingest stopped; raise timeout_s or shrink the "
+            f"backlog (progress: {query.lastProgress})"
+        )
 
 
 def run_to_memory(
@@ -146,7 +157,14 @@ def sessionize_stateful(
             last_us, n_sessions, n_events = None, 0, 0
         ts_list = []
         for pdf in pdfs:
-            ts_list.extend(int(t.value) // 1000 for t in pd.to_datetime(pdf[ts_col]))
+            # NULL timestamps arrive as NaT, whose .value is the
+            # int64 sentinel (-2^63): it would sort first, open a
+            # phantom session, and make the next real event's gap
+            # astronomical — drop them before the sort loop
+            ts = pd.to_datetime(pdf[ts_col])
+            ts_list.extend(
+                int(t.value) // 1000 for t in ts if not pd.isna(t)
+            )
         for t_us in sorted(ts_list):
             if last_us is None or t_us - last_us > gap_s * 1_000_000:
                 n_sessions += 1
@@ -283,25 +301,43 @@ def stream_ingest_with_catalog(
     forces one-file batches to kill the query mid-drain).
 
     Failure semantics: foreachBatch is at-least-once per micro-batch
-    on restart, but the batch writer lands data under a temporary
-    directory and the catalog sync is idempotent, so a batch that
-    dies BEFORE its sink commit replays cleanly from the checkpoint
-    ledger — pinned by
-    tests/test_streaming.py::test_stream_restart_mid_drain_exactly_once.
+    on restart. The sink write is keyed by ``ingest_batch`` (a
+    trailing hive level) with dynamic partition overwrite — the
+    foreachBatch idempotence recipe the incremental-dedup stream
+    below documents — so a replayed batch overwrites exactly its own
+    partitions in EVERY crash window: before the sink commit (the
+    checkpoint ledger replays it) AND after the sink commit but
+    before the checkpoint commit (a plain append would duplicate
+    every row of the batch). The catalog sync is idempotent. Pinned
+    by tests/test_streaming.py::
+    test_stream_restart_mid_drain_exactly_once.
     """
     from ..catalog import sync_catalog, sync_catalog_incremental
+    from ..sources import writers as _writers
     from ..sources.readers import read_parquet_merged
-    from ..sources.writers import write_partitioned
 
     partition_cols = partition_cols or PARTITION_COLS
 
     def process_batch(batch_df, batch_id: int) -> None:
-        denorm = with_ingest_columns(flatten(batch_df), legacy_day=legacy_day)
-        write_partitioned(denorm, sink_path, partition_cols)
+        denorm = with_ingest_columns(
+            flatten(batch_df), legacy_day=legacy_day
+        ).withColumn("ingest_batch", F.lit(batch_id))
+        layout = [*partition_cols, "ingest_batch"]
+        # module attribute (not a from-import) so the restart test's
+        # crash injection seam keeps working
+        _writers.write_partitioned(
+            denorm,
+            sink_path,
+            layout,
+            mode="overwrite",
+            partition_overwrite="dynamic",
+        )
+        # the catalog registers the on-disk layout, which now ends
+        # with the ingest_batch idempotence level
         if drift_mode == "incremental":
             sync_catalog_incremental(
                 spark, denorm, sink_path, catalog_db,
-                f"{table_prefix}_sink", partition_cols,
+                f"{table_prefix}_sink", layout,
             )
         else:
             merged = read_parquet_merged(spark, sink_path)
@@ -311,7 +347,7 @@ def stream_ingest_with_catalog(
                 sink_path,
                 catalog_db,
                 f"{table_prefix}_sink",
-                partition_cols,
+                layout,
             )
 
     return (
@@ -388,7 +424,12 @@ def stream_incremental_dedup(
                 .filter(F.col("ingest_batch") != batch_id)
                 .drop("ingest_batch")
             )
-        except Exception:
+        except AnalysisException:
+            # ONLY "no history yet" (missing path) falls through to
+            # first-contact mode; a transient read failure (throttle,
+            # corrupt footer) must raise — swallowing it would run
+            # the batch without history and permanently under-report
+            # duplicates against the accumulated corpus
             old_docs = None
         # EVERY artifact write is keyed by batch_id with dynamic
         # partition overwrite — the foreachBatch idempotence recipe:

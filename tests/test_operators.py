@@ -4391,3 +4391,83 @@ def test_bloom_contains_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="_p0"):
         BL.bloom_contains(probe, bloom, "key")
+
+
+def test_scd2_merge_rejects_duplicate_update_keys(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        scd as SCD,
+    )
+
+    dim = SCD.scd2_init(
+        spark.createDataFrame([(1, "a")], "key bigint, v string"),
+        "key", ["v"], "2024-01-01",
+    )
+    dupes = spark.createDataFrame(
+        [(1, "b"), (1, "c")], "key bigint, v string"
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        SCD.scd2_merge(dim, dupes, "key", ["v"], "2024-02-01").collect()
+
+
+def test_audit_checks_empty_table_and_null_fk(spark):
+    """Empty table -> n_violations 0 (not NULL, which vanishes from
+    both pass and fail filters); NULL child FKs are not orphans."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        audit as AU,
+    )
+
+    empty = spark.createDataFrame([], "x bigint")
+    rep = AU.expectation_report(
+        [AU.not_null(empty, "x", "c1"), AU.in_range(empty, "x", 0, 9, "c2")]
+    ).collect()
+    assert all(r.n_violations == 0 and r.passed for r in rep)
+
+    child = spark.createDataFrame(
+        [(1,), (None,), (99,)], "fk bigint"
+    )
+    parent = spark.createDataFrame([(1,)], "pk bigint")
+    out = AU.fk_covered(child, "fk", parent, "pk", "c3").collect()[0]
+    assert out.n_violations == 1  # only 99 is an orphan; NULL is not
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 10) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dim % m"):
+        PJ.pq_topk(emb, query_ids=[0], k=2, m=8)
+
+
+def test_rp_project_drops_nonfinite_vectors(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        projection as PJ,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 7 + [float("nan")])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = PJ.rp_project(emb, 8, 4).collect()
+    assert {r.vec_id for r in out} == {0}  # NaN row dropped, not garbage
+
+
+def test_combined_signatures_rejects_non_integral_id(spark):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        signatures as SG,
+    )
+
+    df = spark.createDataFrame([("u", "text here")],
+                               "doc_id string, text string")
+    with pytest.raises(TypeError, match="integral"):
+        SG.combined_signatures(df)

@@ -24,6 +24,7 @@ from hashlib import blake2b
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -243,6 +244,17 @@ def bucket_pairs(
     inside buckets so similar that LSH hashed them identically.
     ``max_bucket_members=None`` restores unconditional full
     expansion (the exhaustive-oracle mode).
+
+    Caveat (precision of the equivalence claim): connectivity is
+    preserved over the CANDIDATE pairs. A downstream exact-verify
+    filter (minhash_lsh_dedup's Jaccard threshold) can fail the
+    hub's pairs while a member-member pair would have passed — band
+    collision needs only r matching minima, not threshold
+    similarity — so above the cap, verified-pair recall can drop
+    for hub-dissimilar members. The cap is a bounded-work guard
+    against adversarial buckets, priced by the recall gates; set
+    ``max_bucket_members=None`` where exact pair completeness
+    matters more than the O(m²) bound.
     """
     members = (
         banded.groupBy(*bucket_cols)
@@ -480,7 +492,7 @@ def minhash_lsh_dedup(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.8,
     max_bucket_members: int | None = 1024,
     banded: DataFrame | None = None,
@@ -540,7 +552,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.8,
     max_bucket_members: int | None = 1024,
     update_store: bool = True,
@@ -592,10 +604,18 @@ def incremental_minhash_dedup(
     ).persist()
 
     try:
-        # tolerate provenance columns a partitioned store adds (e.g.
-        # the streaming path's ingest_batch) — band logic needs only
-        # the new_bands schema
         old_bands = spark.read.parquet(store_path)
+        have_store = True
+    except AnalysisException:
+        # ONLY "no store yet" (missing path) is first contact; a
+        # transient read failure (throttle, corrupt footer) must
+        # raise — degrading silently would dedup the batch against
+        # itself only and permanently under-report duplicates (the
+        # per-batch pairs are never recomputed), same contract as
+        # the streaming corpus-sink read.
+        old_bands = None
+        have_store = False
+    if have_store:
         if batch_id is not None and "ingest_batch" in old_bands.columns:
             # a replayed micro-batch may find its OWN bands already
             # committed (crash after the store commit); treating them
@@ -604,13 +624,25 @@ def incremental_minhash_dedup(
             old_bands = old_bands.filter(
                 F.col("ingest_batch") != batch_id
             )
+        # tolerate provenance columns a partitioned store adds (e.g.
+        # the streaming path's ingest_batch) — band logic needs only
+        # the new_bands schema. Outside the try: a SCHEMA-mismatched
+        # store is corruption and must raise, not pass as "no store".
         old_bands = old_bands.select(*new_bands.columns)
-        have_store = True
-    except Exception:
-        old_bands = None
-        have_store = False
+        if old_docs is None:
+            # Without the historical texts the cross-batch candidates
+            # cannot be verified; silently falling back to batch-only
+            # dedup would skip every new-vs-history pair while still
+            # growing the store — the order-independence invariant
+            # would break undetectably.
+            raise ValueError(
+                "incremental_minhash_dedup: band store exists at "
+                f"{store_path!r} but old_docs was not provided — pass "
+                "the historical corpus frame (ids + texts) so "
+                "cross-batch candidates can be verified"
+            )
 
-    if have_store and old_docs is not None:
+    if have_store:
         new_buckets = new_bands.select("band", "band_hash").distinct()
         relevant = new_bands.unionByName(
             old_bands.join(new_buckets, ["band", "band_hash"], "left_semi")
@@ -654,14 +686,13 @@ def incremental_minhash_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Materialize pairs BEFORE any append, so the returned frame
+    # (lazy) can't double-count the batch against its own stored
+    # bands if evaluated after the append — and so the band cache can
+    # be released on BOTH paths (a dry-run audit loop would otherwise
+    # pin one dead persisted frame per call for the session life).
+    pairs = pairs.localCheckpoint(eager=True)
     if update_store:
-        # Materialize pairs BEFORE appending, so the returned frame
-        # (lazy) can't double-count the batch against its own stored
-        # bands if evaluated after the append — and release the
-        # band cache once both consumers (pairs, store append) are
-        # done, so a forever-growing corpus doesn't pin one dead
-        # frame per batch.
-        pairs = pairs.localCheckpoint(eager=True)
         if batch_id is None:
             new_bands.write.mode("append").parquet(store_path)
         else:
@@ -678,7 +709,7 @@ def incremental_minhash_dedup(
                 .mode("overwrite")
                 .parquet(store_path)
             )
-        new_bands.unpersist()
+    new_bands.unpersist()
     return pairs
 
 
@@ -699,6 +730,12 @@ def simhash_col(tokens: Column, bits: int = 64) -> Column:
     Builds 64 aggregate expressions at plan time — wide but flat
     (single project, no shuffle, no UDF). Prefer :func:`simhash_df`
     on large inputs (flat-codegen relational form).
+
+    NOT signature-compatible with :func:`simhash_df`: this form
+    hashes tokens with JVM ``xxhash64`` while the Arrow kernel uses
+    blake2b, so the two produce unrelated bit patterns — never mix
+    them within one store or comparison (Hamming distance across
+    families is ~32 random bits). Pick one form per pipeline.
     """
     signed_bit = _signed_bit
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
@@ -781,23 +818,34 @@ def simhash_dedup(
     ``signatures`` injects a precomputed (id, simhash) frame (e.g. a
     persisted combined-signature view); when given, the caller owns
     its caching."""
+    if not 0 <= max_hamming <= 63:
+        # >63 would make chunk_bits 0: every chunk_val collapses to
+        # 0 and the banded self-join degenerates to a full cartesian
+        # product per chunk — fail fast
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
     if signatures is None:
         sh = simhash_df(df, id_col=id_col, text_col=text_col).persist()
     else:
         sh = signatures
+
+    def _chunk_val(i: int):
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+        if chunk_bits == 64:
+            # max_hamming=0 (exact-simhash mode): the single chunk is
+            # the whole signature; the (1<<64)-1 mask literal would
+            # overflow a JVM long
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << chunk_bits) - 1))
+
     banded = sh.select(
         id_col,
         "simhash",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                    for i in range(chunks)
-                ]
-            )
+            F.array(*[_chunk_val(i) for i in range(chunks)])
         ).alias("chunk", "chunk_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")

@@ -102,6 +102,17 @@ _SCORED_SCHEMA = StructType(
 )
 
 
+def _unit_rows(mat):
+    """Row-normalize with a zero-norm guard: an all-zero embedding
+    (a failed upstream embedding job's artifact) divides to NaN, and
+    Spark's ordering ranks NaN ABOVE every real cosine — the zero
+    vector would become everyone's top neighbor. Guarded rows come
+    out all-zero instead (cosine 0: similar to nothing)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = np.inf
+    return mat / norms
+
+
 def local_topk_scored(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -145,7 +156,7 @@ def local_topk_scored(
         raise ValueError("no query vectors found for the given ids")
     q_ids = np.array([row[0] for row in q_rows], dtype=np.int64)
     q_mat = np.stack([np.asarray(row[1], dtype=np.float64) for row in q_rows])
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = _unit_rows(q_mat)
     q_labels = [row[2] for row in q_rows] if label_col else None
     bc = embeddings.sparkSession.sparkContext.broadcast(
         (q_ids, q_unit, q_labels)
@@ -159,7 +170,7 @@ def local_topk_scored(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             mat = _stack(pdf[vec_col])
             labels = pdf[label_col].to_numpy() if bq_labels else None
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = _unit_rows(mat)
             scores = unit @ bq_unit.T  # (batch, queries)
             for j, qid in enumerate(bq_ids):
                 col = scores[:, j]
@@ -455,7 +466,7 @@ def _spherical_kmeans(
     """Tiny spherical k-means on a driver-side sample (centroids are
     metadata-scale: n_centroids × dim floats)."""
     rng = np.random.RandomState(seed)
-    unit = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    unit = _unit_rows(sample)
     centroids = unit[rng.choice(len(unit), size=n_centroids, replace=False)]
     for _ in range(n_iter):
         assign = np.argmax(unit @ centroids.T, axis=1)
@@ -474,7 +485,7 @@ def cell_pudf(centroids: np.ndarray):
     @F.pandas_udf(LongType())
     def _cell(vecs: pd.Series) -> pd.Series:
         mat = _stack(vecs)
-        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = _unit_rows(mat)
         return pd.Series(np.argmax(unit @ centroids.T, axis=1).astype(np.int64))
 
     return _cell
@@ -527,7 +538,7 @@ def ivf_topk(
     probe_rows = []
     for row in q_rows:
         q_vec = np.asarray(row[1], dtype=np.float64)
-        q_unit = q_vec / np.linalg.norm(q_vec)
+        q_unit = q_vec / (np.linalg.norm(q_vec) or 1.0)
         order = np.argsort(-(centroids @ q_unit))[: min(n_probe, len(centroids))]
         for c in order:
             probe_rows.append((int(row[0]), list(map(float, row[1])), int(c)))
@@ -565,17 +576,21 @@ def ivf_topk(
 
 
 def embedding_stats(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
 ) -> DataFrame:
     """Per-label corpus statistics (norms, dims) — sanity/monitoring
-    aggregates over the vector column."""
+    aggregates over the vector column. (The old dead ``id_col``
+    parameter is gone; the grouping column is parameterized like the
+    file's other label-aware operators.)"""
     return (
         embeddings.select(
-            "label",
+            label_col,
             F.size(vec_col).alias("dim"),
             norm_pudf(F.col(vec_col)).alias("norm"),
         )
-        .groupBy("label")
+        .groupBy(label_col)
         .agg(
             F.count("*").alias("n_vectors"),
             F.min("dim").alias("min_dim"),
@@ -692,9 +707,12 @@ def label_spectrum(
                 out["m"].append((mat.T @ mat).ravel())
             yield pd.DataFrame(out)
 
+    # the label field mirrors the CALLER's column type — hardcoding
+    # int crashed the Arrow conversion for any non-int label column
+    _ltype = embeddings.schema[label_col].dataType.simpleString()
     moment_rows = embeddings.select(label_col, vec_col).mapInPandas(
         partials,
-        schema="label int, n long, s array<double>, m array<double>",
+        schema=f"label {_ltype}, n long, s array<double>, m array<double>",
     )
 
     def merge_spectrum(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -721,7 +739,7 @@ def label_spectrum(
 
     return moment_rows.groupBy("label").applyInPandas(
         merge_spectrum,
-        schema="label int, n_vectors long, cov_trace double, "
+        schema=f"label {_ltype}, n_vectors long, cov_trace double, "
         "top_eigs array<double>",
     )
 

@@ -4471,3 +4471,70 @@ def test_combined_signatures_rejects_non_integral_id(spark):
                                "doc_id string, text string")
     with pytest.raises(TypeError, match="integral"):
         SG.combined_signatures(df)
+
+
+def test_incremental_dedup_requires_old_docs_with_store(spark, tmp_path):
+    """A populated band store without the historical texts cannot
+    verify cross-batch candidates — silently falling back to
+    batch-only dedup (the old behavior) skipped every new-vs-history
+    pair while still growing the store. Must raise."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "the same text repeated here") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    store = str(tmp_path / "store")
+    b1 = docs.filter("doc_id < 3")
+    D.incremental_minhash_dedup(b1, store, threshold=0.5)
+    with pytest.raises(ValueError, match="old_docs"):
+        D.incremental_minhash_dedup(
+            docs.filter("doc_id >= 3"), store, threshold=0.5
+        )
+
+
+def test_simhash_dedup_validates_and_handles_exact_mode(spark):
+    """max_hamming=0 (exact-simhash mode) must plan and run (the
+    64-bit mask literal used to overflow a JVM long); out-of-range
+    radii fail fast instead of degenerating to a cross join."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc dd"), (2, "zz yy xx ww")],
+        "doc_id bigint, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_dedup(df, max_hamming=0).collect()}
+    assert pairs == {(0, 1)}
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_dedup(df, max_hamming=64)
+
+
+def test_brute_force_topk_ignores_zero_vectors(spark):
+    """An all-zero embedding must never rank as anyone's neighbor:
+    unguarded, its NaN cosine sorts ABOVE every real score."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = [(r.n_id, r.rank) for r in
+           S.brute_force_topk(emb, query_ids=[0], k=2).collect()]
+    assert out[0] == (1, 1)  # the real neighbor, not the zero vector
+
+
+def test_label_spectrum_string_labels(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0], "en" if i % 2 else "fr")
+         for i in range(8)],
+        "vec_id bigint, embedding array<float>, lang string",
+    )
+    out = {r.label for r in
+           S.label_spectrum(emb, label_col="lang", top_k=2).collect()}
+    assert out == {"en", "fr"}

@@ -491,15 +491,21 @@ def main() -> None:
 
     def incremental_batch(d, tag: str):
         """Arrow pass over ONLY the 10% new batch; store access is a
-        bucket semi-join. Ratio tracks batch+matching-bucket size."""
+        bucket semi-join. Ratio tracks batch+matching-bucket size.
+        ``old_docs`` is REQUIRED against a populated store (the
+        operator now raises otherwise) — and without it this probe
+        was silently timing the batch-only fallback, never touching
+        the store it claimed to measure."""
         store = f"{work}/bands_{tag}"
-        old = d.filter(F.col("doc_id") % 10 != 0)
+        old = d.filter(F.col("doc_id") % 10 != 0).localCheckpoint(
+            eager=True
+        )
         new = d.filter(F.col("doc_id") % 10 == 0)
         D.incremental_minhash_dedup(
             old, store, old_docs=None, update_store=True
         ).count()  # seed the store (untimed by caller's warm call)
         return lambda: D.incremental_minhash_dedup(
-            new, store, update_store=False
+            new, store, old_docs=old, update_store=False
         ).count()
 
     def index_probe(e, tag: str):

@@ -84,11 +84,38 @@ def partition_specs_from_data(df: DataFrame, partition_cols: list[str]) -> list[
     strings. The distinct runs distributed (hash aggregate with
     map-side combine); only the distinct *specs* are collected —
     bounded by partition count, not row count."""
-    spec_col = F.concat_ws(
-        "/", *[F.concat_ws("=", F.lit(c), F.col(c).cast("string")) for c in partition_cols]
+    rows = (
+        df.select(
+            *[F.col(c).cast("string").alias(c) for c in partition_cols]
+        )
+        .distinct()
+        .collect()
     )
-    rows = df.select(spec_col.alias("spec")).distinct().collect()
-    return [row["spec"] for row in rows]
+    specs = []
+    for row in rows:
+        parts = []
+        for c in partition_cols:
+            v = row[c]
+            if v is None:
+                # Spark writes NULL partition values to this sentinel
+                # directory; the old concat_ws silently DROPPED the
+                # null k=v pair, producing a malformed spec that
+                # crashed every later sync
+                v = "__HIVE_DEFAULT_PARTITION__"
+            if any(ch in v for ch in "/='"):
+                # the spec string is also the ledger encoding and the
+                # ADD PARTITION literal; these characters make the
+                # k=v/k=v round-trip ambiguous (and SHOW PARTITIONS
+                # would return the hive-escaped form, never matching
+                # the raw one) — fail loudly at the boundary
+                raise ValueError(
+                    f"partition value {v!r} for column {c!r} contains "
+                    f"'/', '=' or a quote — hive-escape or sanitize "
+                    f"partition values upstream"
+                )
+            parts.append(f"{c}={v}")
+        specs.append("/".join(parts))
+    return specs
 
 
 def new_partition_specs(curr: list[str], prev: list[str]) -> list[str]:
@@ -102,7 +129,11 @@ def _spec_to_sql(spec: str) -> str:
     parts = []
     for kv in spec.split("/"):
         key, _, value = kv.partition("=")
-        parts.append(f"{key} = '{value}'")
+        # defensive quote-doubling: data-derived specs reject quotes
+        # upstream, but SHOW PARTITIONS-seeded ledger entries are
+        # hive-escaped and must never break the SQL literal
+        value = value.replace("'", "''")
+        parts.append(f"`{key}` = '{value}'")
     return ", ".join(parts)
 
 
@@ -168,7 +199,13 @@ def create_table_over_path(
         f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({data_cols}"
         + (f", {part_cols_ddl}" if part_cols_ddl else "")
         + ") USING parquet "
-        + (f"PARTITIONED BY ({', '.join(partition_cols)}) " if partition_cols else "")
+        + (
+            "PARTITIONED BY ("
+            + ", ".join(f"`{c}`" for c in partition_cols)
+            + ") "
+            if partition_cols
+            else ""
+        )
         + f"LOCATION '{path}'"
     )
     if partition_cols:
@@ -183,6 +220,31 @@ def _state_path(sink_path: str) -> str:
     return os.path.join(base, "_catalog_state.json")
 
 
+def _is_local(sink_path: str) -> bool:
+    from urllib.parse import urlparse
+
+    return urlparse(sink_path).scheme in ("file", "")
+
+
+def _hadoop_fs(path: str):
+    """Hadoop FileSystem for non-posix sinks (s3://, hdfs://): the
+    ledger must live BESIDE the sink on whatever store holds it —
+    os.path/open would make exists() always-False there (drift
+    detection silently off) and the save crash after data landed."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"catalog state at {path!r} needs an active SparkSession "
+            f"for filesystem access"
+        )
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
 def load_catalog_state(sink_path: str) -> dict | None:
     """The durable external catalog (the reference's Glue). Spark's
     in-memory session catalog forgets between processes, so drift
@@ -190,17 +252,40 @@ def load_catalog_state(sink_path: str) -> dict | None:
     JSON ledger beside the sink: ``{"schema": [...], "partitions":
     [...]}``."""
     path = _state_path(sink_path)
-    if not os.path.exists(path):
+    if _is_local(sink_path):
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return json.load(fh)
+    fs, hpath, _ = _hadoop_fs(path)
+    if not fs.exists(hpath):
         return None
-    with open(path) as fh:
-        return json.load(fh)
+    # read through Spark (py4j passes byte[] buffers by VALUE, so a
+    # direct FSDataInputStream.read(buf) can't fill a Python buffer)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    rows = spark.read.text(path).collect()
+    return json.loads("\n".join(r[0] for r in rows))
 
 
 def save_catalog_state(
     sink_path: str, schema_entries: list[SchemaEntry], partitions: list[str]
 ) -> None:
-    with open(_state_path(sink_path), "w") as fh:
-        json.dump({"schema": schema_entries, "partitions": sorted(partitions)}, fh)
+    payload = json.dumps(
+        {"schema": schema_entries, "partitions": sorted(partitions)}
+    )
+    path = _state_path(sink_path)
+    if _is_local(sink_path):
+        with open(path, "w") as fh:
+            fh.write(payload)
+        return
+    fs, hpath, _ = _hadoop_fs(path)
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(payload.encode("utf-8"))
+    finally:
+        stream.close()
 
 
 def sync_catalog(

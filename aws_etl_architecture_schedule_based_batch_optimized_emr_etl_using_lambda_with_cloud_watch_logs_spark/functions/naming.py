@@ -34,16 +34,21 @@ def standardize_unique(paths: list[str]) -> dict[str, str]:
 
     The reference would silently produce duplicate columns here
     (SURVEY §7.4 "name collisions"); we make the output schema valid.
+
+    Uniqueness is CASE-INSENSITIVE: Spark's writer rejects duplicate
+    columns under the default spark.sql.caseSensitive=false, so two
+    names differing only in case ('ab' vs 'aB') would survive a
+    case-sensitive dedup here and crash the partitioned write.
     """
     out: dict[str, str] = {}
     taken: set[str] = set()
     for path in paths:
         base = standardize_col_name(path)
         name, n = base, 1
-        while name in taken:
+        while name.lower() in taken:
             n += 1
             name = f"{base}_{n}"
-        taken.add(name)
+        taken.add(name.lower())
         out[path] = name
     return out
 

@@ -101,7 +101,12 @@ def flatten(df: DataFrame, max_passes: int = 32) -> DataFrame:
         if any(isinstance(f.dataType, StructType) for f in df.schema.fields):
             df = expand_structs(df)
     else:
-        raise ValueError(f"nesting deeper than {max_passes} passes")
+        # re-check AFTER the loop: the final allowed pass may have
+        # fully flattened the schema (flatness is only tested at the
+        # top of each iteration, so a for/else raise here would
+        # reject an already-flat frame)
+        if any(_has_nesting(df)):
+            raise ValueError(f"nesting deeper than {max_passes} passes")
 
     renames = standardize_unique([f.name for f in df.schema.fields])
     return df.select(*[qcol(old).alias(new) for old, new in renames.items()])

@@ -52,6 +52,19 @@ def run_batch(
     """One scheduled-batch run, start to finish."""
     partition_cols = partition_cols or PARTITION_COLS
 
+    if config.sink_format != "parquet":
+        # The drift re-read (mergeSchema over raw files) and the
+        # catalog registration (USING parquet) are parquet-shaped: a
+        # delta/iceberg sink read this way would bypass the
+        # transaction log and count uncommitted files. Fail loudly
+        # rather than produce phantom rows; write_partitioned alone
+        # supports other formats for plain exports.
+        raise NotImplementedError(
+            f"run_batch's drift/catalog machinery is parquet-only "
+            f"(sink_format={config.sink_format!r}); use parquet, or "
+            f"write_partitioned directly for other formats"
+        )
+
     try:
         raw = read_json(spark, config.source_path, schema=schema)
     except AnalysisException as exc:
@@ -61,9 +74,25 @@ def run_batch(
         return EtlResult(
             rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
         )
-    denorm = with_ingest_columns(flatten(raw), legacy_day=config.legacy_day)
-    files = distinct_input_files(denorm, "input_file")
-    denorm = denorm.drop("input_file")
+    if schema is not None and raw.isEmpty():
+        # With an explicit schema an empty source dir reads as an
+        # empty frame instead of raising UNABLE_TO_INFER_SCHEMA —
+        # same routine no-op tick, caught before the sink re-read
+        # (which would throw on a sink containing no parquet yet).
+        return EtlResult(
+            rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
+        )
+    # file list from RAW (pre-explode): the provenance distinct over
+    # the flattened frame re-ran the whole read+flatten plan across
+    # explode-multiplied rows just to list file names
+    files = distinct_input_files(raw, "input_file")
+    denorm = with_ingest_columns(
+        flatten(raw.drop("input_file")), legacy_day=config.legacy_day
+    )
+    if config.drift_mode == "incremental":
+        # two consumers in this mode (the write + the rows count):
+        # cache so the source scan + flatten run once
+        denorm = denorm.persist()
 
     write_partitioned(
         denorm, config.sink_path, partition_cols, mode="append",
@@ -81,6 +110,7 @@ def run_batch(
             table, partition_cols,
         )
         rows = denorm.count()
+        denorm.unpersist()
     else:
         merged = read_parquet_merged(spark, config.sink_path)
         action = sync_catalog(

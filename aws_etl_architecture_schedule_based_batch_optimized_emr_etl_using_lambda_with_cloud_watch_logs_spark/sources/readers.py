@@ -28,8 +28,8 @@ def read_json(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    else:
-        reader = reader.option("inferSchema", True)
+    # (no else branch: the JSON source ALWAYS infers when no schema
+    # is given — "inferSchema" is a CSV option and was a no-op here)
     if multiline:
         reader = reader.option("multiline", True)
     df = reader.json(path)

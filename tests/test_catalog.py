@@ -71,8 +71,9 @@ def test_new_partition_specs_diff():
 def test_partitions_ddl_shape():
     ddl = partitions_ddl("db", "t", ["year=2024/month=2", "year=2024/month=3"])
     assert ddl.startswith("ALTER TABLE `db`.`t` ADD IF NOT EXISTS")
-    assert "PARTITION (year = '2024', month = '2')" in ddl
-    assert "PARTITION (year = '2024', month = '3')" in ddl
+    # keys are backticked (reserved-word/special-char safety)
+    assert "PARTITION (`year` = '2024', `month` = '2')" in ddl
+    assert "PARTITION (`year` = '2024', `month` = '3')" in ddl
 
 
 def test_analyze_table_records_stats(spark):
@@ -92,3 +93,27 @@ def test_analyze_table_records_stats(spark):
         assert got.get("distinct_count") == "7"
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_demo")
+
+
+def test_partition_specs_null_and_special_values(spark):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        partition_specs_from_data,
+    )
+
+    df = spark.createDataFrame(
+        [("v1", None), ("v2", "c1")], "vehicle string, category string"
+    )
+    specs = set(partition_specs_from_data(df, ["vehicle", "category"]))
+    # NULL maps to Spark's on-disk sentinel instead of silently
+    # vanishing from the spec string (the old concat_ws dropped the
+    # whole k=v pair, corrupting the ledger and later DDL)
+    assert specs == {
+        "vehicle=v1/category=__HIVE_DEFAULT_PARTITION__",
+        "vehicle=v2/category=c1",
+    }
+
+    import pytest
+
+    bad = spark.createDataFrame([("a/b", "c")], "vehicle string, category string")
+    with pytest.raises(ValueError, match="partition value"):
+        partition_specs_from_data(bad, ["vehicle", "category"])

@@ -146,3 +146,17 @@ def test_explode_arrays_matches_reference_single_pass(spark):
     types = {f.name: f.dataType for f in out.schema.fields}
     assert not isinstance(types["xs"], ArrayType)
     assert isinstance(types["nested"], StructType)  # untouched by single pass
+
+
+def test_flatten_case_insensitive_collision(spark):
+    """Columns that differ only in case after camelCasing must be
+    disambiguated: Spark's writer rejects duplicates
+    case-INsensitively (default caseSensitive=false), so 'ab' + 'aB'
+    surviving together would crash the partitioned write."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.functions.naming import (
+        standardize_unique,
+    )
+
+    out = standardize_unique(["ab", "a.b"])  # both normalize to aB-ish
+    names = list(out.values())
+    assert len({n.lower() for n in names}) == len(names), names

@@ -478,3 +478,58 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     assert set(rec) == {"doc_id", "text"}
     back = spark.read.json(f"{path}/shard=*/")
     assert back.count() == 20
+
+
+def test_run_batch_empty_source_with_schema_is_noop(spark, tmp_path):
+    """With an explicit schema an empty source dir reads as an empty
+    frame (no UNABLE_TO_INFER_SCHEMA), and the run must be the same
+    graceful no-op — previously it wrote only _SUCCESS and crashed
+    re-reading a sink containing no parquet."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    cfg = EtlConfig(
+        source_path=src,
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="noop_db",
+        catalog_table_prefix="np",
+    )
+    schema = StructType(
+        [StructField("customerid", StringType()),
+         StructField("vehicle", StringType()),
+         StructField("category", StringType()),
+         StructField("tts", LongType())]
+    )
+    res = run_batch(spark, cfg, schema=schema)
+    assert res.rows_written == 0 and res.catalog_action == "no-op"
+
+
+def test_run_batch_rejects_non_parquet_sink_format(spark, tmp_path):
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    cfg = EtlConfig(
+        source_path=str(tmp_path / "src"),
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="d",
+        catalog_table_prefix="t",
+        sink_format="delta",
+    )
+    with pytest.raises(NotImplementedError, match="parquet-only"):
+        run_batch(spark, cfg)

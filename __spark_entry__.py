@@ -2320,11 +2320,12 @@ scored AS (
 ranked AS (
   SELECT q_id, n_id, dot, na, nb,
          ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY (dot * dot) / (na * nb) DESC, n_id)
+                            ORDER BY (CAST(dot AS DOUBLE) * dot)
+                                     / (CAST(na AS DOUBLE) * nb) DESC, n_id)
            AS rank
   FROM scored)
 SELECT q_id, n_id, CAST(rank AS INT) AS rank,
-       ROUND(dot / sqrt(na * nb), 6) AS sim
+       ROUND(dot / sqrt(CAST(na AS DOUBLE) * nb), 6) AS sim
 FROM ranked WHERE rank <= 3
 """
 
@@ -4843,7 +4844,7 @@ def mmr_rerank_docs(spark, sf_dir):
             "query_id",
             "id_a",
             "id_b",
-            (dot / F.sqrt(na * nb)).alias("sim"),
+            (dot / F.sqrt(na.cast("double") * nb.cast("double"))).alias("sim"),
         )
     )
     return SR.mmr_rerank(cand, sims, k=5, lam=0.7)
@@ -7015,7 +7016,8 @@ qv(query_id, qvl) AS (VALUES {q_vecs}),
 vecarm AS MATERIALIZED (
   SELECT query_id, doc_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY (dot * dot) / (na * nb) DESC,
+                            ORDER BY (CAST(dot AS DOUBLE) * dot)
+                                     / (CAST(na AS DOUBLE) * nb) DESC,
                                      doc_id) AS rank_vec
   FROM (
     SELECT qd.query_id, s.doc_id,
@@ -7094,8 +7096,11 @@ def knn_graph_lsh_docs(spark, sf_dir):
                 "src",
                 "dst",
                 (
-                    (dot * dot).cast("double")
-                    / (F.col("_na") * F.col("_nb")).cast("double")
+                    (dot.cast("double") * dot.cast("double"))
+                    / (
+                        F.col("_na").cast("double")
+                        * F.col("_nb").cast("double")
+                    )
                 ).alias("_skey"),
             )
         )
@@ -7272,7 +7277,7 @@ def _walks_sql(walk_len: int = 3) -> str:
     ctes = ["w0 AS (SELECT v AS start, v AS cur FROM deg)"]
     selects = []
     for i in range(1, walk_len + 1):
-        h = _hash32_sql(f"(w.cur * 1000003 + {i})")
+        h = _hash32_sql(f"((w.cur % 4294967296) * 1000003 + {i})")
         ctes.append(
             f"""w{i} AS MATERIALIZED (
   SELECT w.start, e.dst AS cur

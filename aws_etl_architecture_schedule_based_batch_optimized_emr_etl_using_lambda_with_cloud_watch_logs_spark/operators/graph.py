@@ -47,10 +47,8 @@ All frames are expression-only: zero Python stages, zero collects
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType
 
 
 def _banded_rows(
@@ -90,7 +88,6 @@ def _banded_rows(
     import pandas as pd
 
     from pyspark.sql.types import (
-        ArrayType as _AT,
         LongType as _LT,
         StructField,
         StructType,
@@ -202,8 +199,15 @@ def knn_edges_exact_int(
             "src",
             "dst",
             (
-                (dot * dot).cast("double")
-                / (F.col("_na") * F.col("_nb")).cast("double")
+                # cast operands, not products: bigint dot*dot / na*nb
+                # overflow int64 for high-norm count vectors; the
+                # double form is bit-identical in range (single
+                # rounding of exact inputs)
+                (dot.cast("double") * dot.cast("double"))
+                / (
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                )
             ).alias("_skey"),
         )
     )
@@ -398,6 +402,12 @@ def knn_edges_lsh(
             16, max(2, math.ceil(math.log2(max(2.0, n_corpus / 64))))
         )
     first = base.select(F.size("_gvec").alias("d")).first()
+    if first is None:
+        # empty input (upstream filter/sample produced zero rows):
+        # return an empty edge frame instead of subscripting None
+        return base.sparkSession.createDataFrame(
+            [], "src bigint, dst bigint, rank int"
+        )
     dim = first["d"]
     # Corpus mean as ONE posexplode → (dim) hash-aggregate expression
     # (the similarity.py centroid idiom), not dim separate avg()
@@ -475,8 +485,15 @@ def knn_edges_lsh(
             "src",
             "dst",
             (
-                (dot * dot).cast("double")
-                / (F.col("_na") * F.col("_nb")).cast("double")
+                # cast operands, not products: bigint dot*dot / na*nb
+                # overflow int64 for high-norm count vectors; the
+                # double form is bit-identical in range (single
+                # rounding of exact inputs)
+                (dot.cast("double") * dot.cast("double"))
+                / (
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                )
             ).alias("_skey"),
         )
     )
@@ -500,7 +517,7 @@ def random_walks(
     """Deterministic hash-driven random walks over a RANKED edge list
     (the kNN graph): from every source node, ``walk_len`` steps; at
     step ``i`` standing on node ``v`` the walker takes the edge with
-    rank ``1 + hash32(v·1000003 + i) mod outdeg(v)`` — the
+    rank ``1 + hash32((v mod 2³²)·1000003 + i) mod outdeg(v)`` — the
     node2vec-style positive-pair sampler (walk co-occurrences are the
     positive pairs for embedding training), made ENGINE-REPRODUCIBLE
     by replacing the RNG with the repo's portable 32-bit multiplier
@@ -528,7 +545,13 @@ def random_walks(
     steps = []
     for i in range(1, walk_len + 1):
         pick = F.lit(1) + F.pmod(
-            hash32_expr(F.col("cur") * F.lit(1000003) + F.lit(i)),
+            # fold cur to 32 bits BEFORE the multiply (hash32_expr
+            # folds its INPUT, but cur*1000003 itself overflows int64
+            # for ids >= ~9.2e12); identical for all ids < 2^32
+            hash32_expr(
+                F.pmod(F.col("cur"), F.lit(1 << 32)) * F.lit(1000003)
+                + F.lit(i)
+            ),
             F.col("_wdeg"),
         )
         stepped = (

@@ -407,14 +407,15 @@ def _jpeg_decode_baseline(
             ecs_start = pos + 2 + seg_len
             return _jpeg_decode_scan(
                 content, ecs_start, width, height, comps, scan, qt,
-                huff, restart,
+                huff, restart, feat_dim,
             )
         pos += 2 + seg_len
     return None
 
 
 def _jpeg_decode_scan(
-    content, ecs_start, width, height, comps, scan, qt, huff, restart
+    content, ecs_start, width, height, comps, scan, qt, huff, restart,
+    feat_dim,
 ):
     import numpy as np
 
@@ -493,10 +494,12 @@ def _jpeg_decode_scan(
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
             mcu += 1
 
-    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+    return _jpeg_assemble(
+        planes, comps, hmax, vmax, width, height, feat_dim
+    )
 
 
-def _jpeg_assemble(planes, comps, hmax, vmax, width, height):
+def _jpeg_assemble(planes, comps, hmax, vmax, width, height, feat_dim):
     """Shared decode tail (baseline + progressive): upsample each
     IDCT'd component plane to full MCU-grid resolution, crop, do
     YCbCr→RGB for 3-component images, and reduce to features."""
@@ -522,7 +525,12 @@ def _jpeg_assemble(planes, comps, hmax, vmax, width, height):
         channels = 1
     else:
         return None
-    return width, height, _pixel_features(pixels, width, height, channels, 8)
+    # feat_dim threads through (hardcoding 8 re-cycled a truncated
+    # 8-vector for feat_dim > 8, diverging from the PNG/PNM/GIF base
+    # cycle on the same pixels)
+    return width, height, _pixel_features(
+        pixels, width, height, channels, feat_dim
+    )
 
 
 def _jpeg_progressive_scan(
@@ -826,7 +834,9 @@ def _jpeg_decode_progressive(
             np.einsum("ij,abjk,kl->abil", basis.T, blocks, basis) + 128.0
         )
         planes.append(spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
-    return _jpeg_assemble(planes, comps, hmax, vmax, width, height)
+    return _jpeg_assemble(
+        planes, comps, hmax, vmax, width, height, feat_dim
+    )
 
 
 def _decode_jpeg(content: bytes, feat_dim: int) -> dict | None:
@@ -902,16 +912,22 @@ def _decode_wav(content: bytes, feat_dim: int) -> dict | None:
             frames = w.readframes(n_frames)
         if sampwidth != 2 or not frames:
             return None
-        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        # vectorized stats (same reason as _pixel_features): a real
+        # 3-minute stereo WAV is ~16M samples, and four per-sample
+        # Python passes dominated the executor batch. All four stats
+        # reduce over exact int64 arithmetic, so the values are
+        # bit-identical to the old per-sample loops.
+        import numpy as np
+
+        samples = np.frombuffer(
+            frames[: (len(frames) // 2) * 2], dtype="<i2"
+        ).astype(np.int64)
         n = len(samples)
-        mean = sum(samples) / n
-        rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
-        peak = max(abs(s) for s in samples) / 32768.0
-        zcr = sum(
-            1
-            for i in range(1, n)
-            if (samples[i - 1] < 0) != (samples[i] < 0)
-        ) / max(1, n - 1)
+        mean = int(samples.sum()) / n
+        rms = (int((samples * samples).sum()) / n) ** 0.5 / 32768.0
+        peak = int(np.abs(samples).max()) / 32768.0
+        neg = samples < 0
+        zcr = int((neg[1:] != neg[:-1]).sum()) / max(1, n - 1)
         duration = n_frames / rate if rate else 0.0
         base = [rms, peak, zcr, mean / 32768.0, min(1.0, duration)]
         return {
@@ -1162,7 +1178,13 @@ def audio_chunk_plan(
         (F.length("content") + F.lit(chunk_bytes - 1)) / F.lit(chunk_bytes)
     ).cast("int")
     return (
-        assets.filter(F.col("media_type") == "audio")
+        assets.filter(
+            # zero-length content gives n_chunks=0 and sequence(0,-1)
+            # — which Spark evaluates with an implicit step of -1,
+            # emitting two bogus chunks [0, -1] (byte_start -16000!)
+            # instead of none
+            (F.col("media_type") == "audio") & (F.length("content") > 0)
+        )
         .select(
             "asset_id",
             F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),

@@ -59,6 +59,17 @@ def term_stats(
     return tf, meta
 
 
+def _query_terms(qtext: str) -> list[str]:
+    """Query-side tokenization matching the corpus-side ``tokens_col``
+    EXACTLY: Java's \\s is [ \\t\\n\\x0b\\f\\r] only, while Python's
+    str.split() also splits on unicode whitespace (NBSP etc.) — a
+    corpus term containing an NBSP could then never be matched by any
+    query, even the byte-identical string."""
+    import re
+
+    return [t for t in re.split("[ \t\n\x0b\f\r]+", qtext.lower().strip()) if t]
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: list[tuple[str, str]],
@@ -80,9 +91,9 @@ def bm25_topk(
         [
             (qid, t)
             for qid, qtext in queries
-            for t in sorted(set(qtext.lower().split()))
+            for t in sorted(set(_query_terms(qtext)))
         ],
-        ["query_id", "term"],
+        "query_id string, term string",
     )
     scored = _bm25_score(tf, meta, df_, q_terms, k1, b, id_col)
     return _rank_topk(scored, topk, id_col)
@@ -163,9 +174,9 @@ def prf_expand_topk(
         [
             (qid, t)
             for qid, qtext in queries
-            for t in sorted(set(qtext.lower().split()))
+            for t in sorted(set(_query_terms(qtext)))
         ],
-        ["query_id", "term"],
+        "query_id string, term string",
     )
     top1 = _rank_topk(
         _bm25_score(tf, meta, df_, q_terms, k1, b, id_col),
@@ -288,7 +299,15 @@ def hash_retrieval_topk(
     scored = local_topk_exact_int(
         emb, query_ids, k, id_col=id_col, vec_col="embedding"
     )
-    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    # cast BEFORE multiplying: the operands are exact bigints, and a
+    # bigint product overflows int64 for high-norm count vectors
+    # (sum-of-squares >= 2^31 — a book-length doc), silently wrapping
+    # the ranking key; double(x)*double(y) is identical for all
+    # in-range values (single rounding of exact inputs) and safe past
+    # the overflow point
+    skey = (
+        F.col("dot").cast("double") * F.col("dot").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
     w = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -318,7 +337,7 @@ def hash_query_matrix(
 
     mat = np.zeros((len(queries), dim), dtype=np.int64)
     for i, (_, qtext) in enumerate(queries):
-        for t in qtext.lower().split():
+        for t in _query_terms(qtext):
             b = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
             mat[i, b] += 1
     return mat
@@ -379,7 +398,15 @@ def hybrid_rrf_topk(
         id_col=id_col,
         vec_col="embedding",
     )
-    skey = (F.col("dot") * F.col("dot")) / (F.col("na") * F.col("nb"))
+    # cast BEFORE multiplying: the operands are exact bigints, and a
+    # bigint product overflows int64 for high-norm count vectors
+    # (sum-of-squares >= 2^31 — a book-length doc), silently wrapping
+    # the ranking key; double(x)*double(y) is identical for all
+    # in-range values (single rounding of exact inputs) and safe past
+    # the overflow point
+    skey = (
+        F.col("dot").cast("double") * F.col("dot").cast("double")
+    ) / (F.col("na").cast("double") * F.col("nb").cast("double"))
     wv = Window.partitionBy("q_id").orderBy(skey.desc(), F.col("n_id").asc())
     qmap = spark.createDataFrame(
         [(int(q_ids[i]), queries[i][0]) for i in range(len(queries))],

@@ -190,7 +190,7 @@ def _mmr_case(d):
             "query_id",
             "id_a",
             "id_b",
-            (dot / F.sqrt(na * nb)).alias("sim"),
+            (dot / F.sqrt(na.cast("double") * nb.cast("double"))).alias("sim"),
         )
     )
     return SR.mmr_rerank(cand, sims, k=5).count()

@@ -3771,8 +3771,9 @@ def test_expectation_report_flags_planted_violations(spark):
     assert rep == {
         "child_pk": (1, False),
         "fk_not_null": (1, False),
-        # null fk joins nothing -> orphan; 9 -> orphan
-        "fk_covered": (2, False),
+        # NULL fk is NOT an orphan (dbt/Deequ relationship semantics;
+        # not_null is the separate check) — only the dangling 9
+        "fk_covered": (1, False),
         # 51 out of range + null measure violates
         "qty_range": (2, False),
         "status_accepted": (1, False),

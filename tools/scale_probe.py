@@ -29,9 +29,6 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
-    bpe as B,
-)
-from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
     decontam as DC,
 )
 from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
@@ -220,9 +217,6 @@ def main() -> None:
             D.minhash_lsh_dedup(d, bands=32, threshold=0.5)
         ).count(),
         "winnow_fingerprints": lambda d: X.winnow_fingerprints(d).count(),
-        # tokenizer training: 8 data-dependent merge iterations on the
-        # word-TYPE frame — growth tracks vocabulary, not corpus
-        "bpe_train": lambda d: len(B.bpe_train(d, n_merges=8)),
         "brute_force_knn": lambda d: S.brute_force_topk(
             d, query_ids=list(range(10)), k=5
         ).count(),
@@ -316,6 +310,10 @@ def main() -> None:
         "cdc_chunks": lambda d: PK.cdc_chunk_stats(d).count(),
         "gear_cdc": lambda d: PK.gear_cdc_chunk_stats(d).count(),
         "span_clean": lambda d: SP.remove_duplicate_spans(d).count(),
+        # tokenizer training: data-dependent merge iterations on the
+        # word-TYPE frame — growth tracks vocabulary, not corpus
+        # (BASELINE.md records this k=5 case; a duplicate n_merges=8
+        # literal used to shadow-define this key and never ran)
         "bpe_train": lambda d: len(BP.bpe_train(d, n_merges=5)),
         "purge_audit": lambda d: GV.purge_audit(
             d, list(range(0, 10000, 97))
@@ -464,8 +462,7 @@ def main() -> None:
         "cdc_chunks": (docs, ["doc_id"]),
         "gear_cdc": (docs, ["doc_id"]),
         "span_clean": (docs, ["doc_id"]),
-        "bpe_train": (docs, ["doc_id"]),
-        "purge_audit": (docs, ["doc_id"]),
+                "purge_audit": (docs, ["doc_id"]),
         "label_silhouette": (emb, ["vec_id"]),
         "funnel_3step": (ev, ["user_id", "event_id"]),
         "cohort_retention": (ev, ["user_id", "event_id"]),

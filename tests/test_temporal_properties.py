@@ -1,0 +1,147 @@
+"""Property-based invariants for the custom temporal joins
+(operators/temporal.py): asof_join and range_join are compared
+against brute-force Python references over hypothesis-generated
+event frames. The example tests pin specific boundary cases (ties,
+NULL keys, NULL timestamps); these pin the full semantics — backward
+inclusive as-of with deterministic tie-breaks, and the bucketed
+interval join's bin math (including caller-narrowed bin_width, where
+the probe sequence must cover every middle bin, and pre-1970
+timestamps, where long-cast truncation and floor differ but stay
+consistent across both sides of the equi-join)."""
+
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+
+def _spark():
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+        get_spark,
+    )
+
+    return get_spark(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=4
+    )
+
+
+_key = st.one_of(st.none(), st.integers(min_value=0, max_value=2))
+_ts = st.integers(min_value=-40, max_value=40)  # seconds around epoch 0
+
+_left_rows = st.lists(
+    st.tuples(_key, st.one_of(st.none(), _ts)), min_size=0, max_size=12
+)
+_right_rows = st.lists(
+    st.tuples(_key, st.one_of(st.none(), _ts), st.integers(0, 9)),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _frames(spark, left_rows, right_rows):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    lschema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("lsec", IntegerType(), True),
+            StructField("lid", LongType(), False),
+        ]
+    )
+    rschema = StructType(
+        [
+            StructField("k", IntegerType(), True),
+            StructField("rsec", IntegerType(), True),
+            StructField("rid", LongType(), False),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)], lschema
+    ).withColumn("lts", F.timestamp_seconds("lsec"))
+    right = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right_rows], rschema
+    ).withColumn("rts", F.timestamp_seconds("rsec"))
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(left_rows=_left_rows, right_rows=_right_rows)
+def test_asof_join_matches_bruteforce(left_rows, right_rows):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    spark = _spark()
+    left, right = _frames(spark, left_rows, right_rows)
+    out = TP.asof_join(
+        left.select("k", "lid", "lts"),
+        right.select("k", "rid", "rts"),
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        right_payload=["rid"],
+    )
+    got = {r.lid: r.asof_rid for r in out.collect()}
+
+    expect = {}
+    for lid, (k, lt) in enumerate(left_rows):
+        best = None
+        if k is not None and lt is not None:
+            cands = [
+                (t, v)
+                for (rk, t, v) in right_rows
+                if rk == k and t is not None and t <= lt
+            ]
+            if cands:
+                # backward inclusive; ties at equal ts resolve to the
+                # greatest payload (the documented deterministic order)
+                best = max(cands)[1]
+        expect[lid] = best
+
+    assert got == expect
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    left_rows=_left_rows,
+    right_rows=_right_rows,
+    lower=st.integers(min_value=-15, max_value=15),
+    span=st.integers(min_value=0, max_value=20),
+    bin_width=st.sampled_from([None, 1, 3, 7]),
+)
+def test_range_join_matches_bruteforce(
+    left_rows, right_rows, lower, span, bin_width
+):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    spark = _spark()
+    upper = lower + span
+    left, right = _frames(spark, left_rows, right_rows)
+    out = TP.range_join(
+        left.select("k", "lid", "lts"),
+        right.select("k", "rid", "rts"),
+        on=["k"],
+        left_ts="lts",
+        right_ts="rts",
+        lower=float(lower),
+        upper=float(upper),
+        bin_width=bin_width,
+    )
+    got = Counter((r.lid, r.rid) for r in out.collect())
+
+    expect = Counter()
+    for lid, (k, lt) in enumerate(left_rows):
+        if k is None or lt is None:
+            continue
+        for rk, t, v in right_rows:
+            if rk == k and t is not None and lt + lower <= t <= lt + upper:
+                expect[(lid, v)] += 1
+
+    assert got == expect

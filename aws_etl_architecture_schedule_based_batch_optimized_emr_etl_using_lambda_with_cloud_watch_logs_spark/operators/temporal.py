@@ -291,12 +291,22 @@ def funnel(
         counts = row if counts is None else counts.unionByName(row)
     w = Window.orderBy("step_idx")
     n = F.col("n_users").cast("double")
+    # try_divide, not /: a zero-survivor step (no step-0 events at
+    # all, or a fully-dropped later step) makes a downstream ratio's
+    # denominator 0, which under ANSI mode is a runtime
+    # DIVIDE_BY_ZERO crash, not a quiet NULL/NaN (found by the
+    # funnel property test). Conversion against an empty step is
+    # undefined — NULL is the honest value.
     return counts.select(
         "step_idx",
         "step",
         "n_users",
-        F.round(n / F.first("n_users").over(w), 6).alias("conv_overall"),
-        F.round(n / F.lag("n_users").over(w), 6).alias("conv_prev"),
+        F.round(
+            F.try_divide(n, F.first("n_users").over(w)), 6
+        ).alias("conv_overall"),
+        F.round(
+            F.try_divide(n, F.lag("n_users").over(w)), 6
+        ).alias("conv_prev"),
     )
 
 

@@ -145,3 +145,74 @@ def test_range_join_matches_bruteforce(
                 expect[(lid, v)] += 1
 
     assert got == expect
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.sampled_from(["a", "b", "c", "x"]),  # type ("x" = noise)
+        st.integers(min_value=0, max_value=30),  # ts seconds
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(events=_funnel_events, gap=st.sampled_from([None, 1, 5, 10]))
+def test_funnel_matches_first_touch_reference(events, gap):
+    """First-touch greedy per the docstring: each step's chosen
+    occurrence is the MIN ts strictly after the previous step's
+    chosen occurrence (and within max_gap_s of it when set); a user
+    survives step k iff such an occurrence exists. The reference
+    replays exactly that — including the non-optimality of greedy
+    (a user may fail the funnel even when a later step-0 event would
+    have completed it)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    steps = ["a", "b", "c"]
+    spark = _spark()
+    schema = StructType(
+        [
+            StructField("user_id", IntegerType(), False),
+            StructField("event_type", StringType(), False),
+            StructField("sec", IntegerType(), False),
+        ]
+    )
+    e = spark.createDataFrame(events, schema).withColumn(
+        "ts", F.timestamp_seconds("sec")
+    )
+    out = TP.funnel(e, steps, max_gap_s=gap)
+    got = {r.step: r.n_users for r in out.collect()}
+
+    expect = {s: 0 for s in steps}
+    for u in {ev[0] for ev in events}:
+        mine = [(t, ty) for (uu, ty, t) in events if uu == u]
+        prev_t = None
+        for k, step in enumerate(steps):
+            if k == 0:
+                cands = [t for (t, ty) in mine if ty == step]
+            else:
+                cands = [
+                    t
+                    for (t, ty) in mine
+                    if ty == step
+                    and t > prev_t
+                    and (gap is None or t <= prev_t + gap)
+                ]
+            if not cands:
+                break
+            prev_t = min(cands)
+            expect[step] += 1
+
+    assert got == expect

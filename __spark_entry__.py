@@ -3027,8 +3027,13 @@ def stream_incremental_dedup_docs(spark, sf_dir):
             threshold=0.5,
         )
         run_available_now(q)
+        # explicit schema: a ≤1-doc corpus emits zero pairs, so the
+        # sink dir exists but holds no parquet footers and inference
+        # would raise UNABLE_TO_INFER_SCHEMA (degenerate-corpus
+        # probe); the schema'd read returns the correct empty frame
         incremental = (
-            spark.read.parquet(tmp + "/pairs")
+            spark.read.schema("id_a bigint, id_b bigint")
+            .parquet(tmp + "/pairs")
             .select("id_a", "id_b")
             .localCheckpoint()
         )
@@ -5702,7 +5707,14 @@ def q2_min_unit_price(spark, sf_dir):
     j = (
         l.join(p, l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
-        .withColumn("unit_price", F.col("l_extendedprice") / F.col("l_quantity"))
+        # try_divide / NULLIF: a zero-quantity line (not in TPC-H
+        # fixtures, but legal input) must yield NULL unit price on
+        # BOTH engines, not an ANSI DIVIDE_BY_ZERO crash; NULL rows
+        # then drop at the = min_price comparison identically
+        .withColumn(
+            "unit_price",
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")),
+        )
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -5721,7 +5733,7 @@ Q2_SQL = """
 SELECT p_partkey, p_name, s_name, ROUND(unit_price, 6) AS unit_price
 FROM (
   SELECT p_partkey, p_name, s_name,
-         l_extendedprice / l_quantity AS unit_price,
+         l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
          MIN(l_extendedprice / l_quantity)
            OVER (PARTITION BY p_partkey) AS min_price
   FROM lineitem

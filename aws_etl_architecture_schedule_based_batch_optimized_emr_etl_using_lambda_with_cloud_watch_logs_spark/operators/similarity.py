@@ -47,7 +47,15 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return (dot_col(a, b) / (norm_col(a) * norm_col(b))).cast("double")
+    # try_divide: a zero vector has no direction, so its cosine is
+    # NULL (and under ANSI mode a plain / is a runtime
+    # DIVIDE_BY_ZERO crash, found by the degenerate-corpus probe).
+    # Bit-identical to / whenever both norms are positive; NULL
+    # scores sort last under desc() so zero vectors rank behind
+    # every real match instead of killing the job.
+    return F.try_divide(
+        dot_col(a, b), norm_col(a) * norm_col(b)
+    ).cast("double")
 
 
 # ------------------------------------------------- Arrow/numpy kernels
@@ -1202,9 +1210,17 @@ def label_centroid_eval(
             id_col,
             "_true",
             "_cl",
-            F.round(dot / (nrm(F.col("_dv")) * nrm(F.col("_cvec"))), 6).alias(
-                "_s"
-            ),
+            # try_divide: an all-zero vector or an all-zero centroid
+            # (empty-text corpus) has no direction — NULL score, not
+            # an ANSI DIVIDE_BY_ZERO crash; NULL sorts last under
+            # the desc() rank so the _cl tie-break still yields one
+            # deterministic prediction per vector
+            F.round(
+                F.try_divide(
+                    dot, nrm(F.col("_dv")) * nrm(F.col("_cvec"))
+                ),
+                6,
+            ).alias("_s"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

@@ -82,6 +82,15 @@ def run_batch(
         return EtlResult(
             rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
         )
+    if not [c for c in raw.columns if c != "input_file"]:
+        # Source files exist but hold zero rows (a writer emitted an
+        # empty batch): inference yields no data columns — only the
+        # provenance column — and the derive stage would fail
+        # resolving `tts`. Same routine no-op tick; plan-structural
+        # check, no job.
+        return EtlResult(
+            rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
+        )
     # file list from RAW (pre-explode): the provenance distinct over
     # the flattened frame re-ran the whole read+flatten plan across
     # explode-multiplied rows just to list file names

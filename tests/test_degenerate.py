@@ -1,0 +1,144 @@
+"""Regression pins for the degenerate-corpus probe findings
+(tools/degen_probe.py): zero-norm vectors, zero-quantity lines,
+zero-row source batches, and ≤1-document replay corpora must degrade
+gracefully (NULL / no-op / empty result), never crash. Each test here
+reproduces one crash the probe found on round-10 HEAD."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.session import (
+        get_spark,
+    )
+
+    return get_spark(
+        app_name="engine-tests", master="local[4]", shuffle_partitions=4
+    )
+
+
+def test_cosine_col_zero_vector_is_null_not_crash(spark):
+    """cosine with a zero-norm operand is NULL (undefined direction),
+    not an ANSI DIVIDE_BY_ZERO — and unchanged where norms are
+    positive."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    d = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        "id bigint, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r.c
+        for r in d.select(
+            "id", S.cosine_col(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert rows[1] is None
+    assert rows[2] == pytest.approx(1.0)
+
+
+def test_label_centroid_eval_all_zero_vectors(spark):
+    """All-zero embeddings make every centroid zero too: scores are
+    NULL, predictions fall back to the deterministic label
+    tie-break, and the eval completes instead of crashing."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+            StructField("label", IntegerType(), False),
+        ]
+    )
+    emb = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0], i % 2) for i in range(6)], schema
+    )
+    out = S.label_centroid_eval(emb).collect()
+    assert len(out) == 2  # one row per label, no exception
+
+
+def test_run_batch_zero_row_source_files_noop(spark, tmp_path):
+    """A source dir whose JSON files contain zero rows (a writer
+    emitted an empty batch) is a routine no-op tick — inference
+    yields no data columns and the derive stage must not be
+    reached."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    src = str(tmp_path / "source")
+    spark.createDataFrame(
+        [], "customerid string, vehicle string, category string, tts bigint"
+    ).coalesce(1).write.json(src)
+    cfg = EtlConfig(
+        source_path=src,
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="degen_noop_db",
+        catalog_table_prefix="dg",
+    )
+    r = run_batch(spark, cfg)
+    assert r.catalog_action == "no-op" and r.rows_written == 0
+
+
+def test_q2_gate_zero_quantity_line(spark, tmp_path):
+    """A zero-quantity line yields a NULL unit price (try_divide /
+    NULLIF on both engines) and drops at the min comparison; other
+    lines rank normally."""
+    import __spark_entry__ as entry
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "widget", 15), (2, "gadget", 15)],
+        "p_partkey bigint, p_name string, p_size int",
+    ).write.parquet(f"{sf}/part.parquet")
+    spark.createDataFrame(
+        [(10, "supp-a")], "s_suppkey bigint, s_name string"
+    ).write.parquet(f"{sf}/supplier.parquet")
+    spark.createDataFrame(
+        [(100, 1, 10, 0.0, 50.0), (101, 1, 10, 2.0, 30.0),
+         (102, 2, 10, 0.0, 10.0)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_quantity double, l_extendedprice double",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    rows = entry.queries()["q2_min_unit_price"](spark, sf).collect()
+    # part 1: only the qty-2 line has a defined unit price (15.0);
+    # part 2: its only line is zero-quantity -> NULL -> no row at all
+    assert len(rows) == 1
+    assert rows[0].p_partkey == 1
+    assert rows[0].unit_price == pytest.approx(15.0)
+
+
+def test_stream_incremental_gate_single_doc(spark, tmp_path):
+    """A ≤1-document corpus produces a pairs sink with no parquet
+    footers; the gate's explicit-schema read returns the correct
+    empty pair set (and the one-shot comparison agrees)."""
+    import __spark_entry__ as entry
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "only document in the corpus", "en", "web", 27)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{sf}/documents.parquet")
+    rows = entry.queries()["stream_incremental_dedup_docs"](
+        spark, sf
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].n_pairs == 0
+    assert bool(rows[0].incremental_matches_oneshot) is True

@@ -168,9 +168,19 @@ def add_new_partitions(
     return new
 
 
+def _ddl_type(f) -> str:
+    """DDL type for a field, with the one untypeable case mapped: a
+    partition column whose every directory is
+    ``__HIVE_DEFAULT_PARTITION__`` (an all-NULL-tts batch) infers as
+    VOID, which CREATE TABLE rejects. Hive partition values are
+    strings on disk, so string is the faithful recovery type."""
+    t = f.dataType.simpleString()
+    return "string" if t == "void" else t
+
+
 def _ddl_columns(schema: StructType, exclude: set[str]) -> str:
     return ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
+        f"`{f.name}` {_ddl_type(f)}"
         for f in schema.fields
         if f.name.lower() not in exclude
     )
@@ -191,7 +201,7 @@ def create_table_over_path(
     part_set = {c.lower() for c in partition_cols}
     data_cols = _ddl_columns(schema, exclude=part_set)
     part_cols_ddl = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
+        f"`{f.name}` {_ddl_type(f)}"
         for f in schema.fields
         if f.name.lower() in part_set
     )

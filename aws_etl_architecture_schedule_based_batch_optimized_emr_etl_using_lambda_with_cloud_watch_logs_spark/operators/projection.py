@@ -302,6 +302,11 @@ def pq_topk(
     (same contract as the other ANN paths)."""
     import numpy as np
 
+    from .similarity import non_null_vecs
+
+    # NULL embeddings have no geometry: exclude before the driver-side
+    # codebook sample (np.stack dies on a None row) and the encode pass
+    embeddings = non_null_vecs(embeddings, vec_col)
     sample_rows = (
         embeddings.select(vec_col)
         .orderBy(F.col(id_col))

@@ -66,6 +66,16 @@ def _stack(series: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in series])
 
 
+def non_null_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exclude NULL embeddings before any vector kernel: a missing
+    vector has no geometry — it cannot be a query, neighbor, centroid
+    member, or near-dup — and a None row kills ``np.stack`` executor-
+    side with an opaque shape error (degenerate-corpus probe). The
+    IsNotNull predicate pushes down to the parquet scan, so at 100 TB
+    the null rows are skipped at read time, not shipped to Python."""
+    return df.filter(F.col(vec_col).isNotNull())
+
+
 def _pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized row-wise cosine; assumes uniform dims per batch
     (falls back to a per-row loop on ragged input)."""
@@ -154,6 +164,7 @@ def local_topk_scored(
     Returns the REDUCED scored frame (q_id, n_id, cosine); callers
     apply their own bounded global rank over it.
     """
+    embeddings = non_null_vecs(embeddings, vec_col)
     qcols = [id_col, vec_col] + ([label_col] if label_col else [])
     q_rows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
@@ -302,7 +313,10 @@ def lsh_topk(
     not corpus. The brute-force operator is the recall oracle.
     """
     if dim is None:
-        first = embeddings.select(F.size(vec_col).alias("d"))
+        # dim from a NON-NULL vector (a null first row reads size NULL)
+        first = non_null_vecs(embeddings, vec_col).select(
+            F.size(vec_col).alias("d")
+        )
         dim = first.first()["d"]
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
@@ -328,6 +342,7 @@ def _lsh_bucketed_corpus(
     """(n_id, n_vec, table, bucket) rows: every corpus vector in each
     of its L buckets — one einsum Arrow pass."""
     buckets = multitable_bucket_pudf(tables)
+    embeddings = non_null_vecs(embeddings, vec_col)
     return (
         embeddings.select(
             F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
@@ -358,7 +373,8 @@ def _lsh_probe_rank(
         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
     queries = (
-        embeddings.filter(F.col(id_col).isin(query_ids))
+        non_null_vecs(embeddings, vec_col)
+        .filter(F.col(id_col).isin(query_ids))
         .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
         .withColumn("buckets", buckets(F.col("q_vec")))
         .select(
@@ -417,7 +433,11 @@ def lsh_index_write(
     scheme; the leading underscore keeps it out of the parquet
     reader's file discovery. Returns the dimension."""
     if dim is None:
-        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+        dim = (
+            non_null_vecs(embeddings, vec_col)
+            .select(F.size(vec_col).alias("d"))
+            .first()["d"]
+        )
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
     corpus.write.mode("overwrite").partitionBy("table").parquet(path)
@@ -522,6 +542,7 @@ def ivf_topk(
     ~n_probe/n_centroids of the corpus. Brute force is the recall
     oracle.
     """
+    embeddings = non_null_vecs(embeddings, vec_col)
     sample_rows = (
         embeddings.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
     )
@@ -633,7 +654,7 @@ def cosine_near_dup_pairs(
     1−(1−q^p)^T with q = 1−acos(t)/π — more tables buy recall back
     when p grows; misses are quantified against the exact oracle in
     the recall test."""
-    vecs = embeddings.select(
+    vecs = non_null_vecs(embeddings, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
     if exact:
@@ -647,7 +668,7 @@ def cosine_near_dup_pairs(
             n_planes = min(
                 16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
             )
-        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        first = vecs.select(F.size("vec").alias("d")).first()
         tables = _lsh_tables(first["d"], n_planes, n_tables, seed)
         buckets = multitable_bucket_pudf(tables)
         banded = (
@@ -774,6 +795,12 @@ def label_silhouette(
     then a per-row fold over that array — no shuffle of the vectors,
     no n×k intermediate, no pairwise blowup. All expression-level
     (zip_with/aggregate/array HOFs), no Python workers."""
+    # unlabeled or vector-less rows can be neither cluster members
+    # nor scored points — exclude before the centroid pass (a NULL
+    # label would otherwise mint its own phantom cluster)
+    embeddings = non_null_vecs(embeddings, vec_col).filter(
+        F.col(label_col).isNotNull()
+    )
     cents = (
         embeddings.select(
             label_col,
@@ -876,6 +903,7 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
+    embeddings = non_null_vecs(embeddings, vec_col)
     sample_rows = (
         embeddings.select(vec_col)
         .orderBy(F.col(id_col))
@@ -1086,6 +1114,7 @@ def local_topk_exact_int(
     Returns the reduced (q_id, n_id, dot, na, nb) frame —
     partitions × queries × k rows; callers apply the bounded global
     rank with the SAME (dot²/(na·nb) DESC, n_id) order."""
+    embeddings = non_null_vecs(embeddings, vec_col)
     q_rows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
         .select(id_col, vec_col)
@@ -1181,6 +1210,11 @@ def label_centroid_eval(
     Plan: one grouped aggregate over the corpus (centroids), one
     broadcast cross join + expression cosine + per-vector rank, two
     shrinking confusion aggregates. Linear, expression-only."""
+    # unlabeled or vector-less rows can be neither trained on (the
+    # centroid means) nor evaluated (no prediction) — exclude first
+    embeddings = non_null_vecs(embeddings, vec_col).filter(
+        F.col(label_col).isNotNull()
+    )
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     cents = embeddings.groupBy(F.col(label_col).alias("_cl")).agg(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 from pyspark.sql.utils import AnalysisException
 
@@ -95,9 +96,16 @@ def run_batch(
     # the flattened frame re-ran the whole read+flatten plan across
     # explode-multiplied rows just to list file names
     files = distinct_input_files(raw, "input_file")
-    denorm = with_ingest_columns(
-        flatten(raw.drop("input_file")), legacy_day=config.legacy_day
-    )
+    flat = flatten(raw.drop("input_file"))
+    if "tts" not in flat.columns:
+        # A batch whose tts is NULL on every row is written by
+        # Spark's JSON writer with the field omitted entirely, so on
+        # disk it is indistinguishable from a feed that dropped the
+        # column. The explicit-null form must process (NULL-derived
+        # partition columns → __HIVE_DEFAULT_PARTITION__ dirs), so
+        # the missing-column form processes identically.
+        flat = flat.withColumn("tts", F.lit(None).cast("bigint"))
+    denorm = with_ingest_columns(flat, legacy_day=config.legacy_day)
     if config.drift_mode == "incremental":
         # two consumers in this mode (the write + the rows count):
         # cache so the source scan + flatten run once

@@ -125,6 +125,73 @@ def test_q2_gate_zero_quantity_line(spark, tmp_path):
     assert rows[0].unit_price == pytest.approx(15.0)
 
 
+def test_vector_kernels_skip_null_embeddings(spark):
+    """NULL embeddings are excluded before every Arrow vector kernel
+    (np.stack dies on a None row): the null row is neither a
+    neighbor nor a query, and results over the non-null subset are
+    unchanged."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+            StructField("label", IntegerType(), True),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, None, None),  # null vector AND null label
+        (3, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, schema)
+    bf = S.brute_force_topk(emb, query_ids=[0], k=3).collect()
+    assert {r.n_id for r in bf} == {1, 3}  # null row absent
+    lsh = S.lsh_topk(emb, query_ids=[0], k=3, n_planes=2, n_tables=2)
+    assert 2 not in {r.n_id for r in lsh.collect()}
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.5, exact=True).collect()
+    assert all(2 not in (r.id_a, r.id_b) for r in pairs)
+    # label evals drop the unlabeled/vector-less row instead of
+    # minting a phantom NULL-label class
+    ev = S.label_centroid_eval(emb).collect()
+    assert {r.label for r in ev} == {0, 1}
+    sil = S.label_silhouette(emb).collect()
+    assert sum(r.n_vectors for r in sil) == 3
+
+
+def test_run_batch_all_null_tts_batch(spark, tmp_path):
+    """A batch whose tts is NULL on every row is written by the JSON
+    writer with the field omitted — on disk identical to a dropped
+    column. The pipeline processes it (NULL-derived partition
+    columns -> hive default-partition dirs) instead of failing to
+    resolve tts."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.config import (
+        EtlConfig,
+    )
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.plans.pipeline import (
+        run_batch,
+    )
+
+    src = str(tmp_path / "source")
+    spark.createDataFrame(
+        [("c1", "suv", "a", None)],
+        "customerid string, vehicle string, category string, tts bigint",
+    ).coalesce(1).write.json(src)
+    cfg = EtlConfig(
+        source_path=src,
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="degen_nulltts_db",
+        catalog_table_prefix="dg",
+    )
+    r = run_batch(spark, cfg)
+    assert r.rows_written == 1 and r.catalog_action == "created"
+    sunk = spark.read.parquet(str(tmp_path / "sink")).collect()
+    assert len(sunk) == 1 and sunk[0].year is None
+
+
 def test_stream_incremental_gate_single_doc(spark, tmp_path):
     """A ≤1-document corpus produces a pairs sink with no parquet
     footers; the gate's explicit-schema read returns the correct

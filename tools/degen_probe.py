@@ -1,6 +1,13 @@
-"""Degenerate-corpus robustness probe: rewrite sf0.001 into two
-adversarial variants (all-degenerate values; single-row tables) and
-run every queries() entry against each, reporting exceptions."""
+"""Degenerate-corpus robustness probe: rewrite sf0.001 into three
+adversarial variants (all-degenerate values; single-row tables;
+alternating-NULL payload columns) and run every queries() entry
+against each, reporting exceptions. Round-10 findings (all fixed,
+pinned in tests/test_degenerate.py): zero-norm cosine DIVIDE_BY_ZERO
+in five vector gates, zero-quantity DIVIDE_BY_ZERO in q2, zero-row
+source batches crashing run_batch, and schema inference failing on a
+footerless pairs sink.
+
+Usage: python tools/degen_probe.py [src_sf_dir]"""
 import os
 import sys
 import traceback
@@ -63,12 +70,33 @@ def build(variant: str, out: str):
                 df = (df.withColumn("o_totalprice", F.lit(0.0))
                         .withColumn("o_orderstatus", F.lit("O"))
                         .withColumn("o_orderpriority", F.lit("1-URGENT")))
+        elif variant == "nulls":
+            # NULL every nullable payload column on alternating rows
+            # (ids and join keys stay non-null): the realistic shape
+            # of a 100 TB corpus with missing text / embeddings /
+            # attributes, and the input most likely to crash Arrow
+            # kernels that np.stack arrays.
+            key = {"documents": "doc_id", "embeddings": "vec_id",
+                   "events": "event_id", "lineitem": "l_orderkey",
+                   "orders": "o_orderkey"}.get(t)
+            if key is not None:
+                keep_keys = {key, "l_partkey", "l_suppkey", "o_custkey",
+                             "user_id"}
+                odd = F.col(key) % 2 == 1
+                for c, dt in df.dtypes:
+                    if c not in keep_keys:
+                        df = df.withColumn(
+                            c,
+                            F.when(odd, F.lit(None).cast(dt)).otherwise(
+                                F.col(c)
+                            ),
+                        )
         df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
 qs = entry.queries()
 fails = {}
-for variant in ("degen", "single"):
+for variant in ("degen", "single", "nulls"):
     out = f"/tmp/degen_sf/{variant}"
     build(variant, out)
     # events ts written as bigint micros in degen variant; entry._events

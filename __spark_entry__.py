@@ -6145,9 +6145,28 @@ def weekly_gapfill_orders(spark, sf_dir):
         F.date_trunc("week", F.min("o_orderdate")).alias("w0"),
         F.date_trunc("week", F.max("o_orderdate")).alias("w1"),
     )
+    # spine-inflation fail-fast (same idiom as zscore_daily_counts):
+    # one corrupt year-9999 order would mint ~400k spine weeks —
+    # assert inside the sequence bound, zero cost on healthy data.
+    # Cast to o_orderdate's own dtype (timestamp vs timestamp_ntz
+    # varies by parquet reader) so the coalesce stays type-exact.
+    ts_t = dict(o.dtypes)["o_orderdate"]
+    w1_guarded = F.coalesce(
+        F.assert_true(
+            F.datediff("w1", "w0") <= F.lit(36_524),
+            F.concat(
+                F.lit("weekly_gapfill: order dates span > 100 years ("),
+                F.col("w0").cast("string"),
+                F.lit(" .. "),
+                F.col("w1").cast("string"),
+                F.lit(") — clean the corrupt o_orderdate extremes"),
+            ),
+        ).cast(ts_t),
+        F.col("w1"),
+    )
     spine = bounds.select(
         F.explode(
-            F.sequence("w0", "w1", F.expr("INTERVAL 7 DAYS"))
+            F.sequence("w0", w1_guarded, F.expr("INTERVAL 7 DAYS"))
         ).alias("week_start")
     )
     per_week = o.groupBy(

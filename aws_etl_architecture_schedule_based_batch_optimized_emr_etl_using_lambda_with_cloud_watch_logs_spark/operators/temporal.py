@@ -405,6 +405,7 @@ def zscore_daily_counts(
     daily: DataFrame,
     window_days: int = 7,
     z_threshold: float = 2.0,
+    max_span_days: int = 36_524,
 ) -> DataFrame:
     """The scoring half of :func:`rolling_zscore_anomalies`, exposed
     separately so a STREAMED daily aggregate (bronze layer: a
@@ -414,12 +415,40 @@ def zscore_daily_counts(
     (key, day, cnt); zero-count calendar days inside each key's
     observed span are filled in here (see
     :func:`rolling_zscore_anomalies` on why), so both the batch and
-    the streamed feed densify identically."""
+    the streamed feed densify identically.
+
+    ``max_span_days`` (default 100 years) is a spine-inflation
+    fail-fast: the calendar fill generates one row per day of each
+    key's observed [min, max] span, so a single corrupt far-future
+    (or pre-epoch) timestamp would silently mint millions of spine
+    rows per key — at real scale an executor-OOM, not a result. The
+    guard lives INSIDE the sequence bound (assert_true under
+    coalesce, not a prunable side column), costs nothing on healthy
+    data, and raises with the offending span at execution time."""
     spans = daily.groupBy("key").agg(
         F.min("day").alias("_lo"), F.max("day").alias("_hi")
     )
+    hi_guarded = F.coalesce(
+        F.assert_true(
+            F.datediff("_hi", "_lo") <= F.lit(max_span_days),
+            F.concat(
+                F.lit(
+                    "zscore_daily_counts: key spans more than "
+                    f"{max_span_days} days ("
+                ),
+                F.col("_lo").cast("string"),
+                F.lit(" .. "),
+                F.col("_hi").cast("string"),
+                F.lit(
+                    ") — the calendar fill would explode; clean the "
+                    "corrupt timestamps or raise max_span_days"
+                ),
+            ),
+        ).cast("date"),
+        F.col("_hi"),
+    )
     cal = spans.select(
-        "key", F.explode(F.sequence("_lo", "_hi")).alias("day")
+        "key", F.explode(F.sequence("_lo", hi_guarded)).alias("day")
     )
     daily = cal.join(daily, ["key", "day"], "left").select(
         "key",

@@ -192,6 +192,40 @@ def test_run_batch_all_null_tts_batch(spark, tmp_path):
     assert len(sunk) == 1 and sunk[0].year is None
 
 
+def test_spine_inflation_guards_fire(spark, tmp_path):
+    """Calendar-densification fail-fast: a single corrupt far-future
+    timestamp would silently mint millions of spine rows (sequence
+    from min to max) — the guards raise with the offending span
+    instead, and stay silent on healthy spans."""
+    import __spark_entry__ as entry
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    daily = spark.createDataFrame(
+        [(1, "2024-01-01", 5), (1, "9999-01-01", 1)],
+        "key int, day string, cnt long",
+    ).withColumn("day", F.col("day").cast("date"))
+    with pytest.raises(Exception, match="spans more than 36524 days"):
+        TP.zscore_daily_counts(daily).count()
+    # healthy span: unchanged (fill + window score)
+    ok = spark.createDataFrame(
+        [(1, "2024-01-01", 5), (1, "2024-01-20", 9)],
+        "key int, day string, cnt long",
+    ).withColumn("day", F.col("day").cast("date"))
+    assert TP.zscore_daily_counts(ok).count() >= 0
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "1994-01-03", 10.0), (2, "9999-12-31", 20.0)],
+        "o_orderkey bigint, o_orderdate string, o_totalprice double",
+    ).withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    ).write.parquet(f"{sf}/orders.parquet")
+    with pytest.raises(Exception, match="span > 100 years"):
+        entry.queries()["weekly_gapfill_orders"](spark, sf).count()
+
+
 def test_stream_incremental_gate_single_doc(spark, tmp_path):
     """A ≤1-document corpus produces a pairs sink with no parquet
     footers; the gate's explicit-schema read returns the correct

@@ -1,6 +1,6 @@
-"""Degenerate-corpus robustness probe: rewrite sf0.001 into three
+"""Degenerate-corpus robustness probe: rewrite sf0.001 into four
 adversarial variants (all-degenerate values; single-row tables;
-alternating-NULL payload columns) and run every queries() entry
+alternating-NULL payload columns; verbatim-duplicated rows) and run every queries() entry
 against each, reporting exceptions. Round-10 findings (all fixed,
 pinned in tests/test_degenerate.py): zero-norm cosine DIVIDE_BY_ZERO
 in five vector gates, zero-quantity DIVIDE_BY_ZERO in q2, zero-row
@@ -70,6 +70,16 @@ def build(variant: str, out: str):
                 df = (df.withColumn("o_totalprice", F.lit(0.0))
                         .withColumn("o_orderstatus", F.lit("O"))
                         .withColumn("o_orderpriority", F.lit("1-URGENT")))
+        elif variant == "dupes":
+            # duplicate every 10th row VERBATIM (same id, same
+            # payload) — the at-least-once ingestion-retry shape;
+            # joins fan out, maps must aggregate before building,
+            # dedup sees genuine duplicates
+            key = {"documents": "doc_id", "embeddings": "vec_id",
+                   "events": "event_id", "orders": "o_orderkey",
+                   "lineitem": "l_orderkey"}.get(t)
+            if key is not None:
+                df = df.union(df.filter(F.col(key) % 10 == 0))
         elif variant == "nulls":
             # NULL every nullable payload column on alternating rows
             # (ids and join keys stay non-null): the realistic shape
@@ -96,7 +106,7 @@ def build(variant: str, out: str):
 
 qs = entry.queries()
 fails = {}
-for variant in ("degen", "single", "nulls"):
+for variant in ("degen", "single", "nulls", "dupes"):
     out = f"/tmp/degen_sf/{variant}"
     build(variant, out)
     # events ts written as bigint micros in degen variant; entry._events

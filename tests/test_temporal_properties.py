@@ -216,3 +216,65 @@ def test_funnel_matches_first_touch_reference(events, gap):
             expect[step] += 1
 
     assert got == expect
+
+
+_cohort_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # user
+        st.integers(min_value=0, max_value=20),  # day offset
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(events=_cohort_events, granularity=st.sampled_from(["day", "week"]))
+def test_cohort_retention_matches_reference(events, granularity):
+    """Cohort matrix vs a Python replay: cohort = truncated first
+    event, one count per (cohort, offset) cell per distinct active
+    user, retention = cell / cell(offset 0)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        temporal as TP,
+    )
+
+    base = dt.date(2024, 1, 1)  # a Monday, so week-trunc math is easy
+    spark = _spark()
+    e = spark.createDataFrame(
+        events, "user_id int, d int"
+    ).withColumn("ts", F.timestamp_seconds(F.col("d") * 86_400 + 1_704_067_200))
+    out = TP.cohort_retention(e, granularity=granularity)
+    got = {
+        (str(r.cohort_start), r.period_offset): (r.n_users, r.retention)
+        for r in out.collect()
+    }
+
+    per = 7 if granularity == "week" else 1
+
+    def trunc(day):
+        date = base + dt.timedelta(days=day)
+        if granularity == "week":
+            date = date - dt.timedelta(days=date.weekday())
+        return date
+
+    first = {}
+    for u, d in events:
+        first[u] = min(first.get(u, d), d)
+    cells = {}
+    for u, d in set(events):
+        cw, wk = trunc(first[u]), trunc(d)
+        off = (wk - cw).days // per
+        cells.setdefault((str(cw), off), set()).add(u)
+    expect = {}
+    for (cw, off), users in cells.items():
+        base_n = len(cells[(cw, 0)])
+        expect[(cw, off)] = (
+            len(users),
+            round(len(users) / base_n, 6),
+        )
+
+    assert got == expect

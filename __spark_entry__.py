@@ -5734,7 +5734,7 @@ SELECT p_partkey, p_name, s_name, ROUND(unit_price, 6) AS unit_price
 FROM (
   SELECT p_partkey, p_name, s_name,
          l_extendedprice / NULLIF(l_quantity, 0) AS unit_price,
-         MIN(l_extendedprice / l_quantity)
+         MIN(l_extendedprice / NULLIF(l_quantity, 0))
            OVER (PARTITION BY p_partkey) AS min_price
   FROM lineitem
   JOIN part     ON l_partkey = p_partkey

@@ -76,6 +76,18 @@ def non_null_vecs(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.filter(F.col(vec_col).isNotNull())
 
 
+def inferred_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Vector width from the first non-NULL embedding, or ``None``
+    when the corpus has no non-NULL vectors at all — the fully
+    degenerate shape the alternating-NULL probe variant never
+    produces (it always leaves survivors), so ``.first()`` here can
+    return no row. Callers translate ``None`` into their empty
+    result frame (degrade-never-crash) or a named error where no
+    sensible empty result exists."""
+    row = non_null_vecs(df, vec_col).select(F.size(vec_col).alias("d")).first()
+    return None if row is None else row["d"]
+
+
 def _pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized row-wise cosine; assumes uniform dims per batch
     (falls back to a per-row loop on ragged input)."""
@@ -314,10 +326,14 @@ def lsh_topk(
     """
     if dim is None:
         # dim from a NON-NULL vector (a null first row reads size NULL)
-        first = non_null_vecs(embeddings, vec_col).select(
-            F.size(vec_col).alias("d")
-        )
-        dim = first.first()["d"]
+        dim = inferred_dim(embeddings, vec_col)
+        if dim is None:
+            # zero non-NULL vectors: no queries, no neighbors
+            return embeddings.select(
+                F.col(id_col).alias("q_id"),
+                F.col(id_col).alias("n_id"),
+                F.lit(1).cast("int").alias("rank"),
+            ).limit(0)
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
     return _lsh_probe_rank(
@@ -433,11 +449,14 @@ def lsh_index_write(
     scheme; the leading underscore keeps it out of the parquet
     reader's file discovery. Returns the dimension."""
     if dim is None:
-        dim = (
-            non_null_vecs(embeddings, vec_col)
-            .select(F.size(vec_col).alias("d"))
-            .first()["d"]
-        )
+        dim = inferred_dim(embeddings, vec_col)
+        if dim is None:
+            # an index needs a dim; with zero non-NULL vectors there
+            # is nothing to derive it from and nothing to store
+            raise ValueError(
+                "lsh_index_write: corpus has no non-NULL embeddings to "
+                "infer the vector dim from; pass dim= explicitly"
+            )
     tables = _lsh_tables(dim, n_planes, n_tables, seed)
     corpus = _lsh_bucketed_corpus(embeddings, tables, id_col, vec_col)
     corpus.write.mode("overwrite").partitionBy("table").parquet(path)
@@ -669,6 +688,13 @@ def cosine_near_dup_pairs(
                 16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
             )
         first = vecs.select(F.size("vec").alias("d")).first()
+        if first is None:
+            # zero non-NULL vectors: no candidate pairs exist
+            return vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).limit(0)
         tables = _lsh_tables(first["d"], n_planes, n_tables, seed)
         buckets = multitable_bucket_pudf(tables)
         banded = (
@@ -1216,6 +1242,17 @@ def label_centroid_eval(
         F.col(label_col).isNotNull()
     )
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        # no labeled non-NULL vectors: an empty confusion matrix
+        return embeddings.select(
+            F.col(label_col).alias("label"),
+            F.lit(0).cast("bigint").alias("n_true"),
+            F.lit(0).cast("bigint").alias("n_pred"),
+            F.lit(0).cast("bigint").alias("tp"),
+            F.lit(0.0).alias("precision"),
+            F.lit(0.0).alias("recall"),
+            F.lit(0.0).alias("f1"),
+        ).limit(0)
     dim = dim_row["d"]
     cents = embeddings.groupBy(F.col(label_col).alias("_cl")).agg(
         F.array(

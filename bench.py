@@ -324,6 +324,9 @@ def main() -> None:
                 # artifact, not destroy it (round-2 lesson).
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 timings.pop(name, None)
+                # drop any pass-0 plan time too: an errored query must
+                # not appear in plan_s while absent from queries
+                plan_s.pop(name, None)
                 print(f"# pass{pass_no} {name}: ERROR {exc}", file=sys.stderr)
                 continue
             elapsed = round((t2 - t1) if mode == "exec" else (t2 - t0), 4)

@@ -243,3 +243,51 @@ def test_stream_incremental_gate_single_doc(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].n_pairs == 0
     assert bool(rows[0].incremental_matches_oneshot) is True
+
+
+def test_all_null_embedding_corpus_degrades_not_crashes(spark, tmp_path):
+    """A corpus whose EVERY embedding is NULL (or that is simply
+    empty) leaves dim inference with no row at all — ``first()``
+    returns None, and round-10 HEAD raised TypeError at the
+    ``.first()["d"]`` sites (lsh_topk, lsh_index_write,
+    cosine_near_dup_pairs, label_centroid_eval). The guard contract:
+    query-shaped ops return their EMPTY result frame with the normal
+    schema; the index writer (which cannot build anything without a
+    dim) raises a named, actionable ValueError."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators import (
+        similarity as S,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), True),
+            StructField("label", IntegerType(), True),
+        ]
+    )
+    emb = spark.createDataFrame([(0, None, None), (1, None, 0)], schema)
+
+    lsh = S.lsh_topk(emb, query_ids=[0], k=3)
+    assert lsh.columns == ["q_id", "n_id", "rank"]
+    assert lsh.count() == 0
+
+    pairs = S.cosine_near_dup_pairs(emb, threshold=0.5, exact=False)
+    assert pairs.columns == ["id_a", "id_b", "cosine"]
+    assert pairs.count() == 0
+
+    ev = S.label_centroid_eval(emb)
+    assert ev.columns == [
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        "precision",
+        "recall",
+        "f1",
+    ]
+    assert ev.count() == 0
+
+    with pytest.raises(ValueError, match="no non-NULL embeddings"):
+        S.lsh_index_write(emb, str(tmp_path / "idx"))
+    # an explicit dim bypasses inference and still writes the meta
+    assert S.lsh_index_write(emb, str(tmp_path / "idx2"), dim=4) == 4

@@ -462,7 +462,7 @@ def main() -> None:
         "cdc_chunks": (docs, ["doc_id"]),
         "gear_cdc": (docs, ["doc_id"]),
         "span_clean": (docs, ["doc_id"]),
-                "purge_audit": (docs, ["doc_id"]),
+        "purge_audit": (docs, ["doc_id"]),
         "label_silhouette": (emb, ["vec_id"]),
         "funnel_3step": (ev, ["user_id", "event_id"]),
         "cohort_retention": (ev, ["user_id", "event_id"]),

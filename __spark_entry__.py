@@ -7668,14 +7668,17 @@ def merge_upsert_orders(spark, sf_dir):
     """MERGE INTO-shape upsert over the partitioned-parquet sink
     (sources/writers.py merge_upsert — implemented since r? but never
     driver-gated; r10 verdict task #5): bootstrap a sink from orders
-    partitioned by o_orderpriority, then upsert a batch that UPDATES
-    every o_orderkey%97==0 row in two of the five priorities
-    (totalprice +1000) and INSERTS a shifted-key copy of each —
+    partitioned by o_orderpriority, then merge a batch exercising ALL
+    THREE MERGE arms in the two hot priorities: UPDATE every
+    o_orderkey%97==0 row (totalprice +1000), INSERT a shifted-key
+    copy of each, and DELETE every o_orderkey%89==0 row (r10 verdict
+    task #4 — the WHEN MATCHED THEN DELETE arm; a key hit by both
+    update and delete deletes, the documented delete-wins corner) —
     dynamic partition overwrite rewrites ONLY the two touched
     partitions. Returns the post-merge per-priority rollup read back
-    from the sink; DuckDB recomputes it from the anti-join + union
-    definition, so the hash match proves the rewrite touched exactly
-    the right rows and nothing else."""
+    from the sink; DuckDB recomputes it from the anti-join + union −
+    deleted-keys definition, so the hash match proves the rewrite
+    touched exactly the right rows and nothing else."""
     import shutil
     import tempfile
 
@@ -7699,6 +7702,9 @@ def merge_upsert_orders(spark, sf_dir):
             "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000_000)
         )
     )
+    deletes = o.filter((F.col("o_orderkey") % 89 == 0) & hot).select(
+        "o_orderkey", "o_orderpriority"
+    )
     tmp = tempfile.mkdtemp(prefix="merge_upsert_")
     sink = tmp + "/sink"
     try:
@@ -7707,6 +7713,7 @@ def merge_upsert_orders(spark, sf_dir):
             spark, sink, updates,
             key_cols=["o_orderkey"],
             partition_cols=["o_orderpriority"],
+            deletes=deletes,
         )
         out = (
             spark.read.parquet(sink)
@@ -7734,12 +7741,20 @@ WITH upd AS MATERIALIZED (
   SELECT o_orderkey + 10000000000, o_custkey, o_totalprice, o_orderpriority
   FROM orders
   WHERE o_orderkey % 97 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
+del AS MATERIALIZED (
+  SELECT o_orderkey
+  FROM orders
+  WHERE o_orderkey % 89 = 0 AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')),
 merged AS (
   SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
   FROM orders o
   WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+    AND NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = o.o_orderkey)
   UNION ALL
-  SELECT * FROM upd)
+  -- delete wins: an update whose key is also deleted never lands
+  -- (insert-arm keys sit above 10^10 and can never match del)
+  SELECT * FROM upd
+  WHERE NOT EXISTS (SELECT 1 FROM del WHERE del.o_orderkey = upd.o_orderkey))
 SELECT o_orderpriority, COUNT(*) AS n_rows,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
 FROM merged GROUP BY o_orderpriority

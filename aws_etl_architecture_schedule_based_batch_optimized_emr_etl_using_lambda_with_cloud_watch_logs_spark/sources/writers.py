@@ -146,24 +146,44 @@ def merge_upsert(
     updates,
     key_cols: list[str],
     partition_cols: list[str],
+    deletes=None,
 ) -> dict:
     """MERGE INTO for a plain-parquet partitioned sink: upsert
-    ``updates`` by key, rewriting ONLY the partitions the updates
-    touch (dynamic partition overwrite). On Delta/Iceberg this whole
+    ``updates`` by key — and, when ``deletes`` is given (a frame of
+    key + partition columns), remove matching keys (``WHEN MATCHED
+    THEN DELETE``) — rewriting ONLY the partitions the batch touches
+    (dynamic partition overwrite). On Delta/Iceberg this whole
     function is ``MERGE INTO``; on parquet the idiom is:
 
     1. restrict the sink read to touched partitions (pruned scan —
        the anti-join below never reads untouched data),
-    2. anti-join existing rows against update keys (survivors),
-    3. union survivors + updates, overwrite those partitions.
+    2. anti-join existing rows against update AND delete keys
+       (survivors),
+    3. union survivors + updates, overwrite those partitions,
+    4. a touched partition whose every row was deleted vanishes from
+       the written data, which dynamic overwrite would silently SKIP
+       (it only replaces partitions present in the output) — those
+       emptied partition directories are removed explicitly through
+       the Hadoop filesystem layer (works on HDFS/S3/any scheme;
+       partition values are assumed hive-layout-safe, as everywhere
+       else in this sink).
+
+    A key present in both frames deletes (each MERGE source row fires
+    one clause; the delete arm is evaluated first, so delete wins —
+    the deterministic corner of the lattice, property-tested).
 
     Rewrite volume is O(touched partitions), not O(sink) — at 100 TB
     the touched set is the hot tail, so per-batch upserts stay
-    bounded. Returns {"updated_partitions": n, "rows_written": n}.
+    bounded. Returns {"updated_partitions", "rows_written",
+    "rows_deleted", "emptied_partitions"}.
     """
     from pyspark.sql import functions as F
 
     touched = updates.select(*partition_cols).distinct()
+    if deletes is not None:
+        touched = touched.unionByName(
+            deletes.select(*partition_cols).distinct()
+        ).distinct()
     # Partition-pruning predicate from the (small) touched set.
     touched_rows = touched.collect()
     cond = None
@@ -176,14 +196,42 @@ def merge_upsert(
     if cond is None:
         # Empty batch: return BEFORE touching the sink — at 100 TB a
         # scheduled no-op tick must not pay the sink file listing.
-        return {"updated_partitions": 0, "rows_written": 0}
+        return {
+            "updated_partitions": 0,
+            "rows_written": 0,
+            "rows_deleted": 0,
+            "emptied_partitions": 0,
+        }
 
     existing = spark.read.parquet(path)
     survivors = existing.filter(cond).join(
         updates.select(*key_cols), key_cols, "left_anti"
     )
+    n_deleted = 0
+    if deletes is not None:
+        del_keys = deletes.select(*key_cols).distinct()
+        n_deleted = (
+            existing.filter(cond)
+            .join(del_keys, key_cols, "left_semi")
+            .count()
+        )
+        survivors = survivors.join(del_keys, key_cols, "left_anti")
+        # delete wins over update for a key in both frames
+        updates = updates.join(del_keys, key_cols, "left_anti")
     merged = survivors.unionByName(updates)
     n_rows = merged.count()
+    # Partitions the batch touched but the merge emptied entirely —
+    # found BEFORE the overwrite (after it the old files are the only
+    # record). Bounded: ≤ |touched_rows| values.
+    written_parts = {
+        tuple(r[c] for c in partition_cols)
+        for r in merged.select(*partition_cols).distinct().collect()
+    }
+    emptied = [
+        row
+        for row in touched_rows
+        if tuple(row[c] for c in partition_cols) not in written_parts
+    ]
 
     previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -196,7 +244,23 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
-    return {"updated_partitions": len(touched_rows), "rows_written": n_rows}
+    # Remove fully-emptied partition dirs AFTER the successful
+    # overwrite (a failed write must not half-apply the delete arm).
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for row in emptied:
+            part_dir = "/".join(
+                f"{c}={row[c]}" for c in partition_cols
+            )
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
+            p.getFileSystem(hconf).delete(p, True)
+    return {
+        "updated_partitions": len(touched_rows),
+        "rows_written": n_rows,
+        "rows_deleted": n_deleted,
+        "emptied_partitions": len(emptied),
+    }
 
 
 def cluster_by(df, cols: list[str], n_files: int = 8):

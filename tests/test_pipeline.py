@@ -255,13 +255,23 @@ def test_merge_upsert_new_partition_and_empty_batch(spark, tmp_path):
 
     brand_new = spark.createDataFrame([(9, "g9", 90.0)], ["id", "grp", "val"])
     stats = merge_upsert(spark, sink, brand_new, ["id"], ["grp"])
-    assert stats == {"updated_partitions": 1, "rows_written": 1}
+    assert stats == {
+        "updated_partitions": 1,
+        "rows_written": 1,
+        "rows_deleted": 0,
+        "emptied_partitions": 0,
+    }
     after = {r["id"]: (r["grp"], r["val"]) for r in spark.read.parquet(sink).collect()}
     assert after == {1: ("g1", 10.0), 2: ("g2", 20.0), 9: ("g9", 90.0)}
 
     empty = brand_new.filter("id < 0")
     stats = merge_upsert(spark, sink, empty, ["id"], ["grp"])
-    assert stats == {"updated_partitions": 0, "rows_written": 0}
+    assert stats == {
+        "updated_partitions": 0,
+        "rows_written": 0,
+        "rows_deleted": 0,
+        "emptied_partitions": 0,
+    }
     assert spark.read.parquet(sink).count() == 3
 
     # The "never lists, reads, or rewrites" claim, pinned for real:
@@ -271,7 +281,12 @@ def test_merge_upsert_new_partition_and_empty_batch(spark, tmp_path):
     stats = merge_upsert(
         spark, str(tmp_path / "no_such_sink"), empty, ["id"], ["grp"]
     )
-    assert stats == {"updated_partitions": 0, "rows_written": 0}
+    assert stats == {
+        "updated_partitions": 0,
+        "rows_written": 0,
+        "rows_deleted": 0,
+        "emptied_partitions": 0,
+    }
 
 
 def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
@@ -533,3 +548,43 @@ def test_run_batch_rejects_non_parquet_sink_format(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="parquet-only"):
         run_batch(spark, cfg)
+
+
+def test_merge_delete_arm_removes_emptied_partition_dir(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE, the dynamic-overwrite corner: delete
+    EVERY row of one partition and some rows of another. Dynamic
+    overwrite only replaces partitions present in the written data,
+    so the fully-emptied directory must be removed explicitly — if it
+    survives, its ghost rows reappear on the next read."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g1", 20.0), (3, "g2", 30.0), (4, "g3", 40.0)],
+        ["id", "grp", "val"],
+    )
+    write_partitioned(base, sink, ["grp"])
+
+    # update id=3, delete both g1 rows (empties g1) and id=3 too —
+    # delete wins over the update for the shared key
+    updates = spark.createDataFrame([(3, "g2", 99.0)], ["id", "grp", "val"])
+    deletes = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g2")], ["id", "grp"]
+    )
+    stats = merge_upsert(
+        spark, sink, updates, ["id"], ["grp"], deletes=deletes
+    )
+    assert stats["rows_deleted"] == 3
+    assert stats["emptied_partitions"] == 2  # g1 emptied; g2 emptied too
+    assert not os.path.isdir(os.path.join(sink, "grp=g1"))
+    assert not os.path.isdir(os.path.join(sink, "grp=g2"))
+    after = {
+        r["id"]: (r["grp"], r["val"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert after == {4: ("g3", 40.0)}  # untouched partition intact

@@ -1765,12 +1765,13 @@ def _minhash_pairs(spark, sf_dir):
     )
 
 
-def dedup_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH candidates, exact-verified at the same threshold —
-    with 32 bands × 2 rows recall at j≥0.5 is 1-(1-0.25)^32 ≈ 0.9999,
-    so output matches the exact oracle."""
-    out = _minhash_pairs(spark, sf_dir)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+# RETIRED GATE (r11, see COVERAGE.md retirement ledger):
+# `dedup_minhash_pairs` — the full-corpus pair LIST gate. Its operator
+# closure and truth contract live on in `dedup_minhash_pairs_sf01`
+# (identical definition, doc_id%10 sample of the 10× corpus) and the
+# pair set stays transitively value-checked by `dedup_cluster_docs`,
+# whose oracle embeds the SAME quadratic pair SQL in a recursive CTE.
+# `_minhash_pairs` itself remains the shared frame feeding six gates.
 
 
 def dedup_minhash_pairs_sf01(spark, sf_dir):
@@ -1922,7 +1923,9 @@ def _pair_recall_gate(truth_pairs, sketch_pairs, bound: float):
     specific, so the gate emits the RECALL of the sketch pairs
     against the exact Jaccard≥0.5 truth set computed in the same job
     via the LSH+exact-verify path (whose output provably matches the
-    all-pairs n-gram oracle — see dedup_minhash_pairs). DuckDB
+    all-pairs n-gram oracle — pinned by dedup_minhash_pairs_sf01 and,
+    transitively, dedup_cluster_docs' recursive-CTE oracle; the
+    full-corpus pair-list gate itself was retired r11). DuckDB
     recomputes n_truth from the n-gram Jaccard definition and pins
     the flag. Empty truth (no near-dups at this SF) degrades to
     recall_ok=true on both engines."""
@@ -8013,7 +8016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_keep_first_docs": dedup_keep_first_docs,
         "dedup_ngram_pairs": dedup_ngram_pairs,
-        "dedup_minhash_pairs": dedup_minhash_pairs,
         "dedup_minhash_pairs_sf01": dedup_minhash_pairs_sf01,
         "dedup_cluster_docs_sf01": dedup_cluster_docs_sf01,
         "dedup_simhash_pairs_sf01": dedup_simhash_pairs_sf01,
@@ -8268,7 +8270,6 @@ def oracle_sql() -> dict[str, str]:
         "leakage_split_docs": LEAKAGE_SPLIT_SQL,
         "dedup_keep_first_docs": DEDUP_KEEP_FIRST_SQL,
         "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
-        "dedup_minhash_pairs": DEDUP_NGRAM_SQL,  # same contract, LSH path
         "dedup_minhash_pairs_sf01": DEDUP_MINHASH_SF01_SQL,
         "dedup_cluster_docs_sf01": DEDUP_CLUSTER_SF01_SQL,
         "dedup_simhash_pairs_sf01": PAIR_RECALL_SF01_SQL,

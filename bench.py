@@ -108,7 +108,6 @@ HEADLINE = [
     "sql_grouping_sets",
     "multimodal_features_docs",
     "dedup_exact_docs",
-    "dedup_minhash_pairs",
     "dedup_cluster_docs",
     "curation_pipeline_docs",
     "skew_salted_token_counts",

@@ -124,7 +124,6 @@ def test_plan_allowlist_is_pinned():
         # round-10 sampled sf0.1 twins of the incremental band-store
         # gates — same 3-stage shape as their full siblings
         "dedup_incremental_docs_sf01": 3,
-        "dedup_minhash_pairs": 3,
         # round-9 sampled sf0.1 twin — same LSH plan, own signature
         # pass over the sampled corpus
         "dedup_minhash_pairs_sf01": 3,

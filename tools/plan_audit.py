@@ -47,9 +47,8 @@ from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_wi
 # sf0.01 (plan-structural, not data-dependent). Any query absent
 # from the map is held to zero.
 ARROW_STAGE_EXPECTED = {
-    # banded minhash: Arrow signature pass + pudf exact-verify +
-    # recall-gate truth side
-    "dedup_minhash_pairs": 3,
+    # (the retired full-corpus minhash pair-list gate's 3-stage
+    # budget moved to its live sf0.1 twin below — r11 ledger)
     # round-9 bounded-sample sf0.1 twin: identical LSH plan on the
     # doc_id%10 sample (its own signature pass — the sampled corpus
     # can't reuse the full-corpus shared-signature frame), so the

@@ -59,6 +59,22 @@ def term_stats(
     return tf, meta
 
 
+def term_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, meta, df): the complete reusable index triple — the
+    per-(doc, term) counts with doc length, the one-row corpus meta,
+    and the vocabulary-sized document frequencies. Every retrieval
+    entry point accepts this triple via its ``index=`` parameter, so
+    a session (or a persisted-index deployment at 100 TB) builds the
+    corpus explode + two aggregates ONCE and fans out to bm25 / PRF /
+    RRF / TF-IDF; kernels are unchanged, so results are bit-identical
+    to the build-inline path (test-pinned)."""
+    tf, meta = term_stats(docs, id_col, text_col)
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    return tf, meta, df_
+
+
 def _query_terms(qtext: str) -> list[str]:
     """Query-side tokenization matching the corpus-side ``tokens_col``
     EXACTLY: Java's \\s is [ \\t\\n\\x0b\\f\\r] only, while Python's
@@ -78,14 +94,18 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (Robertson/Sparck Jones
     idf, the Lucene ``ln(1 + (N-df+0.5)/(df+0.5))`` form). Queries
     are ``(query_id, text)`` pairs; scoring sums over the query's
-    DISTINCT terms. Returns (query_id, rank, doc_id, score)."""
+    DISTINCT terms. Returns (query_id, rank, doc_id, score).
+    ``index``: a prebuilt :func:`term_index` triple to reuse instead
+    of rebuilding from ``docs``."""
     spark = docs.sparkSession
-    tf, meta = term_stats(docs, id_col, text_col)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf, meta, df_ = (
+        index if index is not None else term_index(docs, id_col, text_col)
+    )
 
     q_terms = spark.createDataFrame(
         [
@@ -157,19 +177,22 @@ def prf_expand_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion (the RM3 shape):
     run BM25, take each query's top ``fb_docs`` documents, harvest
     their ``fb_terms`` strongest terms (summed tf over the feedback
     docs, ties on the term — deterministic integers), expand the
     query with them, and re-score. Two passes over the SAME tf/df
-    index frames — the corpus is scanned once to build them; the
-    feedback frame is |Q|·fb_terms rows, broadcast into round two
-    exactly like the literal terms. Both rounds round scores before
-    ranking, so the final ranking is engine-reproducible."""
+    index frames — the corpus is scanned once to build them (or
+    zero times with a prebuilt ``index``); the feedback frame is
+    |Q|·fb_terms rows, broadcast into round two exactly like the
+    literal terms. Both rounds round scores before ranking, so the
+    final ranking is engine-reproducible."""
     spark = docs.sparkSession
-    tf, meta = term_stats(docs, id_col, text_col)
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf, meta, df_ = (
+        index if index is not None else term_index(docs, id_col, text_col)
+    )
     q_terms = spark.createDataFrame(
         [
             (qid, t)
@@ -207,6 +230,7 @@ def tfidf_keywords(
     topk: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document keyword extraction: the top-k terms by TF-IDF
     (ln-smoothed idf = ln((1+N)/(1+df)) + 1, sklearn's convention)
@@ -216,8 +240,9 @@ def tfidf_keywords(
     one per-doc window. Scores are quantized to 1e-6 BEFORE ranking
     so the (score, term) order — and therefore the selected
     keywords — is engine-identical."""
-    tf, meta = term_stats(docs, id_col, text_col)
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf, meta, dfreq = (
+        index if index is not None else term_index(docs, id_col, text_col)
+    )
     score = F.round(
         (F.col("tf") / F.col("dl"))
         * (
@@ -352,6 +377,7 @@ def hybrid_rrf_topk(
     dim: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (the standard
     two-arm RAG retriever): a LEXICAL arm (BM25 top-``k_arm``) and a
@@ -381,7 +407,8 @@ def hybrid_rrf_topk(
 
     spark = docs.sparkSession
     lex = bm25_topk(
-        docs, queries, topk=k_arm, id_col=id_col, text_col=text_col
+        docs, queries, topk=k_arm, id_col=id_col, text_col=text_col,
+        index=index,
     ).select(
         "query_id",
         F.col(id_col).alias("_doc"),

@@ -868,3 +868,42 @@ def test_mmr_sparse_sims_treats_missing_pairs_as_zero(spark):
     )
     assert [r.doc_id for r in rows] == [1, 2, 3]
     assert rows[2].mmr == 0.5  # 0.5*rel - 0.5*max_sim(=0)
+
+
+# ------------------------------------------- shared term_index triple
+
+
+def test_prebuilt_index_bit_identical_across_retrieval_family(spark):
+    """The ``index=`` reuse path (r10 verdict task #5 — the shared
+    per-session tf/df frame) must be BIT-identical to the inline
+    build for every consumer: same kernels, same rounding, same
+    ties. Pins bm25 / PRF / RRF / tfidf with and without the
+    prebuilt triple."""
+    d = _docs(
+        spark,
+        [
+            (1, "hash join hash join probe build"),
+            (2, "hash table scan cost model"),
+            (3, "sort merge join strategy shuffle"),
+            (4, "broadcast join small dimension table"),
+            (5, "window rank partition order"),
+        ],
+    )
+    idx = SR.term_index(d)
+    qs = [("q1", "hash join"), ("q2", "shuffle partition")]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(SR.bm25_topk(d, qs, topk=3)) == rows(
+        SR.bm25_topk(d, qs, topk=3, index=idx)
+    )
+    assert rows(SR.prf_expand_topk(d, qs, topk=3)) == rows(
+        SR.prf_expand_topk(d, qs, topk=3, index=idx)
+    )
+    assert rows(SR.hybrid_rrf_topk(d, qs, topk=3, k_arm=3)) == rows(
+        SR.hybrid_rrf_topk(d, qs, topk=3, k_arm=3, index=idx)
+    )
+    assert rows(SR.tfidf_keywords(d, topk=2)) == rows(
+        SR.tfidf_keywords(d, topk=2, index=idx)
+    )

@@ -538,6 +538,12 @@ def minhash_lsh_dedup(
         .join(t_b, "id_b")
         .select("id_a", "id_b", jacc(F.col("_ta"), F.col("_tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+        # one row per pair even when the CORPUS carries verbatim-
+        # duplicated rows (the at-least-once ingestion-retry shape,
+        # streaming-poison probe): a duplicated (id, text) row fans
+        # out the verify join, not the candidate set — dedup on the
+        # O(pairs) output, never a corpus-wide distinct
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -685,6 +691,10 @@ def incremental_minhash_dedup(
             "id_a", "id_b", jacc(F.col("_ta"), F.col("_tb")).alias("jaccard")
         )
         .filter(F.col("jaccard") >= threshold)
+        # duplicated (id, text) rows in the batch or the corpus sink
+        # (at-least-once retries) fan out the verify join — dedup on
+        # the O(pairs) output (see minhash_lsh_dedup)
+        .dropDuplicates(["id_a", "id_b"])
     )
     # Materialize pairs BEFORE any append, so the returned frame
     # (lazy) can't double-count the batch against its own stored

@@ -291,3 +291,37 @@ def test_all_null_embedding_corpus_degrades_not_crashes(spark, tmp_path):
         S.lsh_index_write(emb, str(tmp_path / "idx"))
     # an explicit dim bypasses inference and still writes the meta
     assert S.lsh_index_write(emb, str(tmp_path / "idx2"), dim=4) == 4
+
+
+def test_minhash_pair_list_single_row_per_pair_under_verbatim_dupes(
+    spark, tmp_path
+):
+    """Verbatim-duplicated document rows (the at-least-once
+    ingestion-retry shape, streaming-poison probe r11): the candidate
+    set was always distinct, but the exact-verify join fanned out on
+    the duplicated (id, text) rows — the pair LIST contract is one
+    row per (id_a, id_b), in both the one-shot and the band-store
+    incremental paths."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [(1, text), (9, text), (9, text)], "doc_id long, text string"
+    )
+    kwargs = dict(n=3, num_hashes=64, bands=32, threshold=0.5)
+    out = minhash_lsh_dedup(docs, **kwargs).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 9)]
+
+    store = str(tmp_path / "bands")
+    first = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    incremental_minhash_dedup(first, store, **kwargs)
+    batch = spark.createDataFrame(
+        [(9, text), (9, text)], "doc_id long, text string"
+    )
+    pairs = incremental_minhash_dedup(
+        batch, store, old_docs=first, **kwargs
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 9)]

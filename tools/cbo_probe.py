@@ -26,7 +26,34 @@ Conclusion kept in the engine defaults: CBO off, AQE on. At true
 broadcast threshold — then `analyze_table` + these two flags is the
 documented opt-in path (`session.get_spark(extra_conf={...})`).
 
-Usage: python tools/cbo_probe.py [sf_dir]
+Round-11 follow-up (r10 verdict task #7): the verdict noted the
+recorded default was measured only at toy dimension scale. ``--scale
+N`` re-runs the probe on N-way key-coherent unions of the sf tables
+(every join-key family shifted by a SHARED stride per replica, the
+scale_probe convention), where join-order choices actually move data.
+
+Recorded result at sf0.1 ``--scale 5`` (2026-08-16, this box —
+facts: lineitem 3.0M rows, orders 7.5M total across replicas; dims
+scale too but stay far under the broadcast threshold). A sequential
+AQE-then-CBO run order inflates the CBO win (later passes are
+warmer), so the recorded numbers are min-of-3 INTERLEAVED pairs
+after one warmup of each mode:
+
+    AQE-only   q7 0.617  q8 0.913  q9 0.592
+    CBO+stats  q7 0.643  q8 0.821  q9 0.583
+
+At 50x the original probe's data volume the verdict is parity: CBO
+reorders q7 again (builds from supplier x nation), q7/q9 are within
+noise, and q8 shows the first consistent CBO edge (~0.90x across all
+three interleaved pairs) — every dimension still broadcasts, so the
+probe-side order stays near-immaterial. The default (CBO off, AQE
+on) therefore HOLDS with a scale-qualified justification: the edge
+is single-digit percent and costs an ANALYZE TABLE maintenance pass
+per load. The 100 TB opt-in guidance below is unchanged (it binds
+when a DIMENSION outgrows the broadcast threshold, which no fixture
+scale reaches); q8's edge is the early indicator of that flip.
+
+Usage: python tools/cbo_probe.py [sf_dir] [--scale N]
 """
 
 from __future__ import annotations
@@ -49,16 +76,71 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 QUERIES = ["q7_volume_shipping", "q8_market_share", "q9_product_profit"]
 
 
+# join-key families that must shift by one SHARED stride across all
+# tables, or foreign keys stop resolving across replicas
+KEY_FAMILIES = {
+    "regionkey": ("region", ["r_regionkey"], {"nation": "n_regionkey"}),
+    "nationkey": ("nation", ["n_nationkey"],
+                  {"customer": "c_nationkey", "supplier": "s_nationkey"}),
+    "custkey": ("customer", ["c_custkey"], {"orders": "o_custkey"}),
+    "suppkey": ("supplier", ["s_suppkey"], {"lineitem": "l_suppkey"}),
+    "partkey": ("part", ["p_partkey"], {"lineitem": "l_partkey"}),
+    "orderkey": ("orders", ["o_orderkey"], {"lineitem": "l_orderkey"}),
+}
+
+
+def scaled_tables(spark, sf_dir: str, n: int) -> dict:
+    """N-way unions of every table with key-coherent strides: each
+    key family's stride comes from its OWNING table's max+1 and is
+    applied identically to every referencing column."""
+    from pyspark.sql import functions as F
+
+    dfs = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    stride = {}
+    for fam, (owner, own_cols, _) in KEY_FAMILIES.items():
+        stride[fam] = (
+            dfs[owner].agg(F.max(own_cols[0])).collect()[0][0] or 0
+        ) + 1
+    shift = {t: {} for t in TABLES}  # table -> col -> stride
+    for fam, (owner, own_cols, refs) in KEY_FAMILIES.items():
+        for c in own_cols:
+            shift[owner][c] = stride[fam]
+        for t, c in refs.items():
+            shift[t][c] = stride[fam]
+    out = {}
+    for t, df in dfs.items():
+        parts = []
+        for i in range(n):
+            part = df
+            for c, st in shift[t].items():
+                part = part.withColumn(c, F.col(c) + F.lit(i * st))
+            parts.append(part)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.union(p)
+        out[t] = u
+    return out
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:]]
+    scale = 1
+    if "--scale" in args:
+        i = args.index("--scale")
+        scale = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark(
         app_name="cbo_probe",
         extra_conf={"spark.sql.cbo.enabled": "false"},
     )
+    srcs = (
+        scaled_tables(spark, sf_dir, scale)
+        if scale > 1
+        else {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    )
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.mode(
-            "overwrite"
-        ).saveAsTable(t)
+        srcs[t].write.mode("overwrite").saveAsTable(t)
     sqls = {name: entry.oracle_sql()[name] for name in QUERIES}
 
     def run_all(tag: str) -> None:

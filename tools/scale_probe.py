@@ -677,13 +677,20 @@ def main() -> None:
             )
         ).localCheckpoint(eager=True)
 
+        deletes = o_s.filter(
+            (F.col("o_orderkey") % 89 == 0) & hot
+        ).select("o_orderkey", "o_orderpriority").localCheckpoint(eager=True)
+
         def run():
+            # all three MERGE arms, the r11 gate shape: update %97,
+            # insert shifted copy, delete %89 (delete-wins overlap)
             W.merge_upsert(
                 spark,
                 sink,
                 updates,
                 key_cols=["o_orderkey"],
                 partition_cols=["o_orderpriority"],
+                deletes=deletes,
             )
             return spark.read.parquet(sink).count()
 

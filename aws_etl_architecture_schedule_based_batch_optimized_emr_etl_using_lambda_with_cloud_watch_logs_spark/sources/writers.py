@@ -219,13 +219,18 @@ def merge_upsert(
         # delete wins over update for a key in both frames
         updates = updates.join(del_keys, key_cols, "left_anti")
     merged = survivors.unionByName(updates)
-    n_rows = merged.count()
-    # Partitions the batch touched but the merge emptied entirely —
-    # found BEFORE the overwrite (after it the old files are the only
-    # record). Bounded: ≤ |touched_rows| values.
+    # One pre-write pass serves both the row count and the
+    # emptied-partition set (touched partitions the merge emptied
+    # entirely — found BEFORE the overwrite, after it the old files
+    # are the only record). Bounded: ≤ |touched_rows| groups.
+    part_counts = (
+        merged.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    n_rows = sum(r["_n"] for r in part_counts)
     written_parts = {
-        tuple(r[c] for c in partition_cols)
-        for r in merged.select(*partition_cols).distinct().collect()
+        tuple(r[c] for c in partition_cols) for r in part_counts
     }
     emptied = [
         row

@@ -811,21 +811,49 @@ FROM lft l JOIN cnt c ON l.seg IS NOT DISTINCT FROM c.seg
 
 
 def agg_minby_maxby(spark, sf_dir):
-    """min_by / max_by argument aggregates per group."""
+    """min_by / max_by argument aggregates per group — with a
+    DETERMINISTIC tie-break (smallest o_orderkey) via a struct
+    ordering key. A bare max_by("k", "price") picks an ARBITRARY
+    argmax when two rows share the extremal price; the driver
+    fixtures happen to have near-unique doubles, but the 10×
+    union-scale parity sweep (r11) manufactured exact ties and the
+    two engines diverged — the struct key (price, -key) / (price,
+    key) makes the answer a function of the data at any scale."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("p"),
+                (-F.col("o_orderkey")).alias("nk"),
+            ),
+        ).alias("priciest_order"),
+        F.min_by(
+            "o_orderkey",
+            F.struct(
+                F.col("o_totalprice").alias("p"),
+                F.col("o_orderkey").alias("k"),
+            ),
+        ).alias("cheapest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
 
 
 MINBY_SQL = """
+WITH ranked AS (
+  SELECT o_orderstatus, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC, o_orderkey ASC)
+           AS rmin
+  FROM orders)
 SELECT o_orderstatus,
-       ARG_MAX(o_orderkey, o_totalprice) AS priciest_order,
-       ARG_MIN(o_orderkey, o_totalprice) AS cheapest_order,
+       MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS priciest_order,
+       MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS cheapest_order,
        MAX(o_totalprice) AS max_price
-FROM orders GROUP BY o_orderstatus
+FROM ranked GROUP BY o_orderstatus
 """
 
 

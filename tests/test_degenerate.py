@@ -325,3 +325,28 @@ def test_minhash_pair_list_single_row_per_pair_under_verbatim_dupes(
         batch, store, old_docs=first, **kwargs
     ).collect()
     assert [(r.id_a, r.id_b) for r in pairs] == [(1, 9)]
+
+
+def test_minby_maxby_deterministic_under_ties(spark):
+    """The 10× union-scale parity sweep (r11) manufactured exact
+    extremal-price ties and Spark/DuckDB picked different argmax
+    rows — a bare max_by is an ARBITRARY choice under ties. The gate
+    now orders by a (price, key) struct: ties resolve to the
+    smallest key on both engines, at any scale."""
+    import __spark_entry__ as entry
+
+    d = spark.createDataFrame(
+        [(10, "O", 5.0), (2, "O", 5.0), (7, "O", 1.0), (3, "O", 1.0)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    import tempfile, shutil, os
+    tmp = tempfile.mkdtemp(prefix="minby_")
+    try:
+        for t in ("orders",):
+            d.write.parquet(f"{tmp}/{t}.parquet")
+        row = entry.queries()["agg_minby_maxby"](spark, tmp).collect()[0]
+        assert row.priciest_order == 2   # smallest key among the 5.0 tie
+        assert row.cheapest_order == 3   # smallest key among the 1.0 tie
+        assert row.max_price == 5.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

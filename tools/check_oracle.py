@@ -15,6 +15,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, ".")
@@ -123,7 +124,11 @@ def main():
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; Spark-generated fixtures
+        # (gen_scaled_fixtures.py) are part-file directories
+        path = f"{sf_dir}/{t}.parquet"
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0

@@ -1372,21 +1372,34 @@ def events_session_window(spark, sf_dir):
 
 
 SESSION_WINDOW_SQL = """
-WITH flagged AS (
+WITH numbered AS (
+  -- rn is the SHARED total order for both window passes below:
+  -- (ts, event_id) alone is not a total order once rows are
+  -- verbatim-duplicated (at-least-once retries), and two windows
+  -- that each break the tie independently can hand the island flag
+  -- to one copy while the prefix-sum places it on another —
+  -- splitting a session at a 0-gap (found by the r11 replicated-
+  -- events parity sweep; Spark's session_window operator is
+  -- order-independent and unaffected)
   SELECT user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, rn,
          CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
                    - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id))
+                       (PARTITION BY user_id ORDER BY rn))
                    > 1800000000
-              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY rn)
                  IS NULL
-              THEN 1 ELSE 0 END AS new_s,
-         event_id
-  FROM events
+              THEN 1 ELSE 0 END AS new_s
+  FROM numbered
 ),
 grouped AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY rn
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM flagged
 )

@@ -136,14 +136,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _session_cached(
     cache: dict, spark: SparkSession, sf_dir: str, build
-) -> DataFrame:
+):
     """Shared build-once-per-(session, sf) memo for persisted frames
-    (signatures, verified pair set, exact top-k)."""
+    (signatures, verified pair set, exact top-k). ``build`` may
+    return one DataFrame or a tuple of them — every frame of a tuple
+    payload is persisted (the tf/meta/df index triple)."""
     _evict_stale_sessions(cache, spark)
     key = (id(spark), sf_dir)
     entry_ = cache.get(key)
     if entry_ is None:
-        entry_ = (spark, build().persist())
+        built = build()
+        payload = (
+            tuple(f.persist() for f in built)
+            if isinstance(built, tuple)
+            else built.persist()
+        )
+        entry_ = (spark, payload)
         cache[key] = entry_
     return entry_[1]
 
@@ -206,15 +214,13 @@ def _term_index(spark: SparkSession, sf_dir: str):
     100 TB this frame is what gets written partitioned by term.
     Kernels consume the triple unchanged via their ``index=``
     parameter, so results are bit-identical to the inline build
-    (pinned in tests/test_search.py)."""
-    _evict_stale_sessions(_TERM_INDEX_CACHE, spark)
-    key = (id(spark), sf_dir)
-    entry_ = _TERM_INDEX_CACHE.get(key)
-    if entry_ is None:
-        tf, meta, df_ = SR.term_index(_t(spark, sf_dir, "documents"))
-        entry_ = (spark, (tf.persist(), meta.persist(), df_.persist()))
-        _TERM_INDEX_CACHE[key] = entry_
-    return entry_[1]
+    (pinned in tests/test_spans_bloom_search.py)."""
+    return _session_cached(
+        _TERM_INDEX_CACHE,
+        spark,
+        sf_dir,
+        lambda: SR.term_index(_t(spark, sf_dir, "documents")),
+    )
 
 
 def _dec(col):
@@ -820,10 +826,19 @@ def agg_minby_maxby(spark, sf_dir):
     two engines diverged — the struct key (price, -key) / (price,
     key) makes the answer a function of the data at any scale."""
     o = _t(spark, sf_dir, "orders")
+    # Leading null-flag field: a bare min_by/max_by SKIPS rows whose
+    # ordering expression is NULL, but a struct ordering key is never
+    # NULL as a whole and its NULL price FIELD sorts first ascending —
+    # which would hand cheapest_order to a NULL-price row. The flag
+    # pushes NULL prices last for MIN and first-but-losing for MAX on
+    # both engines (oracle: explicit NULLS LAST), restoring the
+    # ignores-NULL argmax semantics while keeping the deterministic
+    # key tie-break.
     return o.groupBy("o_orderstatus").agg(
         F.max_by(
             "o_orderkey",
             F.struct(
+                F.col("o_totalprice").isNotNull().alias("nn"),
                 F.col("o_totalprice").alias("p"),
                 (-F.col("o_orderkey")).alias("nk"),
             ),
@@ -831,6 +846,7 @@ def agg_minby_maxby(spark, sf_dir):
         F.min_by(
             "o_orderkey",
             F.struct(
+                F.col("o_totalprice").isNull().alias("isn"),
                 F.col("o_totalprice").alias("p"),
                 F.col("o_orderkey").alias("k"),
             ),
@@ -843,10 +859,12 @@ MINBY_SQL = """
 WITH ranked AS (
   SELECT o_orderstatus, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+                            ORDER BY o_totalprice DESC NULLS LAST,
+                                     o_orderkey ASC)
            AS rmax,
          ROW_NUMBER() OVER (PARTITION BY o_orderstatus
-                            ORDER BY o_totalprice ASC, o_orderkey ASC)
+                            ORDER BY o_totalprice ASC NULLS LAST,
+                                     o_orderkey ASC)
            AS rmin
   FROM orders)
 SELECT o_orderstatus,

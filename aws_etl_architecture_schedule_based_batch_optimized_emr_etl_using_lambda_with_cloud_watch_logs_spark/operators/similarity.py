@@ -687,15 +687,15 @@ def cosine_near_dup_pairs(
             n_planes = min(
                 16, max(6, math.ceil(math.log2(max(2.0, n_corpus / 32))))
             )
-        first = vecs.select(F.size("vec").alias("d")).first()
-        if first is None:
+        d = inferred_dim(vecs, "vec")
+        if d is None:
             # zero non-NULL vectors: no candidate pairs exist
             return vecs.select(
                 F.col("id").alias("id_a"),
                 F.col("id").alias("id_b"),
                 F.lit(0.0).alias("cosine"),
             ).limit(0)
-        tables = _lsh_tables(first["d"], n_planes, n_tables, seed)
+        tables = _lsh_tables(d, n_planes, n_tables, seed)
         buckets = multitable_bucket_pudf(tables)
         banded = (
             vecs.withColumn("bks", buckets(F.col("vec")))
@@ -1241,8 +1241,8 @@ def label_centroid_eval(
     embeddings = non_null_vecs(embeddings, vec_col).filter(
         F.col(label_col).isNotNull()
     )
-    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:
+    dim = inferred_dim(embeddings, vec_col)
+    if dim is None:
         # no labeled non-NULL vectors: an empty confusion matrix
         return embeddings.select(
             F.col(label_col).alias("label"),
@@ -1253,7 +1253,6 @@ def label_centroid_eval(
             F.lit(0.0).alias("recall"),
             F.lit(0.0).alias("f1"),
         ).limit(0)
-    dim = dim_row["d"]
     cents = embeddings.groupBy(F.col(label_col).alias("_cl")).agg(
         F.array(
             *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]

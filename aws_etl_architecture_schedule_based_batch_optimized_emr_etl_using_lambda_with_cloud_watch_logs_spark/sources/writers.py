@@ -203,18 +203,45 @@ def merge_upsert(
             "emptied_partitions": 0,
         }
 
-    existing = spark.read.parquet(path)
+    try:
+        existing = spark.read.parquet(path)
+    except Exception as exc:
+        # A sink whose EVERY partition a prior merge deleted still
+        # exists as a directory but holds no parquet footers to infer
+        # a schema from — semantically an EMPTY sink, not an error.
+        # A genuinely missing path still raises (a typo'd sink must
+        # not silently become create-on-first-merge).
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            raise exc
+        existing = spark.createDataFrame([], updates.schema)
     survivors = existing.filter(cond).join(
         updates.select(*key_cols), key_cols, "left_anti"
     )
     n_deleted = 0
+    existing_parts: set | None = None
     if deletes is not None:
         del_keys = deletes.select(*key_cols).distinct()
-        n_deleted = (
+        # ONE pruned pass over the pre-merge touched partitions
+        # yields both the delete-hit count and which touched
+        # partitions actually exist in the sink — a touched value
+        # the sink never held (key typo, already-merged batch) must
+        # neither count as emptied nor trigger a filesystem delete.
+        ex_stats = (
             existing.filter(cond)
-            .join(del_keys, key_cols, "left_semi")
-            .count()
+            .join(
+                del_keys.withColumn("_del", F.lit(1)), key_cols, "left"
+            )
+            .groupBy(*partition_cols)
+            .agg(F.sum(F.coalesce(F.col("_del"), F.lit(0))).alias("_nd"))
+            .collect()
         )
+        n_deleted = int(sum(r["_nd"] for r in ex_stats))
+        existing_parts = {
+            tuple(r[c] for c in partition_cols) for r in ex_stats
+        }
         survivors = survivors.join(del_keys, key_cols, "left_anti")
         # delete wins over update for a key in both frames
         updates = updates.join(del_keys, key_cols, "left_anti")
@@ -232,10 +259,15 @@ def merge_upsert(
     written_parts = {
         tuple(r[c] for c in partition_cols) for r in part_counts
     }
+    # Without a delete arm no touched partition can empty (its update
+    # rows are in the written output), so the existing-partition probe
+    # is skipped entirely and `emptied` is provably [].
     emptied = [
         row
         for row in touched_rows
-        if tuple(row[c] for c in partition_cols) not in written_parts
+        if existing_parts is not None
+        and tuple(row[c] for c in partition_cols) in existing_parts
+        and tuple(row[c] for c in partition_cols) not in written_parts
     ]
 
     previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -251,12 +283,22 @@ def merge_upsert(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
     # Remove fully-emptied partition dirs AFTER the successful
     # overwrite (a failed write must not half-apply the delete arm).
+    # Directory names go through Spark's OWN hive-layout escaping
+    # (getPartitionPathString): a NULL value is stored as
+    # __HIVE_DEFAULT_PARTITION__ and special characters (':', '%',
+    # '#', …) are percent-escaped — a raw f"{c}={v}" path would
+    # silently miss both and leave the ghost rows this removal
+    # exists to eliminate.
     if emptied:
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for row in emptied:
             part_dir = "/".join(
-                f"{c}={row[c]}" for c in partition_cols
+                esc.getPartitionPathString(
+                    c, "" if row[c] is None else str(row[c])
+                )
+                for c in partition_cols
             )
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
             p.getFileSystem(hconf).delete(p, True)

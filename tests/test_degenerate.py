@@ -350,3 +350,50 @@ def test_minby_maxby_deterministic_under_ties(spark):
         assert row.max_price == 5.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_minby_maxby_ignores_null_prices(spark):
+    """The struct ordering key must not resurrect NULL-price rows: a
+    bare min_by skips NULL ordinals, but struct(p, k) is non-NULL as
+    a whole and its NULL field sorts FIRST ascending — pre-fix, a
+    NULL-price row won cheapest_order while the DuckDB oracle
+    (NULLS LAST) picked the real minimum (r11 review finding; the
+    degen nulls variant produces exactly this shape). The leading
+    null-flag field restores ignores-NULL argmax on both engines;
+    an ALL-NULL group degrades to the smallest key on both."""
+    import __spark_entry__ as entry
+    import duckdb
+    import shutil
+    import tempfile
+
+    d = spark.createDataFrame(
+        [(1, "O", None), (2, "O", 7.0), (3, "O", 9.0),
+         (4, "F", None), (5, "F", None)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    )
+    tmp = tempfile.mkdtemp(prefix="minby_null_")
+    try:
+        d.write.parquet(f"{tmp}/orders.parquet")
+        rows = {
+            r.o_orderstatus: r
+            for r in entry.queries()["agg_minby_maxby"](spark, tmp).collect()
+        }
+        assert rows["O"].priciest_order == 3
+        assert rows["O"].cheapest_order == 2  # NOT the NULL-price row 1
+        assert rows["F"].priciest_order == 4  # all-NULL: smallest key
+        assert rows["F"].cheapest_order == 4
+        assert rows["F"].max_price is None
+        # both engines agree on the same bytes
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW orders AS SELECT * FROM '{tmp}/orders.parquet/*.parquet'"
+        )
+        duck = {
+            r[0]: r
+            for r in con.sql(entry.oracle_sql()["agg_minby_maxby"]).fetchall()
+        }
+        for k in ("O", "F"):
+            assert duck[k][1] == rows[k].priciest_order
+            assert duck[k][2] == rows[k].cheapest_order
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -588,3 +588,45 @@ def test_merge_delete_arm_removes_emptied_partition_dir(spark, tmp_path):
         for r in spark.read.parquet(sink).collect()
     }
     assert after == {4: ("g3", 40.0)}  # untouched partition intact
+
+
+def test_merge_delete_arm_null_and_escaped_partition_values(spark, tmp_path):
+    """Directory removal must target the HIVE-LAYOUT names Spark
+    actually wrote: a NULL partition value lives in
+    __HIVE_DEFAULT_PARTITION__ and special characters are
+    percent-escaped — a raw f\"{col}={value}\" path silently misses
+    both, leaving ghost rows (r11 review finding). Also pins that a
+    deleted key naming a partition ABSENT from the sink neither
+    counts as emptied nor errors."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, None, 10.0), (2, "a:b", 20.0), (3, "g3", 30.0)],
+        "id bigint, grp string, val double",
+    )
+    write_partitioned(base, sink, ["grp"])
+    assert os.path.isdir(os.path.join(sink, "grp=__HIVE_DEFAULT_PARTITION__"))
+    assert os.path.isdir(os.path.join(sink, "grp=a%3Ab"))
+
+    empty_upd = spark.createDataFrame([], "id bigint, grp string, val double")
+    deletes = spark.createDataFrame(
+        [(1, None), (2, "a:b"), (9, "no_such_grp")], "id bigint, grp string"
+    )
+    stats = merge_upsert(
+        spark, sink, empty_upd, ["id"], ["grp"], deletes=deletes
+    )
+    assert stats["rows_deleted"] == 2
+    # the nonexistent partition is neither updated-into nor emptied
+    assert stats["emptied_partitions"] == 2
+    assert not os.path.isdir(
+        os.path.join(sink, "grp=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert not os.path.isdir(os.path.join(sink, "grp=a%3Ab"))
+    after = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert after == {3}

@@ -174,9 +174,12 @@ def merge_upsert(
 
     Rewrite volume is O(touched partitions), not O(sink) — at 100 TB
     the touched set is the hot tail, so per-batch upserts stay
-    bounded. Returns {"updated_partitions", "rows_written",
-    "rows_deleted", "emptied_partitions"}.
+    bounded. Returns {"updated_partitions" (partitions actually
+    rewritten or removed — a delete naming a partition the sink never
+    held counts in neither), "rows_written", "rows_deleted",
+    "emptied_partitions"}.
     """
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     touched = updates.select(*partition_cols).distinct()
@@ -184,13 +187,28 @@ def merge_upsert(
         touched = touched.unionByName(
             deletes.select(*partition_cols).distinct()
         ).distinct()
-    # Partition-pruning predicate from the (small) touched set.
-    touched_rows = touched.collect()
+    # Partition-pruning predicate from the (small) touched set. ALL
+    # partition-value bookkeeping below — the predicate, the
+    # existing/written partition-tuple sets, and the emptied-dir
+    # names — runs in SPARK's cast-to-string space (the same Cast,
+    # session-timezone semantics partitionPathExpression uses when
+    # naming directories). Two reasons: Python's str() diverges from
+    # the directory rendering for non-string types (True vs 'true'),
+    # and the read-back partition column may not even keep the write
+    # type (partition inference has no boolean — 'flag=true' comes
+    # back as a STRING), so typed tuples from the two sides never
+    # match. Strings survive the round trip; types don't. Partition
+    # pruning still applies — cast(partition_col) = literal is
+    # evaluable per-partition at planning time.
+    touched_rows = touched.select(
+        *[F.col(c).cast("string").alias(c) for c in partition_cols]
+    ).collect()
+    path_key = [F.col(c).cast("string").alias(c) for c in partition_cols]
     cond = None
     for row in touched_rows:
         clause = None
         for c in partition_cols:
-            eq = F.col(c).eqNullSafe(F.lit(row[c]))
+            eq = F.col(c).cast("string").eqNullSafe(F.lit(row[c]))
             clause = eq if clause is None else (clause & eq)
         cond = clause if cond is None else (cond | clause)
     if cond is None:
@@ -205,17 +223,27 @@ def merge_upsert(
 
     try:
         existing = spark.read.parquet(path)
-    except Exception as exc:
+    except AnalysisException as exc:
         # A sink whose EVERY partition a prior merge deleted still
         # exists as a directory but holds no parquet footers to infer
         # a schema from — semantically an EMPTY sink, not an error.
         # A genuinely missing path still raises (a typo'd sink must
-        # not silently become create-on-first-merge).
+        # not silently become create-on-first-merge), and so does a
+        # sink that HAS data files but failed to read (corrupt footer,
+        # permission fault) — treating that as empty would drop every
+        # survivor in the touched partitions. Only AnalysisException
+        # reaches here at all; executor-side read faults surface at
+        # action time, after this probe.
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             raise exc
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                raise exc  # data files present: a real read failure
         existing = spark.createDataFrame([], updates.schema)
     survivors = existing.filter(cond).join(
         updates.select(*key_cols), key_cols, "left_anti"
@@ -234,7 +262,7 @@ def merge_upsert(
             .join(
                 del_keys.withColumn("_del", F.lit(1)), key_cols, "left"
             )
-            .groupBy(*partition_cols)
+            .groupBy(*path_key)
             .agg(F.sum(F.coalesce(F.col("_del"), F.lit(0))).alias("_nd"))
             .collect()
         )
@@ -245,13 +273,17 @@ def merge_upsert(
         survivors = survivors.join(del_keys, key_cols, "left_anti")
         # delete wins over update for a key in both frames
         updates = updates.join(del_keys, key_cols, "left_anti")
-    merged = survivors.unionByName(updates)
+    # Persist: `merged` feeds TWO actions — the pre-write stats pass
+    # and the overwrite itself. Unpersisted, the write re-executes the
+    # pruned sink scan plus up to three joins (r11 verdict finding #1);
+    # the cache is bounded by the touched partitions' data.
+    merged = survivors.unionByName(updates).persist()
     # One pre-write pass serves both the row count and the
     # emptied-partition set (touched partitions the merge emptied
     # entirely — found BEFORE the overwrite, after it the old files
     # are the only record). Bounded: ≤ |touched_rows| groups.
     part_counts = (
-        merged.groupBy(*partition_cols)
+        merged.groupBy(*path_key)
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
@@ -281,6 +313,7 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+        merged.unpersist()
     # Remove fully-emptied partition dirs AFTER the successful
     # overwrite (a failed write must not half-apply the delete arm).
     # Directory names go through Spark's OWN hive-layout escaping
@@ -294,16 +327,27 @@ def merge_upsert(
         hconf = spark._jsc.hadoopConfiguration()
         esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for row in emptied:
+            # value strings are Spark's own cast-to-string rendering
+            # (collected in touched_rows), never Python str().
             part_dir = "/".join(
                 esc.getPartitionPathString(
-                    c, "" if row[c] is None else str(row[c])
+                    c, "" if row[c] is None else row[c]
                 )
                 for c in partition_cols
             )
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part_dir}")
-            p.getFileSystem(hconf).delete(p, True)
+            fs = p.getFileSystem(hconf)
+            if not fs.delete(p, True) and fs.exists(p):
+                # A surviving emptied directory means ghost rows on the
+                # next read — surface it, never report success.
+                raise IOError(
+                    f"failed to remove emptied partition dir {path}/{part_dir}"
+                )
     return {
-        "updated_partitions": len(touched_rows),
+        # partitions actually rewritten or removed; a touched value
+        # absent from the sink (delete of a never-present partition)
+        # is deliberately NOT counted.
+        "updated_partitions": len(written_parts) + len(emptied),
         "rows_written": n_rows,
         "rows_deleted": n_deleted,
         "emptied_partitions": len(emptied),

@@ -630,3 +630,86 @@ def test_merge_delete_arm_null_and_escaped_partition_values(spark, tmp_path):
     assert not os.path.isdir(os.path.join(sink, "grp=a%3Ab"))
     after = {r["id"] for r in spark.read.parquet(sink).collect()}
     assert after == {3}
+
+
+def test_merge_upsert_stats_count_rewritten_not_touched(spark, tmp_path):
+    """updated_partitions means partitions actually rewritten or
+    removed (r11 advice): a delete naming a partition the sink never
+    held is touched for pruning purposes but rewrites nothing, so it
+    must not inflate the stat."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "g1", 10.0), (2, "g2", 20.0)], ["id", "grp", "val"]
+    )
+    write_partitioned(base, sink, ["grp"])
+    updates = spark.createDataFrame([(1, "g1", 11.0)], ["id", "grp", "val"])
+    deletes = spark.createDataFrame(
+        [(2, "g2"), (9, "no_such_grp")], ["id", "grp"]
+    )
+    stats = merge_upsert(spark, sink, updates, ["id"], ["grp"], deletes=deletes)
+    # g1 rewritten + g2 removed; no_such_grp neither
+    assert stats["updated_partitions"] == 2
+    assert stats["emptied_partitions"] == 1
+    assert stats["rows_deleted"] == 1
+
+
+def test_merge_upsert_unreadable_sink_raises_not_empty(spark, tmp_path):
+    """The empty-sink fallback is for a directory holding NO data
+    files (every partition deleted by a prior merge). A sink that has
+    data files but fails to read — corrupt footer here — must RAISE,
+    never be silently treated as empty: substituting an empty frame
+    drops every survivor in the touched partitions (r11 advice,
+    medium)."""
+    import os
+
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+    )
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    with open(os.path.join(sink, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    updates = spark.createDataFrame([(1, "g1", 1.0)], ["id", "grp", "val"])
+    with pytest.raises(Exception):
+        merge_upsert(spark, sink, updates, ["id"], ["grp"])
+    # the corrupt file must survive untouched (no overwrite happened)
+    assert os.path.exists(os.path.join(sink, "part-00000.parquet"))
+
+
+def test_merge_delete_arm_non_string_partition_values(spark, tmp_path):
+    """Emptied-dir removal must render partition values the way SPARK
+    renders them when writing (cast-to-string: True -> 'true',
+    1 -> '1'), not Python str() (r11 advice): a 'grp=True' path would
+    miss the real 'grp=true' directory and leave its ghost rows."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, True, 10.0), (2, False, 20.0), (3, False, 30.0)],
+        "id bigint, flag boolean, val double",
+    )
+    write_partitioned(base, sink, ["flag"])
+    assert os.path.isdir(os.path.join(sink, "flag=true"))
+
+    empty_upd = spark.createDataFrame([], "id bigint, flag boolean, val double")
+    deletes = spark.createDataFrame([(1, True)], "id bigint, flag boolean")
+    stats = merge_upsert(
+        spark, sink, empty_upd, ["id"], ["flag"], deletes=deletes
+    )
+    assert stats["emptied_partitions"] == 1
+    assert not os.path.isdir(os.path.join(sink, "flag=true"))
+    after = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert after == {2, 3}

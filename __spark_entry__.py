@@ -1021,15 +1021,33 @@ _STREAM_GATE_SEQ = iter(range(1, 1 << 30))
 
 def _events_stream(spark, sf_dir):
     """Streaming twin of _events: the same events table as a
-    file-stream source (explicit schema, directory + glob because the
-    file source requires a directory), ts-normalized identically —
-    shared by every streaming gate so ingestion fixes land once."""
+    file-stream source, ts-normalized identically — shared by every
+    streaming gate so ingestion fixes land once. Two source layouts:
+    the driver fixtures are a single FILE named events.parquet (the
+    file source requires a directory, hence sf_dir + glob), while the
+    at-scale replica fixtures (tools/gen_scaled_fixtures.py) are a
+    DIRECTORY of one part-file per time-shifted replica — read with
+    maxFilesPerTrigger=1 so the drain is N monotonically-advancing
+    micro-batches (real watermark advancement and state eviction, the
+    posture a 100 TB backlog replay would exercise), not one giant
+    batch."""
+    import os
+
     raw_schema = _t(spark, sf_dir, "events").schema
-    return _events_ts_norm(
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        reader = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+    else:
+        reader = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return _events_ts_norm(reader)
 
 
 def stream_windowed_counts(spark, sf_dir):

@@ -13,16 +13,28 @@ database. documents/embeddings get their own id offsets; text is NOT
 salted (clone text changes nothing about engine parity — both engines
 see the same bytes).
 
-events is EXCLUDED: its source parquet carries ns timestamps, which
-Spark can only rewrite as µs/bigint — that changes the DuckDB view's
-column type and breaks the shared oracle SQL. The events family keeps
-its sf0.1 evidence.
+events (round-12, verdict task #2) is generated through DUCKDB, not
+Spark: a Spark rewrite cannot round-trip the source timestamp
+encoding (ns in the driver fixtures; tz-less µs here — either way the
+rewritten file's arrow type diverges from the source and breaks the
+shared oracle typing), while DuckDB reads and writes timestamp[us]
+bit-identically. Each replica gets the shared id strides
+(event_id/user_id, so user-keyed self-joins stay within-replica) AND
+a constant time shift of i × 63 days — ≫ the 30-day corpus span, the
+30-min watermark and every session gap, a whole number of weeks so
+hour/day/week bucket structure is isomorphic per replica, and pure
+int64 µs addition so intra-replica deltas are preserved exactly.
+One part-file per replica, in time order, so the streaming twins
+drain it as N monotonically-advancing micro-batches (real watermark
+advancement + state eviction) instead of one batch.
 
 Usage: python tools/gen_scaled_fixtures.py [sf_dir] [N] [out_dir]
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 import sys
 
 sys.path.insert(0, ".")
@@ -85,7 +97,40 @@ def main() -> None:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         st = (df.agg(F.max(id_cols[0])).collect()[0][0] or 0) + 1
         write_union(t, df, {id_cols[0]: st})
+    write_events_replicas(sf_dir, n, out)
     spark.stop()
+
+
+def write_events_replicas(sf_dir: str, n: int, out: str) -> None:
+    """Replica-offset events fixture via DuckDB (docstring above)."""
+    import duckdb
+
+    src = f"{sf_dir}/events.parquet"
+    con = duckdb.connect()
+    src_rel = f"read_parquet('{src}')" if os.path.isfile(src) else (
+        f"read_parquet('{src}/*.parquet')"
+    )
+    e_st, u_st = con.sql(
+        f"SELECT MAX(event_id) + 1, MAX(user_id) + 1 FROM {src_rel}"
+    ).fetchone()
+    dest = f"{out}/events.parquet"
+    # the destination may exist as a DIRECTORY (prior replica run) or
+    # a plain FILE (the r11 verbatim-copy fixture) — remove either
+    if os.path.isdir(dest):
+        shutil.rmtree(dest)
+    elif os.path.exists(dest):
+        os.remove(dest)
+    os.makedirs(dest)
+    for i in range(n):
+        con.sql(
+            f"COPY (SELECT CAST(event_id + {i * e_st} AS BIGINT) AS event_id,"
+            f"             ts + {i} * INTERVAL 63 DAYS AS ts,"
+            f"             CAST(user_id + {i * u_st} AS BIGINT) AS user_id,"
+            f"             event_type, value, props"
+            f"      FROM {src_rel} ORDER BY ts, event_id)"
+            f" TO '{dest}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+    print(f"events: {n}x written (63-day replica offsets)", flush=True)
 
 
 if __name__ == "__main__":

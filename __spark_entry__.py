@@ -3458,18 +3458,10 @@ def _sf01_docs_twin(sql: str, n_refs: int) -> str:
     )
 
 
-def ccnet_buckets_docs_sf01(spark, sf_dir):
-    """SF-robustness driver gate (r05 verdict #6): the CCNet
-    bucketing re-run pinned to the sf0.1 documents table REGARDLESS
-    of the driver's sf parameter, so quantized-order-statistic
-    robustness at 10× the data gets a driver CORRECTNESS row rather
-    than only the local ORACLE_SF01.md sweep. The paired oracle SQL
-    reads the same sf0.1 parquet via read_parquet(), bypassing the
-    driver's sf0.01 views — both engines see identical input."""
-    return ccnet_buckets_docs(spark, "/root/testdata/sf0.1")
-
-
-CCNET_BUCKETS_SF01_SQL = _sf01_docs_twin(CCNET_BUCKETS_SQL, 1)
+# (ccnet_buckets_docs_sf01 retired r12 — COVERAGE.md ledger: the
+# parent gate's identical definition is value-verified at sf0.1 AND
+# on the 10× union fixture, tranche 2, superseding the fixed-path
+# driver twin.)
 
 
 def hard_negatives_vecs(spark, sf_dir):
@@ -8036,7 +8028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
         "seq_packing_docs": seq_packing_docs,
-        "ccnet_buckets_docs_sf01": ccnet_buckets_docs_sf01,
         "dsir_resample_docs_sf01": dsir_resample_docs_sf01,
         "quality_percentile_docs_sf01": quality_percentile_docs_sf01,
         "kn_bigram_model_docs_sf01": kn_bigram_model_docs_sf01,
@@ -8261,7 +8252,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": GOPHER_FILTER_SQL,
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
-        "ccnet_buckets_docs_sf01": CCNET_BUCKETS_SF01_SQL,
         "dsir_resample_docs_sf01": DSIR_SF01_SQL,
         "quality_percentile_docs_sf01": QUALITY_PCT_SF01_SQL,
         "kn_bigram_model_docs_sf01": KN_BIGRAM_SF01_SQL,

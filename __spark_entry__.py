@@ -1030,7 +1030,10 @@ def _events_stream(spark, sf_dir):
     maxFilesPerTrigger=1 so the drain is N monotonically-advancing
     micro-batches (real watermark advancement and state eviction, the
     posture a 100 TB backlog replay would exercise), not one giant
-    batch."""
+    batch. The os.path.isdir dispatch assumes LOCAL fixture paths —
+    the contract of every driver/test sf_dir in this harness; a
+    remote-scheme sf_dir would take the single-file branch
+    unchanged (pre-r12 behavior)."""
     import os
 
     raw_schema = _t(spark, sf_dir, "events").schema

@@ -197,13 +197,16 @@ def merge_upsert(
     # and the read-back partition column may not even keep the write
     # type (partition inference has no boolean — 'flag=true' comes
     # back as a STRING), so typed tuples from the two sides never
-    # match. Strings survive the round trip; types don't. Partition
-    # pruning still applies — cast(partition_col) = literal is
-    # evaluable per-partition at planning time.
-    touched_rows = touched.select(
-        *[F.col(c).cast("string").alias(c) for c in partition_cols]
-    ).collect()
+    # match. The sink read below disables partition-column TYPE
+    # INFERENCE outright, so read-back partition values are the
+    # literal directory strings — without that, a STRING partition
+    # value with a non-canonical numeric rendering ('01' → inferred
+    # int 1 → cast back '1') would evade the touched predicate and
+    # its survivors would be silently dropped (r12 review find,
+    # repro'd). Partition pruning still applies — cast(partition_col)
+    # = literal is evaluable per-partition at planning time.
     path_key = [F.col(c).cast("string").alias(c) for c in partition_cols]
+    touched_rows = touched.select(*path_key).collect()
     cond = None
     for row in touched_rows:
         clause = None
@@ -221,7 +224,15 @@ def merge_upsert(
             "emptied_partitions": 0,
         }
 
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
     try:
+        # Inference off: partition columns come back as the literal
+        # directory strings, the one representation that round-trips
+        # for every type (the union with the typed update frame
+        # coerces to string, and writing the string value reproduces
+        # the identical directory name).
         existing = spark.read.parquet(path)
     except AnalysisException as exc:
         # A sink whose EVERY partition a prior merge deleted still
@@ -239,12 +250,21 @@ def merge_upsert(
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             raise exc
+        root = p.toUri().getPath()
         it = fs.listFiles(p, True)
         while it.hasNext():
-            name = it.next().getPath().getName()
-            if not name.startswith(("_", ".")):
+            # a VISIBLE data file means a real read failure — but
+            # apply Spark's visibility rule to EVERY path segment
+            # under the sink root, not just the leaf: files inside
+            # _temporary/.staging trees are invisible to the reader
+            # and must not block the empty-sink fallback.
+            rel = it.next().getPath().toUri().getPath()
+            rel = rel[len(root):].lstrip("/")
+            if not any(s.startswith(("_", ".")) for s in rel.split("/")):
                 raise exc  # data files present: a real read failure
         existing = spark.createDataFrame([], updates.schema)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     survivors = existing.filter(cond).join(
         updates.select(*key_cols), key_cols, "left_anti"
     )

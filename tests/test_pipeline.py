@@ -713,3 +713,87 @@ def test_merge_delete_arm_non_string_partition_values(spark, tmp_path):
     assert not os.path.isdir(os.path.join(sink, "flag=true"))
     after = {r["id"] for r in spark.read.parquet(sink).collect()}
     assert after == {2, 3}
+
+
+def test_merge_upsert_numeric_string_partition_values(spark, tmp_path):
+    """Partition values that are STRINGS with a non-canonical numeric
+    rendering ('01'): partition-type inference would read 'grp=01'
+    back as int 1, the cast-to-string '1' would evade the touched
+    predicate, and the grp=01 survivors would silently vanish while
+    the update lands in a NEW grp=1 directory (r12 review find,
+    repro'd live). merge_upsert reads the sink with inference
+    disabled, so the directory string round-trips verbatim."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame(
+        [(1, "01", 10.0), (2, "01", 20.0), (3, "02", 30.0)],
+        "id bigint, grp string, val double",
+    )
+    write_partitioned(base, sink, ["grp"])
+    assert os.path.isdir(os.path.join(sink, "grp=01"))
+
+    updates = spark.createDataFrame(
+        [(1, "01", 11.0)], "id bigint, grp string, val double"
+    )
+    stats = merge_upsert(spark, sink, updates, ["id"], ["grp"])
+    assert stats == {
+        "updated_partitions": 1,
+        "rows_written": 2,
+        "rows_deleted": 0,
+        "emptied_partitions": 0,
+    }
+    assert not os.path.isdir(os.path.join(sink, "grp=1"))  # no ghost dir
+    # read back with inference off (the type-faithful read; a plain
+    # read would re-infer '01' -> int 1 — the reader-side half of the
+    # same lossy round trip, outside merge_upsert's control)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        after = {
+            r["id"]: (r["grp"], r["val"])
+            for r in spark.read.parquet(sink).collect()
+        }
+    finally:
+        spark.conf.set(key, prev)
+    assert after == {1: ("01", 11.0), 2: ("01", 20.0), 3: ("02", 30.0)}
+
+
+def test_merge_upsert_empty_sink_fallback_ignores_staging_debris(
+    spark, tmp_path
+):
+    """The fully-emptied-sink fallback must apply Spark's visibility
+    rule to every path SEGMENT: a _temporary/ tree left by a crashed
+    write is invisible to the reader, so its part files must not
+    block the fallback (r12 review find)."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.writers import (
+        merge_upsert,
+        write_partitioned,
+    )
+
+    sink = str(tmp_path / "sink")
+    base = spark.createDataFrame([(1, "g1", 10.0)], ["id", "grp", "val"])
+    write_partitioned(base, sink, ["grp"])
+    # empty the sink entirely via the delete arm
+    empty_upd = spark.createDataFrame([], "id bigint, grp string, val double")
+    deletes = spark.createDataFrame([(1, "g1")], ["id", "grp"])
+    merge_upsert(spark, sink, empty_upd, ["id"], ["grp"], deletes=deletes)
+    # plant crashed-write debris under a hidden directory
+    debris = os.path.join(sink, "_temporary", "0", "attempt_1")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"leftover")
+    # a new insert must take the empty-sink fallback, not raise
+    ins = spark.createDataFrame([(5, "g2", 50.0)], ["id", "grp", "val"])
+    stats = merge_upsert(spark, sink, ins, ["id"], ["grp"])
+    assert stats["rows_written"] == 1
+    after = {r["id"] for r in spark.read.parquet(sink).collect()}
+    assert after == {5}

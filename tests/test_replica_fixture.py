@@ -10,7 +10,6 @@ import os
 import sys
 
 import pytest
-from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,7 +37,17 @@ def test_replica_fixture_shape(spark, replica_dir):
         f" MIN(ts) mnt, MAX(ts) mxt FROM '{SF_DIR}/events.parquet'"
     ).fetchone()
     files = sorted(os.listdir(f"{replica_dir}/events.parquet"))
-    assert len([f for f in files if f.endswith(".parquet")]) == 2
+    parts = [f for f in files if f.endswith(".parquet")]
+    assert len(parts) == 2
+    # drain order = replica time order: the stream source orders
+    # micro-batches by file MTIME, which the generator pins strictly
+    # increasing (ties at fs timestamp granularity would let a later
+    # replica drain first and watermark-drop every earlier one)
+    mtimes = [
+        os.stat(os.path.join(replica_dir, "events.parquet", f)).st_mtime
+        for f in parts
+    ]
+    assert mtimes[0] < mtimes[1]
 
     rep = duckdb.sql(
         f"SELECT COUNT(*) n, COUNT(DISTINCT event_id) de,"

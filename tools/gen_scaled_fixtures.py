@@ -113,6 +113,10 @@ def write_events_replicas(sf_dir: str, n: int, out: str) -> None:
     e_st, u_st = con.sql(
         f"SELECT MAX(event_id) + 1, MAX(user_id) + 1 FROM {src_rel}"
     ).fetchone()
+    if e_st is None or u_st is None:
+        raise ValueError(
+            f"events source {src} is empty — nothing to replicate"
+        )
     dest = f"{out}/events.parquet"
     # the destination may exist as a DIRECTORY (prior replica run) or
     # a plain FILE (the r11 verbatim-copy fixture) — remove either
@@ -121,15 +125,24 @@ def write_events_replicas(sf_dir: str, n: int, out: str) -> None:
     elif os.path.exists(dest):
         os.remove(dest)
     os.makedirs(dest)
+    base_mtime = os.stat(src).st_mtime
     for i in range(n):
+        part = f"{dest}/part-{i:03d}.parquet"
         con.sql(
             f"COPY (SELECT CAST(event_id + {i * e_st} AS BIGINT) AS event_id,"
             f"             ts + {i} * INTERVAL 63 DAYS AS ts,"
             f"             CAST(user_id + {i * u_st} AS BIGINT) AS user_id,"
             f"             event_type, value, props"
             f"      FROM {src_rel} ORDER BY ts, event_id)"
-            f" TO '{dest}/part-{i:03d}.parquet' (FORMAT PARQUET)"
+            f" TO '{part}' (FORMAT PARQUET)"
         )
+        # Spark's file stream source orders micro-batches by file
+        # MODIFICATION TIME, not name: fast sequential COPYs can tie
+        # at filesystem timestamp granularity and a later-replica
+        # batch draining first would put every earlier replica 63
+        # days behind the watermark. Pin strictly increasing mtimes
+        # so the drain order IS the replica time order.
+        os.utime(part, (base_mtime + i, base_mtime + i))
     print(f"events: {n}x written (63-day replica offsets)", flush=True)
 
 

@@ -62,8 +62,17 @@ def write_partitioned(
         keys = [F.col(c) for c in partition_cols]
         if files_per_partition > 1:
             # Salt so one hot partition value can still fan out to
-            # several writers (skew control at scale).
-            keys = keys + [(F.spark_partition_id() % files_per_partition)]
+            # several writers (skew control at scale). Row-id based:
+            # a spark_partition_id() salt is capped by the UPSTREAM
+            # partition count (a single-partition frame salts to one
+            # value and the fan-out silently does nothing — r12
+            # review find).
+            keys = keys + [
+                F.pmod(
+                    F.monotonically_increasing_id(),
+                    F.lit(files_per_partition),
+                )
+            ]
         df = df.repartition(*keys)
     writer = df.write.mode(mode).partitionBy(*partition_cols).format(fmt)
     if partition_overwrite:
@@ -92,51 +101,97 @@ def compact_partitions(
     partitions keep their files byte-identical.
 
     Returns {"compacted": n_partitions, "files_before": x,
-    "files_after": y}. At 100 TB the same loop runs per partition
-    batch; on Delta this whole function is ``OPTIMIZE``.
+    "files_after": y} — files_after RECOUNTED from the filesystem, not
+    assumed. At 100 TB the same loop runs per partition batch; on
+    Delta this whole function is ``OPTIMIZE``.
+
+    Hardened r12 (review findings — the same classes fixed in
+    merge_upsert, ported here): enumeration goes through the Hadoop
+    FileSystem API (scheme-agnostic, where os.walk silently returned
+    nothing off the local FS), directory tokens are hive-UNESCAPED and
+    __HIVE_DEFAULT_PARTITION__ maps to NULL, the sink read disables
+    partition type inference so 'grp=01' round-trips verbatim, the
+    predicate is eqNullSafe, and target_files > 1 salts the
+    repartition (hash on partition columns alone puts every row of a
+    value in ONE task = always one file, whatever target_files said).
     """
-    import os
     from collections import defaultdict
 
-    frag: dict[tuple, int] = defaultdict(int)
-    for root, _dirs, files in os.walk(path):
-        n_data = sum(1 for f in files if f.endswith(".parquet"))
-        if not n_data:
-            continue
-        rel = os.path.relpath(root, path)
-        parts = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
-        if set(parts) >= set(partition_cols):
-            key = tuple(parts[c] for c in partition_cols)
-            frag[key] += n_data
+    jvm = spark._jvm
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    root = p.toUri().getPath()
+
+    def scan_partition_files() -> dict[tuple, int]:
+        frag: dict[tuple, int] = defaultdict(int)
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            rel = it.next().getPath().toUri().getPath()
+            rel = rel[len(root):].lstrip("/")
+            segs = rel.split("/")
+            # Spark's visibility rule: any hidden segment hides the file
+            if any(s.startswith(("_", ".")) for s in segs):
+                continue
+            if not segs[-1].endswith(".parquet"):
+                continue
+            parts: dict[str, str | None] = {}
+            for s in segs[:-1]:
+                if "=" in s:
+                    k, _, v = s.partition("=")
+                    parts[esc.unescapePathName(k)] = (
+                        None
+                        if v == "__HIVE_DEFAULT_PARTITION__"
+                        else esc.unescapePathName(v)
+                    )
+            if set(parts) >= set(partition_cols):
+                frag[tuple(parts[c] for c in partition_cols)] += 1
+        return frag
+
+    frag = scan_partition_files()
     victims = {k: v for k, v in frag.items() if v > min_files}
     if not victims:
         return {"compacted": 0, "files_before": 0, "files_after": 0}
 
-    df = spark.read.parquet(path)
-    # Partition-pruning predicate: (p1=v1 AND p2=v2 ...) OR ...
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    # Partition-pruning predicate: (p1<=>v1 AND p2<=>v2 ...) OR ...
     cond = None
     for key in victims:
         clause = None
         for col, val in zip(partition_cols, key):
-            c = F.col(col).cast("string") == F.lit(val)
+            c = F.col(col).cast("string").eqNullSafe(F.lit(val))
             clause = c if clause is None else (clause & c)
         cond = clause if cond is None else (cond | clause)
+    keys = [F.col(c) for c in partition_cols]
+    if target_files > 1:
+        keys.append(F.pmod(F.monotonically_increasing_id(), F.lit(target_files)))
+    # explicit partition count: without it AQE coalesces a small
+    # rewrite into one task and the salt fan-out silently collapses
+    # back to one file per directory
+    n_shuffle = max(len(victims) * target_files, 1)
     previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
             df.filter(cond)
-            .repartition(target_files, *[F.col(c) for c in partition_cols])
+            .repartition(n_shuffle, *keys)
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(path)
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", previous)
+    after = scan_partition_files()
     return {
         "compacted": len(victims),
         "files_before": sum(victims.values()),
-        "files_after": len(victims) * target_files,
+        "files_after": sum(after.get(k, 0) for k in victims),
     }
 
 
@@ -280,10 +335,16 @@ def merge_upsert(
         ex_stats = (
             existing.filter(cond)
             .join(
-                del_keys.withColumn("_del", F.lit(1)), key_cols, "left"
+                # double-underscored marker: a sink column literally
+                # named '_del' would make the join output ambiguous
+                del_keys.withColumn("__merge_del__", F.lit(1)),
+                key_cols,
+                "left",
             )
             .groupBy(*path_key)
-            .agg(F.sum(F.coalesce(F.col("_del"), F.lit(0))).alias("_nd"))
+            .agg(
+                F.sum(F.coalesce(F.col("__merge_del__"), F.lit(0))).alias("_nd")
+            )
             .collect()
         )
         n_deleted = int(sum(r["_nd"] for r in ex_stats))
@@ -326,7 +387,13 @@ def merge_upsert(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            merged.repartition(1, *[F.col(c) for c in partition_cols])
+            # hash on the partition columns: each touched VALUE lands
+            # in exactly one task (one file per directory), but the
+            # values spread across tasks so a 200-partition batch
+            # writes in parallel — repartition(1, ...) funneled the
+            # whole merged frame through a single writer (r12 review
+            # find, the opposite of the O(touched) posture).
+            merged.repartition(*[F.col(c) for c in partition_cols])
             .write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(path)
@@ -397,7 +464,7 @@ def zorder_by(
     cols: list[str],
     n_files: int = 8,
     bits_per_col: int = 8,
-    rel_err: float = 0.01,
+    rel_err: float | None = None,
 ):
     """Multi-column Z-ORDER layout: data skipping on EVERY listed key
     at once, where :func:`cluster_by` serves only its leading key.
@@ -418,16 +485,37 @@ def zorder_by(
 
     Quantile bucketing (not min/max linear binning) makes the cells
     equal-population, so skewed keys still spread across files.
+
+    r12 review hardening: the Morton key must fit the non-sign bits
+    of a long — ``bits_per_col × len(cols) ≤ 62`` is now enforced
+    (JVM shiftleft takes the shift mod 64, so an overflowing layout
+    silently ALIASED high bits onto low positions and flipped key
+    signs instead of failing); all quantile boundaries come from ONE
+    multi-column approxQuantile pass instead of one full scan per
+    key; ``rel_err`` defaults to the finer of 1 % and a quarter
+    bucket width (a 1 % rank error against 1/256-wide buckets let
+    adjacent boundaries collapse); and a pre-existing ``_zorder_key``
+    column is an explicit error instead of silent data loss.
     """
     from pyspark.sql import functions as F
 
     if not 1 <= bits_per_col <= 16:
         raise ValueError("bits_per_col must be in [1, 16]")
+    if bits_per_col * len(cols) > 62:
+        raise ValueError(
+            f"z-order key needs {bits_per_col * len(cols)} bits; the "
+            f"interleaved key must fit a signed long (≤ 62) — lower "
+            f"bits_per_col or drop columns"
+        )
+    if "_zorder_key" in df.columns:
+        raise ValueError("input already has a '_zorder_key' column")
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
+    if rel_err is None:
+        rel_err = min(0.01, 0.25 / n_buckets)
+    all_bounds = df.stat.approxQuantile(list(cols), probs, rel_err)
     rank_cols = []
-    for c in cols:
-        bounds = df.stat.approxQuantile(c, probs, rel_err)
+    for c, bounds in zip(cols, all_bounds):
         arr = F.array(*[F.lit(b) for b in bounds])
         rank = F.size(
             F.filter(arr, lambda x: x <= F.col(c).cast("double"))

@@ -36,6 +36,7 @@ def stream_ingest(
     partition_cols: list[str] | None = None,
     legacy_day: bool = True,
     available_now: bool = True,
+    reader_options: dict | None = None,
 ) -> StreamingQuery:
     """Streamed JSON→flatten→partitioned-parquet ingest with archival.
 
@@ -44,12 +45,16 @@ def stream_ingest(
     batches is a batch-mode concern (the ``mergeSchema`` read-back);
     a drifted schema requires restarting the stream with the new
     schema, same as the reference redeploying its ETL.
+
+    ``reader_options`` overrides the file-source defaults
+    (``maxFilesPerTrigger`` / ``maxBytesPerTrigger`` — the same
+    micro-batch right-sizing levers the other two stream
+    constructors expose; r12 consistency fix).
     """
     partition_cols = partition_cols or PARTITION_COLS
 
-    reader = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1000")
+    reader = spark.readStream.schema(schema).options(
+        **{"maxFilesPerTrigger": "1000", **(reader_options or {})}
     )
     if archive_path:
         reader = reader.option("cleanSource", "archive").option(
@@ -146,9 +151,25 @@ def sessionize_stateful(
     Batch-mode note: the same gaps-and-islands semantics in batch is
     ``events_sessionize`` (lag + cumulative flag) — this operator is
     the streaming form where history cannot be re-scanned.
+
+    r12 review hardening: gaps are computed on Spark-side
+    ``unix_micros`` epoch values, never tz-naive pandas timestamps
+    (Arrow hands pandas SESSION-LOCAL naive times, so a DST jump
+    distorted the measured gap by an hour); ``last_us`` is kept
+    MONOTONIC — an in-horizon late event joins the open session
+    (negative gap) without rewinding the baseline, where the rewind
+    let the NEXT on-time event measure its gap from the stale point
+    and open a phantom session; a NaT-only batch for a user with no
+    existing state emits nothing (the batch twin has no row for a
+    user with zero timestamped events); and the output/state schema
+    follows ``user_col``'s actual name and type instead of a
+    hardcoded ``user_id long``.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[user_col].dataType.simpleString()
+    ts_us_col = "__sess_ts_us"
 
     def update(key, pdfs, state: GroupState):
         if state.exists:
@@ -157,27 +178,37 @@ def sessionize_stateful(
             last_us, n_sessions, n_events = None, 0, 0
         ts_list = []
         for pdf in pdfs:
-            # NULL timestamps arrive as NaT, whose .value is the
-            # int64 sentinel (-2^63): it would sort first, open a
-            # phantom session, and make the next real event's gap
-            # astronomical — drop them before the sort loop
-            ts = pd.to_datetime(pdf[ts_col])
+            # NULL timestamps arrive as NaN/NA in the epoch column:
+            # they would sort first, open a phantom session, and make
+            # the next real event's gap astronomical — drop them
             ts_list.extend(
-                int(t.value) // 1000 for t in ts if not pd.isna(t)
+                int(v) for v in pdf[ts_us_col] if not pd.isna(v)
             )
+        if not ts_list and not state.exists:
+            return  # no timestamped history: the batch twin has no row
         for t_us in sorted(ts_list):
             if last_us is None or t_us - last_us > gap_s * 1_000_000:
                 n_sessions += 1
-            last_us = t_us
+            last_us = t_us if last_us is None else max(last_us, t_us)
             n_events += 1
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+            {
+                user_col: [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
         )
 
-    return events.groupBy(user_col).applyInPandasWithState(
+    projected = events.select(
+        F.col(user_col),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias(ts_us_col),
+    )
+    return projected.groupBy(user_col).applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_sessions long, n_events long",
+        outputStructType=(
+            f"{user_col} {key_type}, n_sessions long, n_events long"
+        ),
         stateStructType="last_us long, n_sessions long, n_events long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -219,8 +250,6 @@ def stream_stream_interval_join(
     buffered rows — without the time bound a stream-stream join
     buffers forever.
     """
-    from pyspark.sql import functions as F
-
     l = left.withWatermark(ts_col, watermark).select(
         F.col(user_col).alias("l_user"),
         F.col("event_id").alias("l_event_id"),
@@ -252,8 +281,6 @@ def windowed_event_counts(
     """Tumbling-window count/sum with late-data watermarking — works
     on both a streaming and a batch DataFrame (same plan; in batch the
     watermark is a no-op)."""
-    from pyspark.sql import functions as F
-
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration), F.col("event_type"))
@@ -319,10 +346,44 @@ def stream_ingest_with_catalog(
     partition_cols = partition_cols or PARTITION_COLS
 
     def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # a zero-row batch (empty source file) writes nothing: a
+            # first-batch write of only _SUCCESS would make the
+            # drift_mode='full' sink re-read fail schema inference
+            # and poison-pill the checkpoint (r12 review find)
+            return
         denorm = with_ingest_columns(
             flatten(batch_df), legacy_day=legacy_day
         ).withColumn("ingest_batch", F.lit(batch_id))
         layout = [*partition_cols, "ingest_batch"]
+        # Dead-letter routing (r12 review find): the parquet writer
+        # hive-escapes any partition value, but the catalog's spec
+        # strings fail loudly on '/', '=' or a quote
+        # (catalog.partition_specs_from_data) — so one poison record
+        # would land in the sink and then wedge the checkpointed
+        # stream forever on the catalog sync. Quarantine such rows
+        # into a HIDDEN sub-directory (invisible to sink readers,
+        # keyed by batch for replay idempotence) and keep the stream
+        # alive on the valid remainder.
+        bad = F.lit(False)
+        for c in partition_cols:
+            s = F.col(c).cast("string")
+            bad = bad | (
+                s.isNotNull()
+                & (s.contains("/") | s.contains("=") | s.contains("'"))
+            )
+        quarantined = denorm.filter(bad)
+        if not quarantined.isEmpty():
+            _writers.write_partitioned(
+                quarantined,
+                f"{sink_path}/_quarantine",
+                ["ingest_batch"],
+                mode="overwrite",
+                partition_overwrite="dynamic",
+            )
+            denorm = denorm.filter(~bad)
+            if denorm.isEmpty():
+                return
         # module attribute (not a from-import) so the restart test's
         # crash injection seam keeps working
         _writers.write_partitioned(
@@ -413,24 +474,30 @@ def stream_incremental_dedup(
         if batch_df.isEmpty():
             return
         try:
+            corpus = spark.read.parquet(corpus_sink)
+        except AnalysisException:
+            # ONLY "no history yet" (missing path) falls through to
+            # first-contact mode; a transient read failure (throttle,
+            # corrupt footer) must raise — swallowing it would run
+            # the batch without history and permanently under-report
+            # duplicates against the accumulated corpus. The filter
+            # below sits OUTSIDE this try: an existing corpus MISSING
+            # the ingest_batch column (a foreign backfill wrote it)
+            # must surface as UNRESOLVED_COLUMN, not be silently
+            # treated as empty history (r12 review find).
+            corpus = None
+        if corpus is None:
+            old_docs = None
+        else:
             # Exclude this batch's own partition from the "old"
             # corpus: a replayed batch (crash AFTER the corpus-sink
             # commit but BEFORE the checkpoint commit) would
             # otherwise see its own rows as history, and the verify
             # join would emit every pair twice (new-old + new-new)
             # inside its pairs partition.
-            old_docs = (
-                spark.read.parquet(corpus_sink)
-                .filter(F.col("ingest_batch") != batch_id)
-                .drop("ingest_batch")
-            )
-        except AnalysisException:
-            # ONLY "no history yet" (missing path) falls through to
-            # first-contact mode; a transient read failure (throttle,
-            # corrupt footer) must raise — swallowing it would run
-            # the batch without history and permanently under-report
-            # duplicates against the accumulated corpus
-            old_docs = None
+            old_docs = corpus.filter(
+                F.col("ingest_batch") != batch_id
+            ).drop("ingest_batch")
         # EVERY artifact write is keyed by batch_id with dynamic
         # partition overwrite — the foreachBatch idempotence recipe:
         # a replayed batch overwrites exactly its own partitions, so

@@ -981,3 +981,143 @@ def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
     # only user 1 had new events, and the recovered state means the
     # 10:25 event did NOT open a new session
     assert run2 == {1: (2, 4)}
+
+
+def test_stateful_sessionize_late_event_does_not_rewind_baseline(
+    spark, tmp_path
+):
+    """An in-horizon late event belongs to the open session (negative
+    gap) but must not REWIND last_us: pre-r12, the rewound baseline
+    made the next on-time event measure its gap from the stale point
+    and open a phantom session (r12 review find)."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "sess_late")
+    schema = "user_id long, ts timestamp"
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01T09:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T10:00:00"},
+        ],
+    )
+    # batch 2: a LATE 09:20 event (same session chain), then batch 3:
+    # 10:20 — within 30 min of the true last event (10:00), so batch
+    # semantics over {09:00, 09:20, 10:00, 10:20} give 2 sessions
+    # ({09:00,09:20} and {10:00,10:20}); a rewound baseline (09:20)
+    # would call 10:20 a NEW third session.
+    _write_json(
+        os.path.join(src, "b2.json"),
+        [{"user_id": 1, "ts": "2024-01-01T09:20:00"}],
+    )
+    _write_json(
+        os.path.join(src, "b3.json"),
+        [{"user_id": 1, "ts": "2024-01-01T10:20:00"}],
+    )
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        sessionize_stateful(stream_df)
+        .writeStream.format("memory")
+        .queryName("sessions_late")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_late").collect()
+    }
+    assert got[1] == (2, 4)
+
+
+def test_stateful_sessionize_null_only_user_emits_nothing(spark, tmp_path):
+    """A user whose only rows carry NULL timestamps must not appear in
+    the output (the batch twin has no row for them); pre-r12 a
+    (0 sessions, 0 events) row leaked out (r12 review find)."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "sess_null")
+    schema = "user_id long, ts timestamp"
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01T09:00:00"},
+            {"user_id": 7, "ts": None},
+        ],
+    )
+    stream_df = spark.readStream.schema(schema).json(src)
+    q = (
+        sessionize_stateful(stream_df)
+        .writeStream.format("memory")
+        .queryName("sessions_null")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_null").collect()
+    }
+    assert got == {1: (1, 1)}
+
+
+def test_stream_ingest_catalog_quarantines_poison_partition_values(
+    spark, tmp_path
+):
+    """A record whose partition value the catalog spec encoding
+    rejects ('/', '=', quote) must be dead-lettered into the hidden
+    _quarantine tree — pre-r12 the sink write succeeded and the
+    catalog sync then wedged the checkpointed stream forever on that
+    batch (r12 review find)."""
+    import glob
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        run_available_now,
+        stream_ingest_with_catalog,
+    )
+
+    base = str(tmp_path)
+    src, sink, chk = f"{base}/src", f"{base}/sink", f"{base}/chk"
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"customerid": "ok1", "vehicle": "v", "category": "c",
+             "tts": 1704103200},
+            {"customerid": "a/b", "vehicle": "v", "category": "c",
+             "tts": 1704103200},
+        ],
+    )
+    schema = spark.read.json(src).schema
+    q = stream_ingest_with_catalog(
+        spark, source_path=src, sink_path=sink, checkpoint_path=chk,
+        schema=schema, catalog_db="quarantine_db", table_prefix="p",
+    )
+    try:
+        run_available_now(q)
+        sunk = spark.read.parquet(sink)
+        assert {r["customerid"] for r in sunk.collect()} == {"ok1"}
+        # the poison row is preserved in the hidden quarantine tree
+        qfiles = glob.glob(f"{sink}/_quarantine/**/*.parquet", recursive=True)
+        assert qfiles
+        quarantined = spark.read.parquet(f"{sink}/_quarantine")
+        assert {r["customerid"] for r in quarantined.collect()} == {"a/b"}
+        # and the catalog registered the valid partition
+        parts = spark.sql("SHOW PARTITIONS quarantine_db.p_sink").collect()
+        assert len(parts) == 1
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS quarantine_db CASCADE")

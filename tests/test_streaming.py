@@ -1018,6 +1018,14 @@ def test_stateful_sessionize_late_event_does_not_rewind_baseline(
         os.path.join(src, "b3.json"),
         [{"user_id": 1, "ts": "2024-01-01T10:20:00"}],
     )
+    # the file source orders micro-batches by MTIME; same-second
+    # writes tie and drain in arbitrary order (the exact lesson the
+    # replica-fixture generator pins) — force b1 < b2 < b3
+    import time
+
+    now = time.time()
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(os.path.join(src, name), (now + i, now + i))
     stream_df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -60,11 +60,15 @@ def schema_for_catalog(schema_or_df: DataFrame | StructType) -> list[SchemaEntry
 def partition_schema_for_catalog(
     schema_or_df: DataFrame | StructType, partition_cols: list[str]
 ) -> list[SchemaEntry]:
-    """H2 (:114-116): subset of H1 restricted to partition columns."""
+    """H2 (:114-116): subset of H1 restricted to partition columns.
+    Comparison is case-insensitive — schema_for_catalog lowercases
+    Names, so a raw mixed-case partition_cols list silently matched
+    nothing (r12 review find)."""
+    wanted = {c.lower() for c in partition_cols}
     return [
         entry
         for entry in schema_for_catalog(schema_or_df)
-        if entry["Name"] in partition_cols
+        if entry["Name"] in wanted
     ]
 
 
@@ -145,9 +149,28 @@ def partitions_ddl(db: str, table: str, specs: list[str]) -> str:
 
 
 def show_partitions(spark: SparkSession, db: str, table: str) -> list[str]:
-    """H4 (:174-181): ``SHOW PARTITIONS`` — synchronous, no polling."""
-    rows = spark.sql(f"SHOW PARTITIONS `{db}`.`{table}`").collect()
-    return [row[0] for row in rows]
+    """H4 (:174-181): ``SHOW PARTITIONS`` — synchronous, no polling.
+
+    Values are hive-UNESCAPED before returning, so every spec string
+    in the module (ledger entries, diffs, DDL literals) lives in ONE
+    raw representation: SHOW emits ``day=2024-01-01 00%3A00%3A00``
+    while :func:`partition_specs_from_data` derives the raw
+    ``2024-01-01 00:00:00`` — mixing the two made MSCK/SHOW-seeded
+    ledger entries never match data-derived specs, spuriously
+    re-adding partitions forever (r12 review find). Values containing
+    '/', '=' or quotes can't reach a partition through this module
+    (the spec guard rejects them at the boundary), so the raw k=v/k=v
+    encoding stays unambiguous."""
+    jvm = spark._jvm
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    out = []
+    for row in spark.sql(f"SHOW PARTITIONS `{db}`.`{table}`").collect():
+        kvs = []
+        for kv in row[0].split("/"):
+            k, _, v = kv.partition("=")
+            kvs.append(f"{k}={esc.unescapePathName(v)}")
+        out.append("/".join(kvs))
+    return out
 
 
 def add_new_partitions(
@@ -205,9 +228,12 @@ def create_table_over_path(
         for f in schema.fields
         if f.name.lower() in part_set
     )
+    # filtered join, not bare concatenation: an all-partition-column
+    # schema has empty data_cols and "(, `c` string)" is a
+    # ParseException (r12 review find)
+    all_cols = ", ".join(s for s in (data_cols, part_cols_ddl) if s)
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({data_cols}"
-        + (f", {part_cols_ddl}" if part_cols_ddl else "")
+        f"CREATE TABLE IF NOT EXISTS `{db}`.`{table}` ({all_cols}"
         + ") USING parquet "
         + (
             "PARTITIONED BY ("
@@ -267,16 +293,21 @@ def load_catalog_state(sink_path: str) -> dict | None:
             return None
         with open(path) as fh:
             return json.load(fh)
-    fs, hpath, _ = _hadoop_fs(path)
+    fs, hpath, jvm = _hadoop_fs(path)
     if not fs.exists(hpath):
         return None
-    # read through Spark (py4j passes byte[] buffers by VALUE, so a
-    # direct FSDataInputStream.read(buf) can't fill a Python buffer)
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    rows = spark.read.text(path).collect()
-    return json.loads("\n".join(r[0] for r in rows))
+    # read the bytes through the JVM: py4j passes byte[] buffers by
+    # VALUE (a direct FSDataInputStream.read(buf) can't fill a Python
+    # buffer), and spark.read.text silently IGNORES '_'-prefixed
+    # files even when named directly — the old text-reader path
+    # returned zero rows for _catalog_state.json and crashed every
+    # non-local run after the first (r12 review find, repro'd).
+    stream = fs.open(hpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
 
 
 def save_catalog_state(
@@ -286,16 +317,28 @@ def save_catalog_state(
         {"schema": schema_entries, "partitions": sorted(partitions)}
     )
     path = _state_path(sink_path)
+    # write-then-rename so a crash mid-write can never leave a
+    # truncated ledger that poisons every later scheduled run (r12
+    # review find); os.replace / FileSystem.rename are atomic on
+    # POSIX and HDFS (on S3 the rename is copy+delete — still never
+    # a partially-written visible object).
     if _is_local(sink_path):
-        with open(path, "w") as fh:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(payload)
+        os.replace(tmp, path)
         return
-    fs, hpath, _ = _hadoop_fs(path)
-    stream = fs.create(hpath, True)
+    fs, hpath, jvm = _hadoop_fs(path)
+    tmp_path = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    stream = fs.create(tmp_path, True)
     try:
         stream.write(payload.encode("utf-8"))
     finally:
         stream.close()
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp_path, hpath):
+        raise IOError(f"failed to move catalog ledger into place: {path}")
 
 
 def sync_catalog(
@@ -409,12 +452,21 @@ def sync_catalog_incremental(
     if state is None or not table_exists:
         # First contact under the ledger protocol: the just-appended
         # batch IS the sink; with a ledger but a fresh session
-        # catalog, reconstruct the union schema from the ledger.
-        merged = (
-            batch_schema
-            if state is None
-            else _union_entries(state["schema"], batch_schema)
-        )
+        # catalog, reconstruct the union schema from the ledger. A
+        # LOST ledger beside a surviving table (S3 lifecycle rule,
+        # manual cleanup) must seed from the TABLE's schema too —
+        # batch-only seeding silently dropped every sink column the
+        # batch happened to lack from the recreated table and the new
+        # ledger (r12 review find).
+        if state is not None:
+            merged = _union_entries(state["schema"], batch_schema)
+        elif table_exists:
+            merged = _union_entries(
+                schema_for_catalog(spark.table(f"`{db}`.`{table}`")),
+                batch_schema,
+            )
+        else:
+            merged = batch_schema
         if table_exists and not schema_match(
             merged, schema_for_catalog(spark.table(f"`{db}`.`{table}`"))
         ):
@@ -445,12 +497,9 @@ def sync_catalog_incremental(
         save_catalog_state(sink_path, merged, parts)
         return "drift-recreated"
 
-    new: list[str] = []
-    if partition_cols:
-        curr = partition_specs_from_data(batch_df, partition_cols)
-        new = new_partition_specs(curr, state.get("partitions", []))
-        if new:
-            spark.sql(partitions_ddl(db, table, new))
+    new = add_new_partitions_from_state(
+        spark, batch_df, db, table, partition_cols, state
+    )
     save_catalog_state(
         sink_path, merged, sorted(set(state.get("partitions", [])) | set(new))
     )
@@ -484,11 +533,14 @@ def analyze_table(
     metadata Glue crawlers maintain for Athena in the reference
     architecture; reference H8 crawls, we ANALYZE). Returns the
     recorded stats for inspection."""
-    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    quoted = ".".join(f"`{p}`" for p in table.split("."))
+    spark.sql(f"ANALYZE TABLE {quoted} COMPUTE STATISTICS")
     if columns:
-        cols = ", ".join(columns)
-        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
-    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        cols = ", ".join(f"`{c}`" for c in columns)
+        spark.sql(
+            f"ANALYZE TABLE {quoted} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {quoted}").collect()
     stats = next(
         (r["data_type"] for r in rows if r["col_name"] == "Statistics"), None
     )

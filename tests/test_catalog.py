@@ -117,3 +117,123 @@ def test_partition_specs_null_and_special_values(spark):
     bad = spark.createDataFrame([("a/b", "c")], "vehicle string, category string")
     with pytest.raises(ValueError, match="partition value"):
         partition_specs_from_data(bad, ["vehicle", "category"])
+
+
+def test_show_partitions_unescapes_to_raw_specs(spark, tmp_path):
+    """One spec representation everywhere (r12 review find): SHOW
+    PARTITIONS hive-escapes values ('a:b' -> a%3Ab) while
+    partition_specs_from_data derives raw strings; mixing the two
+    made ledger entries never match data-derived specs, spuriously
+    re-adding every special-char partition on every run."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        load_catalog_state,
+        sync_catalog_incremental,
+    )
+
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "plain")], "id bigint, category string"
+    )
+    df.write.partitionBy("category").parquet(sink)
+    action = sync_catalog_incremental(
+        spark, df, sink, "esc_db", "t", ["category"]
+    )
+    try:
+        assert action == "created"
+        state = load_catalog_state(sink)
+        assert set(state["partitions"]) == {
+            "category=a:b", "category=plain",
+        }  # raw, never a%3Ab
+        # a replayed batch must be partitions-only with NO re-adds
+        action2 = sync_catalog_incremental(
+            spark, df, sink, "esc_db", "t", ["category"]
+        )
+        assert action2 == "partitions-only"
+        state2 = load_catalog_state(sink)
+        assert state2["partitions"] == state["partitions"]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS esc_db CASCADE")
+
+
+def test_lost_ledger_with_surviving_table_keeps_wide_schema(
+    spark, tmp_path
+):
+    """A lost ledger beside a surviving table must seed from the
+    TABLE's schema, not the batch alone — batch-only seeding silently
+    dropped every sink column the next batch lacked (r12 review
+    find)."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        load_catalog_state,
+        sync_catalog_incremental,
+    )
+
+    sink = str(tmp_path / "sink")
+    wide = spark.createDataFrame(
+        [(1, "x", 1.5, "g1")], "id bigint, extra string, val double, grp string"
+    )
+    wide.write.partitionBy("grp").parquet(sink)
+    sync_catalog_incremental(spark, wide, sink, "lost_db", "t", ["grp"])
+    try:
+        os.remove(os.path.join(sink, "_catalog_state.json"))
+        narrow = spark.createDataFrame(
+            [(2, 2.5, "g2")], "id bigint, val double, grp string"
+        )
+        narrow.write.mode("append").partitionBy("grp").parquet(sink)
+        sync_catalog_incremental(spark, narrow, sink, "lost_db", "t", ["grp"])
+        cols = {f.name for f in spark.table("lost_db.t").schema.fields}
+        assert "extra" in cols  # survived the lost-ledger reseed
+        state = load_catalog_state(sink)
+        assert any(e["Name"] == "extra" for e in state["schema"])
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS lost_db CASCADE")
+
+
+def test_ledger_save_is_atomic_no_tmp_left(spark, tmp_path):
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        load_catalog_state,
+        save_catalog_state,
+    )
+
+    sink = str(tmp_path)
+    save_catalog_state(sink, [{"Name": "a", "Type": "bigint"}], ["g=1"])
+    assert load_catalog_state(sink) == {
+        "schema": [{"Name": "a", "Type": "bigint"}],
+        "partitions": ["g=1"],
+    }
+    import os
+
+    assert not os.path.exists(os.path.join(sink, "_catalog_state.json.tmp"))
+
+
+def test_create_table_all_partition_columns_named_error(spark, tmp_path):
+    """Every schema column a partition column: Spark itself forbids
+    the table (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — the r12 DDL fix
+    (filtered column join) matters because the old bare concatenation
+    produced '(, `k1` string …)' and surfaced an unrelated, confusing
+    ParseException instead of Spark's named error."""
+    import pytest
+    from pyspark.errors import AnalysisException
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.catalog import (
+        create_table_over_path,
+    )
+
+    import os
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)  # the write itself is equally forbidden
+    schema = StructType(
+        [StructField("k1", StringType()), StructField("k2", StringType())]
+    )
+    try:
+        with pytest.raises(
+            AnalysisException, match="ALL_PARTITION_COLUMNS_NOT_ALLOWED"
+        ):
+            create_table_over_path(
+                spark, schema, sink, "allpart_db", "t", ["k1", "k2"]
+            )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS allpart_db CASCADE")

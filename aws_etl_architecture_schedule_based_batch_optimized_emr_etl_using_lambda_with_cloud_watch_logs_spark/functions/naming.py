@@ -58,5 +58,9 @@ def qcol(name: str) -> Column:
 
     ``F.col("a.b")`` means struct access; flattening produces interim
     columns literally named ``"a.b"``, which need backtick quoting.
+    A literal backtick inside the name is ESCAPED by doubling (the
+    Spark rule) — stripping it resolved a column named ``a`b`` to the
+    unrelated ``ab``, silently reading the wrong data (r12 review
+    find).
     """
-    return F.col("`" + name.replace("`", "") + "`")
+    return F.col("`" + name.replace("`", "``") + "`")

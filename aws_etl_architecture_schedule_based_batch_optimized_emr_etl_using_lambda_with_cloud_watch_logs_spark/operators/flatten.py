@@ -64,13 +64,31 @@ def explode_arrays(df: DataFrame) -> DataFrame:
 def expand_structs(df: DataFrame) -> DataFrame:
     """One pass: promote every top-level struct's fields to top-level
     columns literally named ``parent.child`` (order-preserving,
-    expanded in place). One ``select`` → one Project node."""
+    expanded in place). One ``select`` → one Project node.
+
+    Generated names are disambiguated AGAINST the whole output row
+    (r12 review find): a source holding both a struct ``a`` with
+    field ``b`` AND a literal top-level key ``"a.b"`` would otherwise
+    emit two columns literally named ``a.b`` — ambiguous to every
+    later name-based reference and silently collapsed by the final
+    rename map."""
+    seen = {
+        f.name.lower()
+        for f in df.schema.fields
+        if not isinstance(f.dataType, StructType)
+    }
     cols = []
     for field in df.schema.fields:
         if isinstance(field.dataType, StructType):
             for sub in field.dataType.fields:
+                base = f"{field.name}.{sub.name}"
+                name, n = base, 1
+                while name.lower() in seen:
+                    n += 1
+                    name = f"{base}_{n}"
+                seen.add(name.lower())
                 cols.append(
-                    qcol(field.name).getField(sub.name).alias(f"{field.name}.{sub.name}")
+                    qcol(field.name).getField(sub.name).alias(name)
                 )
         else:
             cols.append(qcol(field.name))
@@ -98,7 +116,7 @@ def flatten(df: DataFrame, max_passes: int = 32) -> DataFrame:
             break
         if has_array:
             df = explode_arrays(df)
-        if any(isinstance(f.dataType, StructType) for f in df.schema.fields):
+        if _has_nesting(df)[1]:
             df = expand_structs(df)
     else:
         # re-check AFTER the loop: the final allowed pass may have

@@ -31,7 +31,7 @@ from ..config import EtlConfig
 from ..operators.derive import PARTITION_COLS, with_ingest_columns
 from ..operators.flatten import flatten
 from ..sources.archive import archive_files
-from ..sources.readers import distinct_input_files, read_json, read_parquet_merged
+from ..sources.readers import read_json, read_parquet_merged
 from ..sources.writers import write_partitioned
 
 
@@ -75,29 +75,47 @@ def run_batch(
         return EtlResult(
             rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
         )
+    def _archive_and_noop() -> EtlResult:
+        # Zero-ROW source files must still be ARCHIVED (r12 review
+        # find): they contributed no rows, but leaving them in the
+        # source means every later tick re-lists and re-reads them
+        # forever — unbounded listing growth on object stores.
+        archived: list[str] = []
+        if archive and raw.inputFiles():
+            archived = archive_files(
+                spark,
+                config.source_path,
+                f"{config.source_path.rstrip('/')}_{config.archival_folder}",
+                files=list(raw.inputFiles()),
+            )
+        return EtlResult(
+            rows_written=0, catalog_action="no-op",
+            files_archived=archived, merged_df=None,
+        )
+
     if schema is not None and raw.isEmpty():
         # With an explicit schema an empty source dir reads as an
         # empty frame instead of raising UNABLE_TO_INFER_SCHEMA —
         # same routine no-op tick, caught before the sink re-read
         # (which would throw on a sink containing no parquet yet).
-        return EtlResult(
-            rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
-        )
+        return _archive_and_noop()
     if not [c for c in raw.columns if c != "input_file"]:
         # Source files exist but hold zero rows (a writer emitted an
         # empty batch): inference yields no data columns — only the
         # provenance column — and the derive stage would fail
         # resolving `tts`. Same routine no-op tick; plan-structural
         # check, no job.
-        return EtlResult(
-            rows_written=0, catalog_action="no-op", files_archived=[], merged_df=None
-        )
-    # file list from RAW (pre-explode): the provenance distinct over
-    # the flattened frame re-ran the whole read+flatten plan across
-    # explode-multiplied rows just to list file names
-    files = distinct_input_files(raw, "input_file")
+        return _archive_and_noop()
+    # file list from the plan's OWN file-index snapshot: exactly the
+    # files the write will read (archive-safe — a file arriving after
+    # the read is in neither), listed driver-side with no job, and
+    # including zero-row files the row-derived provenance distinct
+    # missed (r12 review find — those were re-scanned every tick
+    # forever; the distinct also paid a full source scan + shuffle
+    # just to list names)
+    files = list(raw.inputFiles())
     flat = flatten(raw.drop("input_file"))
-    if "tts" not in flat.columns:
+    if not any(c.lower() == "tts" for c in flat.columns):
         # A batch whose tts is NULL on every row is written by
         # Spark's JSON writer with the field omitted entirely, so on
         # disk it is indistinguishable from a feed that dropped the
@@ -108,27 +126,34 @@ def run_batch(
     denorm = with_ingest_columns(flat, legacy_day=config.legacy_day)
     if config.drift_mode == "incremental":
         # two consumers in this mode (the write + the rows count):
-        # cache so the source scan + flatten run once
+        # cache so the source scan + flatten run once; unpersist in a
+        # finally — a transient write/sync failure in a long-lived
+        # scheduled session must not pin the batch's blocks in
+        # executor storage forever (r12 review find)
         denorm = denorm.persist()
-
-    write_partitioned(
-        denorm, config.sink_path, partition_cols, mode="append",
-        fmt=config.sink_format,
-    )
-
-    table = f"{config.catalog_table_prefix}_sink"
-    if config.drift_mode == "incremental":
-        # O(metadata) drift: ledger + batch only; the sink is NOT
-        # re-read, so rows_written reports the batch (the sink total
-        # is the "full" mode / reference semantic).
-        merged = None
-        action = sync_catalog_incremental(
-            spark, denorm, config.sink_path, config.catalog_db_name,
-            table, partition_cols,
-        )
-        rows = denorm.count()
-        denorm.unpersist()
+        try:
+            write_partitioned(
+                denorm, config.sink_path, partition_cols, mode="append",
+                fmt=config.sink_format,
+            )
+            table = f"{config.catalog_table_prefix}_sink"
+            # O(metadata) drift: ledger + batch only; the sink is NOT
+            # re-read, so rows_written reports the batch (the sink
+            # total is the "full" mode / reference semantic).
+            merged = None
+            action = sync_catalog_incremental(
+                spark, denorm, config.sink_path, config.catalog_db_name,
+                table, partition_cols,
+            )
+            rows = denorm.count()
+        finally:
+            denorm.unpersist()
     else:
+        write_partitioned(
+            denorm, config.sink_path, partition_cols, mode="append",
+            fmt=config.sink_format,
+        )
+        table = f"{config.catalog_table_prefix}_sink"
         merged = read_parquet_merged(spark, config.sink_path)
         action = sync_catalog(
             spark, merged, config.sink_path, config.catalog_db_name, table,

@@ -34,6 +34,14 @@ def read_json(
         reader = reader.option("multiline", True)
     df = reader.json(path)
     if with_input_file:
+        if any(c.lower() == "input_file" for c in df.columns):
+            # withColumn resolves case-insensitively and would
+            # silently REPLACE a genuine source field's data with
+            # provenance paths (r12 review find) — fail loudly
+            raise ValueError(
+                "source data already has an 'input_file' column; pass "
+                "with_input_file=False or rename the source field"
+            )
         df = df.withColumn("input_file", F.input_file_name())
     return df
 

@@ -160,3 +160,37 @@ def test_flatten_case_insensitive_collision(spark):
     out = standardize_unique(["ab", "a.b"])  # both normalize to aB-ish
     names = list(out.values())
     assert len({n.lower() for n in names}) == len(names), names
+
+
+def test_expand_structs_disambiguates_literal_dotted_key(spark):
+    """{"a": {"b": 1}, "a.b": 2}: struct expansion would emit TWO
+    columns literally named 'a.b' — ambiguous to every name-based
+    reference and silently collapsed by the rename map (r12 review
+    find). Both values must survive under distinct names."""
+    import json
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.flatten import (
+        flatten,
+    )
+
+    df = spark.read.json(
+        spark.sparkContext.parallelize([json.dumps({"a": {"b": 1}, "a.b": 2})])
+    )
+    out = flatten(df)
+    row = out.collect()[0]
+    assert len(out.columns) == 2
+    assert len(set(out.columns)) == 2
+    assert sorted([row[0], row[1]]) == [1, 2]
+
+
+def test_qcol_escapes_literal_backtick(spark):
+    """A column literally named 'a`b' next to 'ab': stripping the
+    backtick resolved the WRONG column (r12 review find); doubling it
+    is Spark's escape rule."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.functions.naming import (
+        qcol,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["a`b", "ab"])
+    assert df.select(qcol("a`b").alias("v")).collect()[0]["v"] == 1
+    assert df.select(qcol("ab").alias("v")).collect()[0]["v"] == 2

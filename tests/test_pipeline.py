@@ -874,3 +874,92 @@ def test_zorder_bit_budget_guard(spark):
     )
     with pytest.raises(ValueError, match="62"):
         zorder_by(df, ["a", "b", "c", "d", "e"], bits_per_col=16)
+
+
+def test_run_batch_uppercase_tts_not_clobbered(spark, tmp_path):
+    """A source whose timestamp key is 'TTS': the missing-tts guard
+    compared case-SENSITIVELY while withColumn resolves
+    case-insensitively, so the real column was overwritten with NULL
+    and every row landed in __HIVE_DEFAULT_PARTITION__ (r12 review
+    find)."""
+    import glob
+
+    cfg = EtlConfig(
+        source_path=str(tmp_path / "src"),
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="tts_db",
+        catalog_table_prefix="t",
+    )
+    _write_batch(
+        cfg.source_path,
+        "b1.json",
+        [{"customerid": "c1", "vehicle": "v", "category": "c",
+          "TTS": 1704103200}],
+    )
+    try:
+        res = run_batch(spark, cfg)
+        assert res.rows_written == 1
+        assert not glob.glob(
+            f"{cfg.sink_path}/**/year=__HIVE_DEFAULT_PARTITION__",
+            recursive=True,
+        )
+        assert glob.glob(f"{cfg.sink_path}/**/year=2024", recursive=True)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS tts_db CASCADE")
+
+
+def test_run_batch_archives_zero_row_files(spark, tmp_path):
+    """Zero-row source files must be archived too: row-derived
+    provenance listed only files that produced rows, so empty files
+    were re-listed and re-read on every scheduled tick forever (r12
+    review find). Covers both the mixed batch and the all-empty
+    no-op tick."""
+    import os
+
+    cfg = EtlConfig(
+        source_path=str(tmp_path / "src"),
+        sink_path=str(tmp_path / "sink"),
+        catalog_db_name="zr_db",
+        catalog_table_prefix="t",
+    )
+    _write_batch(cfg.source_path, "real.json", BATCH_1)
+    # a zero-byte file alongside
+    open(os.path.join(cfg.source_path, "empty.json"), "w").close()
+    try:
+        res = run_batch(spark, cfg)
+        assert res.rows_written == 3
+        assert len(res.files_archived) == 2  # real + empty both moved
+        assert not [
+            f for f in os.listdir(cfg.source_path) if f.endswith(".json")
+        ]
+
+        # all-empty tick: the no-op must still archive the debris
+        open(os.path.join(cfg.source_path, "empty2.json"), "w").close()
+        res2 = run_batch(spark, cfg)
+        assert res2.catalog_action == "no-op"
+        assert res2.rows_written == 0
+        assert len(res2.files_archived) == 1
+        assert not [
+            f for f in os.listdir(cfg.source_path) if f.endswith(".json")
+        ]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS zr_db CASCADE")
+
+
+def test_read_json_input_file_collision_fails_loudly(spark, tmp_path):
+    """A genuine source field named 'input_file' must raise instead
+    of being silently overwritten with provenance paths and then
+    dropped (r12 review find)."""
+    import pytest
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.sources.readers import (
+        read_json,
+    )
+
+    src = str(tmp_path / "src")
+    _write_batch(src, "b.json", [{"id": 1, "input_file": "telemetry.bin"}])
+    with pytest.raises(ValueError, match="input_file"):
+        read_json(spark, src)
+    # opting out of provenance reads it fine
+    df = read_json(spark, src, with_input_file=False)
+    assert df.collect()[0]["input_file"] == "telemetry.bin"

@@ -37,6 +37,8 @@ def cascading_rollup(
     Returns {granularity: DataFrame(bucket_start, *group_cols,
     n_events, sum_value, min_value, max_value)}.
     """
+    if not granularities:
+        raise ValueError("cascading_rollup needs at least one granularity")
     out: dict[str, DataFrame] = {}
     current = (
         events.groupBy(
@@ -125,10 +127,10 @@ def range_join(
     rhs = right.withColumn("_bin", (r_us / width_us).cast("long"))
 
     joined = lhs.join(rhs, [*on, "_bin"]).drop("_bin")
-    jl = F.unix_micros(F.col(left_ts).cast("timestamp"))
-    jr = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    # l_us / r_us are unbound column expressions — reused directly so
+    # the range filter can never diverge from the bin assignment
     return joined.filter(
-        (jr >= jl + F.lit(lower_us)) & (jr <= jl + F.lit(upper_us))
+        (r_us >= l_us + F.lit(lower_us)) & (r_us <= l_us + F.lit(upper_us))
     )
 
 
@@ -156,9 +158,24 @@ def asof_join(
     right row (per-column fills could mix rows when a payload field
     is genuinely null).
     """
-    right_payload = right_payload or [
-        c for c in right.columns if c not in on and c != right_ts
-    ]
+    if right_payload is None:
+        right_payload = [
+            c for c in right.columns if c not in on and c != right_ts
+        ]
+    elif not right_payload:
+        # an explicit empty list is almost certainly a bug — the old
+        # `or` fallback silently expanded it to EVERY right column
+        raise ValueError(
+            "right_payload must be non-empty; pass None to take every "
+            "non-key right column"
+        )
+    reserved = {"_ats", "_side", "_rp", "_rp_filled"}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(clash)} internally; "
+            f"rename them on the left input"
+        )
 
     # SQL ASOF / merge_asof semantics: a NULL join key matches
     # nothing and a NULL right timestamp can never be "the most
@@ -171,13 +188,15 @@ def asof_join(
     right = right.filter(F.col(right_ts).isNotNull())
 
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
+    # ONE analysis pass over the right plan for the payload type (it
+    # was derived twice — here and again for the sort-orderability
+    # check below)
+    rp_type = right.select(payload_struct.alias("_rp")).schema["_rp"]
     left_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).cast("timestamp").alias("_ats"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast(
-            right.select(payload_struct.alias("_rp")).schema["_rp"].dataType
-        ).alias("_rp"),
+        F.lit(None).cast(rp_type.dataType).alias("_rp"),
     )
     right_tagged = right.select(
         *[
@@ -208,7 +227,6 @@ def asof_join(
             return all(_orderable(f.dataType) for f in dt.fields)
         return True
 
-    rp_type = right.select(payload_struct.alias("_rp")).schema["_rp"]
     order_cols = ["_ats", "_side"] + (
         ["_rp"] if _orderable(rp_type.dataType) else []
     )
@@ -257,6 +275,13 @@ def funnel(
     keyed on the user column, so Catalyst/AQE reuses one exchange
     layout down the chain; survivor frames shrink monotonically. The
     k-row summary is unioned and windowed in-plan (no collect)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    # SQL-funnel semantics: an event with no timestamp can neither
+    # anchor nor satisfy an ordering constraint — a NULL-ts step-0
+    # event would count its user as a survivor who can never convert,
+    # deflating every later conversion rate (r12 review find)
+    events = events.filter(F.col(ts_col).isNotNull())
     survivors = None
     counts = None
     for idx, step in enumerate(steps):
@@ -329,6 +354,13 @@ def cohort_retention(
     over the cohort×offset matrix (periods², not rows)."""
     if granularity not in ("week", "day"):
         raise ValueError("granularity must be 'week' or 'day'")
+    # a NULL timestamp yields a NULL period_offset row that sorts
+    # NULLS FIRST, so F.first over the retention window would return
+    # ITS count as every cell's denominator (r12 review find); a NULL
+    # user can anchor no cohort
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    )
     per_days = 7 if granularity == "week" else 1
     trunc = lambda c: F.to_date(F.date_trunc(granularity, c))  # noqa: E731
     first = events.groupBy(user_col).agg(
@@ -425,6 +457,12 @@ def zscore_daily_counts(
     guard lives INSIDE the sequence bound (assert_true under
     coalesce, not a prunable side column), costs nothing on healthy
     data, and raises with the offending span at execution time."""
+    # a NULL day (unparseable/NULL source timestamps) has no calendar
+    # position: it cannot join the spine, and a key whose EVERY day is
+    # NULL would reach the span guard as (null, null) and crash the
+    # whole job via assert_true(NULL) instead of being skipped (r12
+    # review find)
+    daily = daily.filter(F.col("day").isNotNull())
     spans = daily.groupBy("key").agg(
         F.min("day").alias("_lo"), F.max("day").alias("_hi")
     )

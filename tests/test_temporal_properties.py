@@ -278,3 +278,95 @@ def test_cohort_retention_matches_reference(events, granularity):
         )
 
     assert got == expect
+
+
+def test_cohort_retention_null_ts_does_not_corrupt_denominator():
+    """A single NULL-ts event produced a NULL period_offset row that
+    sorted NULLS FIRST, becoming every cell's retention denominator
+    (cells could exceed 1.0) — r12 review find."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    spark = _spark()
+    events = spark.createDataFrame(
+        [
+            (1, None),
+            (1, "2024-01-10 10:00:00"),
+            (2, "2024-01-10 11:00:00"),
+            (1, "2024-01-17 10:00:00"),
+        ],
+        "user_id bigint, ts string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    rows = {
+        (r["cohort_start"].isoformat(), r["period_offset"]): (
+            r["n_users"], r["retention"]
+        )
+        for r in cohort_retention(events).collect()
+    }
+    assert rows[("2024-01-08", 0)] == (2, 1.0)
+    assert rows[("2024-01-08", 1)] == (1, 0.5)
+    assert len(rows) == 2  # no NULL-offset row
+
+
+def test_funnel_null_ts_step0_not_a_survivor():
+    """A user whose only step-0 event has a NULL ts can never convert
+    and must not count as a step-0 survivor (r12 review find)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        funnel,
+    )
+
+    spark = _spark()
+    events = spark.createDataFrame(
+        [
+            (1, "view", None),
+            (2, "view", "2024-01-01 10:00:00"),
+            (2, "click", "2024-01-01 10:05:00"),
+        ],
+        "user_id bigint, event_type string, ts string",
+    ).selectExpr(
+        "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    rows = {
+        r["step"]: (r["n_users"], r["conv_prev"])
+        for r in funnel(events, ["view", "click"]).collect()
+    }
+    assert rows["view"][0] == 1
+    assert rows["click"] == (1, 1.0)
+
+
+def test_zscore_all_null_day_key_skipped_not_crashed():
+    """A key whose every day is NULL reached the span guard as
+    (null, null) and crashed the whole job via assert_true(NULL)
+    instead of being skipped (r12 review find)."""
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        zscore_daily_counts,
+    )
+
+    spark = _spark()
+    daily = spark.createDataFrame(
+        [("bad", None, 5)]
+        + [("good", f"2024-01-{d:02d}", 10 + d % 3) for d in range(1, 15)],
+        "key string, day string, cnt bigint",
+    ).selectExpr("key", "CAST(day AS DATE) AS day", "cnt")
+    out = zscore_daily_counts(daily).collect()
+    keys = {r["key"] for r in out}
+    assert keys == {"good"}  # 'bad' skipped, job alive
+
+
+def test_asof_join_arg_validation():
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.operators.temporal import (
+        asof_join,
+    )
+    import pytest
+
+    spark = _spark()
+    l = spark.createDataFrame([(1, "2024-01-01 10:00:00")], "k bigint, ts string")
+    r = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5.0)], "k bigint, ts2 string, v double"
+    )
+    with pytest.raises(ValueError, match="right_payload"):
+        asof_join(l, r, on=["k"], left_ts="ts", right_ts="ts2", right_payload=[])
+    bad = l.withColumn("_side", l.k)
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(bad, r, on=["k"], left_ts="ts", right_ts="ts2")

@@ -20,6 +20,7 @@ Execution split, chosen by measurement:
 
 from __future__ import annotations
 
+import re
 from hashlib import blake2b
 
 import numpy as np
@@ -45,8 +46,12 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 
 def exact_dedup_rows(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Full-row variant: keep the first row per key (deterministic by
-    ``order_col``) — window row_number, single shuffle on the key."""
+    """Full-row variant: keep the first row per key — window
+    row_number, single shuffle on the key. Deterministic ONLY when
+    ``order_col`` is unique within each key group; among exact ties
+    row_number picks an arbitrary survivor that can differ across
+    runs/partitionings (pass a unique ordering column, as every
+    caller in this repo does)."""
     w = Window.partitionBy(*key_cols).orderBy(F.col(order_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -87,8 +92,12 @@ def paragraph_dedup(
         parts = F.split(F.trim(F.col(text_col)), r"\s+")
     else:
         # F.split takes a Java REGEX — quote the delimiter so '.',
-        # '||', '\n\n' etc. all split literally
-        parts = F.split(F.col(text_col), "\\Q" + delimiter + "\\E", -1)
+        # '||', '\n\n' etc. all split literally. A literal \E inside
+        # the delimiter would TERMINATE the quote early and leak the
+        # remainder as live regex (r12 review find) — re-open the
+        # quote around it, the java.util.regex.Pattern.quote rule.
+        quoted = delimiter.replace("\\E", "\\E\\\\E\\Q")
+        parts = F.split(F.col(text_col), "\\Q" + quoted + "\\E", -1)
     per_chunk = 1 if delimiter is not None else chunk_tokens
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.size(F.col("_parts")) / F.lit(per_chunk))
@@ -292,8 +301,20 @@ def bucket_pairs(
 # --------------------------------------------------------- minhash LSH
 
 
-_ASCII_WS = " \t\n\r\f\v"
-_ASCII_WS_RE = __import__("re").compile(r"\s+", __import__("re").ASCII)
+def _require_integral_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Plan-time fail-fast shared with signatures.combined_signatures:
+    the Arrow kernels pack ids with np.int64 and declare LongType —
+    a non-integral id would die executor-side mid-job with an opaque
+    numpy/Arrow error instead of this clear TypeError."""
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"{op} requires an integral {id_col!r} (got {id_type}); "
+            f"hash or dense-rank string ids first"
+        )
+
+
+_ASCII_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _python_tokens(text: str | None) -> list[str]:
@@ -453,6 +474,7 @@ def minhash_bands(
             f"({bands}); a remainder would silently drop hashes from "
             "the banding"
         )
+    _require_integral_id(df, id_col, "minhash_bands")
     rows_per_band = num_hashes // bands
     a_const, b_const = _mix_constants(num_hashes)
     fold_mult = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd mix
@@ -612,13 +634,21 @@ def incremental_minhash_dedup(
     try:
         old_bands = spark.read.parquet(store_path)
         have_store = True
-    except AnalysisException:
-        # ONLY "no store yet" (missing path) is first contact; a
-        # transient read failure (throttle, corrupt footer) must
-        # raise — degrading silently would dedup the batch against
-        # itself only and permanently under-report duplicates (the
-        # per-batch pairs are never recomputed), same contract as
-        # the streaming corpus-sink read.
+    except AnalysisException as exc:
+        # ONLY "no committed store yet" is first contact: a missing
+        # path, or a directory holding nothing durable (a crashed
+        # first commit leaves _temporary only → UNABLE_TO_INFER_
+        # SCHEMA). Anything else — CONFLICTING_DIRECTORY_STRUCTURES,
+        # permission faults — must raise: degrading silently would
+        # dedup the batch against itself only and permanently
+        # under-report duplicates (the per-batch pairs are never
+        # recomputed), same contract as the streaming corpus-sink
+        # read (r12 review find: the bare catch swallowed them all).
+        msg = str(exc)
+        if not (
+            "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            raise
         old_bands = None
         have_store = False
     if have_store:
@@ -636,17 +666,28 @@ def incremental_minhash_dedup(
         # store is corruption and must raise, not pass as "no store".
         old_bands = old_bands.select(*new_bands.columns)
         if old_docs is None:
-            # Without the historical texts the cross-batch candidates
-            # cannot be verified; silently falling back to batch-only
-            # dedup would skip every new-vs-history pair while still
-            # growing the store — the order-independence invariant
-            # would break undetectably.
-            raise ValueError(
-                "incremental_minhash_dedup: band store exists at "
-                f"{store_path!r} but old_docs was not provided — pass "
-                "the historical corpus frame (ids + texts) so "
-                "cross-batch candidates can be verified"
-            )
+            if old_bands.isEmpty():
+                # A replayed FIRST batch (crash between its store
+                # commit and the corpus-sink write) finds a store
+                # holding ONLY its own partition: after the batch_id
+                # filter there is no history at all, so this is
+                # first contact, not an error — raising here put the
+                # stream in a permanent crash loop on batch 0 (r12
+                # review find).
+                have_store = False
+            else:
+                # Without the historical texts the cross-batch
+                # candidates cannot be verified; silently falling
+                # back to batch-only dedup would skip every
+                # new-vs-history pair while still growing the store —
+                # the order-independence invariant would break
+                # undetectably.
+                raise ValueError(
+                    "incremental_minhash_dedup: band store exists at "
+                    f"{store_path!r} but old_docs was not provided — "
+                    "pass the historical corpus frame (ids + texts) "
+                    "so cross-batch candidates can be verified"
+                )
 
     if have_store:
         new_buckets = new_bands.select("band", "band_hash").distinct()
@@ -778,6 +819,7 @@ def simhash_df(
     column-sum, sign → packed int64. Same measured rationale as
     :func:`minhash_bands` — the 64-aggregate JVM form is slower and
     JIT-unstable."""
+    _require_integral_id(df, id_col, "simhash_df")
     schema = StructType(
         [
             StructField(id_col, LongType(), False),
@@ -918,7 +960,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sum: raw 64-bit ids summed in a LongType
+    # aggregate overflow int64 at ~1e9 nodes of large ids — an
+    # ARITHMETIC_OVERFLOW crash under ANSI mode at exactly the scale
+    # this operator targets (r12 review find)
+    _lbl_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_lbl_sum).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.node)
@@ -947,7 +994,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(_lbl_sum).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -1012,7 +1059,14 @@ def dedup_clusters(
     """Near-dup cluster assignment: MinHash+LSH pairs → connected
     components. The canonical keep-one-per-cluster filter is then a
     ``doc_id == cluster_id`` predicate (cluster_id is the min member,
-    so exactly one survivor per cluster)."""
+    so exactly one survivor per cluster).
+
+    NOTE the deliberate looser default ``threshold=0.5`` vs the pair
+    operators' 0.8: transitive closure already merges borderline
+    chains, and cluster consumers (leakage-safe splits, topical
+    grouping) want the RECALL side of the trade — callers deduping
+    for deletion should pass the stricter pair threshold explicitly
+    (the driver gate does)."""
     pairs = minhash_lsh_dedup(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,

@@ -342,7 +342,15 @@ def hash_retrieval_topk(
             "n_id",
             "rank",
             F.round(
-                F.col("dot") / F.sqrt(F.col("na") * F.col("nb")), 6
+                # cast BEFORE the multiply: na*nb as raw bigint is
+                # the exact int64 overflow the skey comment above
+                # engineers against (r12 review find; the oracle SQL
+                # already casts first)
+                F.col("dot")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("nb").cast("double")
+                ),
+                6,
             ).alias("sim"),
         )
     )

@@ -95,13 +95,21 @@ def _pairwise_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
         A, B = _stack(a), _stack(b)
         num = np.einsum("ij,ij->i", A, B)
         den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
+        # zero-norm guard (r12 review find): an all-zero embedding
+        # (failed upstream embedding job) made den 0 and the cosine
+        # NaN — which Spark RANKS ABOVE every real double and passes
+        # >= threshold filters, so the zero vector became everyone's
+        # rank-1 neighbor and a false near-dup edge. Similarity to a
+        # zero vector is 0, the same convention _unit_rows pins.
+        return pd.Series(np.where(den > 0.0, num / np.where(den > 0.0, den, 1.0), 0.0))
     except ValueError:  # ragged dims
         return pd.Series(
             [
-                float(
-                    np.dot(x, y)
-                    / (np.sqrt(np.dot(x, x)) * np.sqrt(np.dot(y, y)))
+                (
+                    0.0
+                    if (nx := float(np.dot(x, x))) == 0.0
+                    or (ny := float(np.dot(y, y))) == 0.0
+                    else float(np.dot(x, y) / (np.sqrt(nx) * np.sqrt(ny)))
                 )
                 for x, y in (
                     (np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
@@ -210,7 +218,14 @@ def local_topk_scored(
                     if same_label:
                         keep &= labels == bq_labels[j]
                     else:
-                        keep &= labels != bq_labels[j]
+                        # a NULL-labeled row is an UNKNOWN class, not
+                        # a confirmed impostor: elementwise != would
+                        # count it as a different-label negative while
+                        # the same_label branch excludes it (r12
+                        # review find — asymmetric NULL handling)
+                        keep &= (labels != bq_labels[j]) & (
+                            ~pd.isna(labels)
+                        )
                 idx = np.nonzero(keep)[0]
                 if idx.size == 0:
                     continue
@@ -492,6 +507,12 @@ def lsh_topk_from_index(
         .json(f"{index_path}/_lsh_meta")
         .first()
     )
+    if meta is None or meta["dim"] is None:
+        raise ValueError(
+            f"no readable _lsh_meta dataset under {index_path!r} — not "
+            f"an lsh_index_write index (or a half-written one); "
+            f"rebuild the index"
+        )
     if dim is not None and dim != meta["dim"]:
         raise ValueError(
             f"index at {index_path} was built for dim={meta['dim']}, "
@@ -538,6 +559,31 @@ def cell_pudf(centroids: np.ndarray):
     return _cell
 
 
+
+
+def _kmeans_sample(embeddings, vec_col: str, id_col: str, sample_size: int, op: str):
+    """Bounded driver-side k-means training sample, shared by
+    :func:`ivf_topk` and :func:`semantic_dedup`. Deterministic but
+    DECORRELATED order (xxhash64 of the id, id tiebreak): a plain
+    ``orderBy(id)`` sample is the first ``sample_size`` ids, which in
+    shard-ordered ingestion all come from one source — centroids
+    then cover one region and the other cells collapse (r12 review
+    find). A zero-row corpus raises a named error instead of
+    np.stack's opaque ValueError."""
+    sample_rows = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError(
+            f"{op}: no non-null vectors to train on — the corpus is "
+            f"empty after NULL filtering"
+        )
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -562,10 +608,7 @@ def ivf_topk(
     oracle.
     """
     embeddings = non_null_vecs(embeddings, vec_col)
-    sample_rows = (
-        embeddings.select(vec_col).orderBy(F.col(id_col)).limit(sample_size).collect()
-    )
-    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    sample = _kmeans_sample(embeddings, vec_col, id_col, sample_size, "ivf_topk")
     centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)), seed=seed)
     cell = cell_pudf(centroids)
 
@@ -632,8 +675,14 @@ def embedding_stats(
     aggregates over the vector column. (The old dead ``id_col``
     parameter is gone; the grouping column is parameterized like the
     file's other label-aware operators.)"""
+    # NULL embeddings excluded (r12 review find): one NULL row made
+    # avg_norm NaN for its whole label while n_vectors counted it but
+    # min/max_dim skipped it — mutually inconsistent stats on exactly
+    # the partially-failed corpora this monitor exists for. n_vectors
+    # therefore counts NON-NULL vectors.
     return (
-        embeddings.select(
+        non_null_vecs(embeddings, vec_col)
+        .select(
             label_col,
             F.size(vec_col).alias("dim"),
             norm_pudf(F.col(vec_col)).alias("norm"),
@@ -746,6 +795,11 @@ def label_spectrum(
     """
     import numpy as np
     import pandas as pd
+
+    # NULL embeddings excluded like every other vector kernel (r12
+    # review find: an unguarded np.stack over a batch mixing NULL and
+    # real vectors raised ValueError executor-side)
+    embeddings = non_null_vecs(embeddings, vec_col)
 
     def partials(batches):
         for pdf in batches:
@@ -930,14 +984,8 @@ def semantic_dedup(
     from .dedup import connected_components
 
     embeddings = non_null_vecs(embeddings, vec_col)
-    sample_rows = (
-        embeddings.select(vec_col)
-        .orderBy(F.col(id_col))
-        .limit(sample_size)
-        .collect()
-    )
-    sample = np.stack(
-        [np.asarray(r[0], dtype=np.float64) for r in sample_rows]
+    sample = _kmeans_sample(
+        embeddings, vec_col, id_col, sample_size, "semantic_dedup"
     )
     centroids = _spherical_kmeans(
         sample, min(n_centroids, len(sample)), seed=seed

@@ -69,7 +69,19 @@ def term_index(
     a session (or a persisted-index deployment at 100 TB) builds the
     corpus explode + two aggregates ONCE and fans out to bm25 / PRF /
     RRF / TF-IDF; kernels are unchanged, so results are bit-identical
-    to the build-inline path (test-pinned)."""
+    to the build-inline path (test-pinned).
+
+    Blank-document convention (deliberate, shared bit-for-bit with
+    every DuckDB oracle): an empty/whitespace-only doc tokenizes to a
+    single ``''`` term (``split('')`` semantics), so it carries dl=1
+    and one tf row, counts in n_docs, and hashes into one embedding
+    bucket. Queries NEVER contain ``''`` (``_query_terms`` filters
+    it), so blank docs are unmatchable lexically; they shift only
+    the global stats (n_docs/avgdl/df['']) — identically in both
+    engines. Real pipelines drop blank docs upstream via the quality
+    gates; changing the convention here would have to change the
+    shared ``tok`` CTEs inside every pinned retrieval oracle in
+    lockstep."""
     tf, meta = term_stats(docs, id_col, text_col)
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     return tf, meta, df_

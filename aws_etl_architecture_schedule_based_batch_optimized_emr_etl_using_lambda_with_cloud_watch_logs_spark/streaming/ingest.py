@@ -164,6 +164,23 @@ def sessionize_stateful(
     user with zero timestamped events); and the output/state schema
     follows ``user_col``'s actual name and type instead of a
     hardcoded ``user_id long``.
+
+    Contract (r13 pin): update-mode emission is MONOTONE in
+    ``n_sessions`` — once a session boundary is counted it is never
+    retracted. A late event that lands BETWEEN two already-processed
+    events whose gap exceeded ``gap_s`` (and is within ``gap_s`` of
+    both) would MERGE those two sessions under batch gaps-and-islands
+    semantics, but this operator has already emitted the 2-session
+    count and keeps it: the late event joins the open session
+    (negative gap against the monotonic ``last_us``) and only
+    ``n_events`` advances. Batch twin comparisons therefore hold only
+    for inputs whose late arrivals do not bridge previously-counted
+    session boundaries — the ``stream_sessionize_counts`` gate's
+    fixtures satisfy this by construction. If retroactive merging is
+    required, use Spark's buffered ``session_window`` aggregation in
+    append mode instead (it holds events until the watermark closes
+    the session and so merges natively, at the cost of emitting only
+    closed sessions).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

@@ -1047,6 +1047,66 @@ def test_stateful_sessionize_late_event_does_not_rewind_baseline(
     assert got[1] == (2, 4)
 
 
+def test_stateful_sessionize_bridging_late_event_keeps_count(
+    spark, tmp_path
+):
+    """r13 contract pin: a late event that BRIDGES two
+    already-counted sessions (within gap_s of both neighbours, which
+    were themselves > gap_s apart) does NOT merge them. Batch
+    gaps-and-islands over {09:00, 09:20, 09:45} gives ONE session,
+    but update-mode streaming emitted 2 sessions for {09:00, 09:45}
+    in batch 1 and cannot retract — the documented monotone
+    n_sessions contract (see sessionize_stateful docstring)."""
+    import os
+    import time
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "sess_bridge")
+    schema = "user_id long, ts timestamp"
+    # batch 1: 09:00 and 09:45 — 45 min apart > 30 min gap → streaming
+    # counts 2 sessions and emits them
+    _write_json(
+        os.path.join(src, "b1.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01T09:00:00"},
+            {"user_id": 1, "ts": "2024-01-01T09:45:00"},
+        ],
+    )
+    # batch 2: LATE 09:20 — 20 min after 09:00 and 25 min before
+    # 09:45, so batch semantics would chain all three into 1 session
+    _write_json(
+        os.path.join(src, "b2.json"),
+        [{"user_id": 1, "ts": "2024-01-01T09:20:00"}],
+    )
+    now = time.time()
+    for i, name in enumerate(["b1.json", "b2.json"]):
+        os.utime(os.path.join(src, name), (now + i, now + i))
+    stream_df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        sessionize_stateful(stream_df)
+        .writeStream.format("memory")
+        .queryName("sessions_bridge")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_bridge").collect()
+    }
+    # streaming keeps the already-emitted 2 sessions (batch twin
+    # would say 1) — the late event only advances n_events
+    assert got[1] == (2, 3)
+
+
 def test_stateful_sessionize_null_only_user_emits_nothing(spark, tmp_path):
     """A user whose only rows carry NULL timestamps must not appear in
     the output (the batch twin has no row for them); pre-r12 a

@@ -62,14 +62,22 @@ def write_partitioned(
         keys = [F.col(c) for c in partition_cols]
         if files_per_partition > 1:
             # Salt so one hot partition value can still fan out to
-            # several writers (skew control at scale). Row-id based:
-            # a spark_partition_id() salt is capped by the UPSTREAM
-            # partition count (a single-partition frame salts to one
-            # value and the fan-out silently does nothing — r12
-            # review find).
+            # several writers (skew control at scale). The salt must
+            # be DETERMINISTIC per row: monotonically_increasing_id
+            # depends on partition layout and row order, so a stage
+            # retry after a shuffle-fetch failure could re-assign
+            # rows to different reducers and silently drop or
+            # duplicate them (the SPARK-23207 class; r12 ADVICE).
+            # xxhash64 over the row content is attempt-stable. (A
+            # spark_partition_id() salt is also out: it is capped by
+            # the UPSTREAM partition count — a single-partition frame
+            # salts to one value and the fan-out silently does
+            # nothing, r12 review find.) Caveat: byte-identical
+            # duplicate rows share a salt bucket, so a frame that is
+            # mostly one repeated row will not fan out.
             keys = keys + [
                 F.pmod(
-                    F.monotonically_increasing_id(),
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
                     F.lit(files_per_partition),
                 )
             ]
@@ -121,6 +129,11 @@ def compact_partitions(
     esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    # Qualify BEFORE computing the strip prefix: for a RELATIVE local
+    # path the listed file paths are absolute while the raw root is
+    # relative, so the prefix never matched, no partition dirs parsed,
+    # and compaction silently reported compacted=0 (r12 ADVICE).
+    p = fs.makeQualified(p)
     root = p.toUri().getPath()
 
     def scan_partition_files() -> dict[tuple, int]:
@@ -170,7 +183,14 @@ def compact_partitions(
         cond = clause if cond is None else (cond | clause)
     keys = [F.col(c) for c in partition_cols]
     if target_files > 1:
-        keys.append(F.pmod(F.monotonically_increasing_id(), F.lit(target_files)))
+        # deterministic salt (see write_partitioned): attempt-stable
+        # under stage retry, unlike monotonically_increasing_id
+        keys.append(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]),
+                F.lit(target_files),
+            )
+        )
     # explicit partition count: without it AQE coalesces a small
     # rewrite into one task and the salt fan-out silently collapses
     # back to one file per directory
@@ -195,6 +215,67 @@ def compact_partitions(
     }
 
 
+def _merge_intent_handles(spark, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/_merge_intent.json"
+    )
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def read_merge_intent(spark, path: str) -> dict | None:
+    """Surviving merge-intent record for the sink at ``path``, or
+    None. A non-None result means a previous :func:`merge_upsert`
+    crashed inside its commit window (between the dynamic partition
+    overwrite and the emptied-dir sweep) — the sink may hold a MIX of
+    pre- and post-merge partition versions. The record lists the
+    touched (and to-be-emptied) partitions of the torn batch.
+
+    '_'-prefixed, so Spark readers never see it as data."""
+    import json
+
+    fs, hpath, jvm = _merge_intent_handles(spark, path)
+    if not fs.exists(hpath):
+        return None
+    # bytes via the JVM: py4j passes byte[] by value and spark.read
+    # skips '_'-prefixed files even when named directly (r12 find on
+    # the catalog ledger — same I/O pattern here)
+    stream = fs.open(hpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
+def clear_merge_intent(spark, path: str) -> bool:
+    """Remove a surviving merge-intent record after the torn batch
+    has been repaired (normally: by replaying the SAME batch — the
+    merge is idempotent over its touched partitions, see
+    :func:`merge_upsert`). Returns True if a record was removed."""
+    fs, hpath, _ = _merge_intent_handles(spark, path)
+    return bool(fs.delete(hpath, False))
+
+
+def _write_merge_intent(spark, path: str, payload: dict) -> None:
+    """tmp + rename (the catalog-ledger pattern): a crash mid-write
+    must never leave a truncated intent file — an unreadable record
+    would turn every later merge into a hard failure with no
+    partition list to act on."""
+    import json
+
+    fs, hpath, jvm = _merge_intent_handles(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(hpath.toString() + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(json.dumps(payload).encode("utf-8"))
+    finally:
+        stream.close()
+    if not fs.rename(tmp, hpath):
+        raise IOError(f"failed to write merge intent at {hpath}")
+
+
 def merge_upsert(
     spark,
     path: str,
@@ -202,6 +283,7 @@ def merge_upsert(
     key_cols: list[str],
     partition_cols: list[str],
     deletes=None,
+    write_salt: int | None = None,
 ) -> dict:
     """MERGE INTO for a plain-parquet partitioned sink: upsert
     ``updates`` by key — and, when ``deletes`` is given (a frame of
@@ -233,6 +315,34 @@ def merge_upsert(
     rewritten or removed — a delete naming a partition the sink never
     held counts in neither), "rows_written", "rows_deleted",
     "emptied_partitions"}.
+
+    Crash consistency (r13): plain parquet has no transaction log, and
+    Spark's dynamic-overwrite job commit swaps touched partition
+    directories one rename at a time with the emptied-dir sweep as a
+    separate post-commit step — a driver crash inside that window
+    leaves a mixed-version sink. The merge therefore writes an INTENT
+    record (``_merge_intent.json`` beside the sink, atomic
+    tmp+rename) listing the touched and to-be-emptied partitions
+    before the overwrite, and clears it after the sweep. A surviving
+    record on the next merge means a torn commit: the merge raises
+    with the partition list instead of computing survivors from mixed
+    data. Recovery is to replay the SAME batch after
+    :func:`clear_merge_intent` — the merge is idempotent over its
+    touched partitions (a partition already holding the post-merge
+    rows anti-joins and re-unions to the identical output). The check
+    is deliberately conservative: a crash between intent-write and
+    overwrite start also trips it, and the same replay fixes it. On
+    Delta this whole mechanism is the transaction log (sandbox-
+    blocked here; see ``plans/pipeline.py``).
+
+    Skew (``write_salt``): the overwrite hashes on the partition
+    columns alone — one task per touched partition VALUE, the
+    one-file-per-directory posture. A single hot partition therefore
+    serializes into one writer; at 100 TB that one task is the merge's
+    wall. ``write_salt=N`` adds a deterministic row-content salt so a
+    hot partition fans out to ≤N writers/files — trading file count
+    (and downstream open cost) for write parallelism. Leave unset
+    unless the touched set is known-skewed.
     """
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
@@ -279,6 +389,19 @@ def merge_upsert(
             "emptied_partitions": 0,
         }
 
+    # Torn-commit gate BEFORE the sink read: survivors computed from
+    # a mixed-version sink would silently merge wrong data.
+    prior = read_merge_intent(spark, path)
+    if prior is not None:
+        raise IOError(
+            f"torn merge commit detected at {path}: a previous merge "
+            f"crashed inside its commit window (overwrite → emptied-"
+            f"dir sweep); touched partitions: {prior.get('touched')}, "
+            f"pending emptied-dir removals: {prior.get('emptied')}. "
+            f"Replay the SAME batch after clear_merge_intent() — the "
+            f"merge is idempotent over its touched partitions."
+        )
+
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev_infer = spark.conf.get(infer_key, "true")
     spark.conf.set(infer_key, "false")
@@ -305,6 +428,9 @@ def merge_upsert(
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(p):
             raise exc
+        # qualify so the strip prefix matches listed absolute paths
+        # even for a relative local sink path (r12 ADVICE)
+        p = fs.makeQualified(p)
         root = p.toUri().getPath()
         it = fs.listFiles(p, True)
         while it.hasNext():
@@ -383,18 +509,47 @@ def merge_upsert(
         and tuple(row[c] for c in partition_cols) not in written_parts
     ]
 
+    # Intent record BEFORE the commit window opens (see docstring):
+    # a crash from here until the post-sweep clear leaves a record
+    # naming every partition a repair has to look at.
+    _write_merge_intent(
+        spark,
+        path,
+        {
+            "touched": [
+                {c: row[c] for c in partition_cols} for row in touched_rows
+            ],
+            "emptied": [
+                {c: row[c] for c in partition_cols} for row in emptied
+            ],
+        },
+    )
+    # hash on the partition columns: each touched VALUE lands in
+    # exactly one task (one file per directory), but the values
+    # spread across tasks so a 200-partition batch writes in
+    # parallel — repartition(1, ...) funneled the whole merged frame
+    # through a single writer (r12 review find, the opposite of the
+    # O(touched) posture). write_salt fans a hot value out further
+    # (docstring trade-off); explicit partition count so AQE cannot
+    # coalesce the salt fan-out back into one task.
+    part_keys = [F.col(c) for c in partition_cols]
+    if write_salt and write_salt > 1:
+        part_keys.append(
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in merged.columns]),
+                F.lit(write_salt),
+            )
+        )
+        to_write = merged.repartition(
+            max(len(touched_rows) * write_salt, 1), *part_keys
+        )
+    else:
+        to_write = merged.repartition(*part_keys)
     previous = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            # hash on the partition columns: each touched VALUE lands
-            # in exactly one task (one file per directory), but the
-            # values spread across tasks so a 200-partition batch
-            # writes in parallel — repartition(1, ...) funneled the
-            # whole merged frame through a single writer (r12 review
-            # find, the opposite of the O(touched) posture).
-            merged.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
+            to_write.write.mode("overwrite")
             .partitionBy(*partition_cols)
             .parquet(path)
         )
@@ -430,6 +585,9 @@ def merge_upsert(
                 raise IOError(
                     f"failed to remove emptied partition dir {path}/{part_dir}"
                 )
+    # Commit window closed: overwrite landed and every emptied dir is
+    # gone — retire the intent record.
+    clear_merge_intent(spark, path)
     return {
         # partitions actually rewritten or removed; a touched value
         # absent from the sink (delete of a never-present partition)

@@ -295,7 +295,15 @@ def load_catalog_state(sink_path: str) -> dict | None:
             return json.load(fh)
     fs, hpath, jvm = _hadoop_fs(path)
     if not fs.exists(hpath):
-        return None
+        # crash-window fallback (r12 ADVICE): the saver renames the
+        # old ledger ASIDE before renaming the new one in — a crash
+        # between the two leaves only the aside copy. One readable
+        # ledger (the previous state) always survives; drift against
+        # it is re-detected on the next run, never silently skipped.
+        aside = jvm.org.apache.hadoop.fs.Path(path + ".old")
+        if not fs.exists(aside):
+            return None
+        hpath = aside
     # read the bytes through the JVM: py4j passes byte[] buffers by
     # VALUE (a direct FSDataInputStream.read(buf) can't fill a Python
     # buffer), and spark.read.text silently IGNORES '_'-prefixed
@@ -330,15 +338,33 @@ def save_catalog_state(
         return
     fs, hpath, jvm = _hadoop_fs(path)
     tmp_path = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    aside = jvm.org.apache.hadoop.fs.Path(path + ".old")
     stream = fs.create(tmp_path, True)
     try:
         stream.write(payload.encode("utf-8"))
     finally:
         stream.close()
+    # Hadoop rename won't overwrite, and delete-then-rename has a
+    # window where NO ledger exists — a crash there lost the
+    # partition set entirely (the lost-ledger reseed recovers the
+    # schema but re-derives partitions only from future batches; r12
+    # ADVICE). Instead: rename the live ledger ASIDE, rename the new
+    # one in, then drop the aside — every crash point leaves at least
+    # one readable ledger (the reader falls back to '.old' when the
+    # main file is missing).
     if fs.exists(hpath):
-        fs.delete(hpath, False)
+        # main is live → any aside is stale; drop it ONLY in this
+        # branch (when main is missing the aside IS the live ledger,
+        # and deleting it first would reopen the no-ledger window
+        # this pattern exists to close)
+        if fs.exists(aside):
+            fs.delete(aside, False)
+        if not fs.rename(hpath, aside):
+            raise IOError(f"failed to set aside previous ledger: {path}")
     if not fs.rename(tmp_path, hpath):
         raise IOError(f"failed to move catalog ledger into place: {path}")
+    if fs.exists(aside):
+        fs.delete(aside, False)
 
 
 def sync_catalog(

@@ -207,6 +207,69 @@ def test_ledger_save_is_atomic_no_tmp_left(spark, tmp_path):
     assert not os.path.exists(os.path.join(sink, "_catalog_state.json.tmp"))
 
 
+def test_remote_ledger_roundtrip_and_no_sidecar_files(
+    spark, tmp_path, monkeypatch
+):
+    """Drive the HADOOP-FS ledger branch (the one real s3a/hdfs sinks
+    take) against the local FS by forcing _is_local False — it had no
+    coverage at all, and the r13 aside-rename rework lives there."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark import (
+        catalog as cat,
+    )
+
+    monkeypatch.setattr(cat, "_is_local", lambda p: False)
+    sink = str(tmp_path)
+    cat.save_catalog_state(sink, [{"Name": "a", "Type": "bigint"}], ["g=1"])
+    cat.save_catalog_state(  # second save exercises the aside-rename
+        sink, [{"Name": "a", "Type": "bigint"}], ["g=1", "g=2"]
+    )
+    assert cat.load_catalog_state(sink) == {
+        "schema": [{"Name": "a", "Type": "bigint"}],
+        "partitions": ["g=1", "g=2"],
+    }
+    ledger = os.path.join(sink, "_catalog_state.json")
+    assert os.path.exists(ledger)
+    assert not os.path.exists(ledger + ".tmp")
+    assert not os.path.exists(ledger + ".old")
+
+
+def test_remote_ledger_crash_between_renames_keeps_readable_state(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE: the old delete-then-rename save had a window where
+    NO ledger existed — a crash there silently lost the partition
+    set. The aside-rename sequence leaves at least one readable
+    ledger at every crash point: simulate the worst one (old ledger
+    renamed aside, new one not yet in place) and assert the reader
+    falls back to the aside copy, then that the next save repairs."""
+    import os
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark import (
+        catalog as cat,
+    )
+
+    monkeypatch.setattr(cat, "_is_local", lambda p: False)
+    sink = str(tmp_path)
+    v1 = ([{"Name": "a", "Type": "bigint"}], ["g=1"])
+    cat.save_catalog_state(sink, *v1)
+    ledger = os.path.join(sink, "_catalog_state.json")
+    # crash state: main renamed aside, replacement never landed
+    os.rename(ledger, ledger + ".old")
+    assert cat.load_catalog_state(sink) == {
+        "schema": v1[0], "partitions": v1[1],
+    }
+    # recovery: the next save lands the new ledger and clears the aside
+    v2 = ([{"Name": "a", "Type": "bigint"}], ["g=1", "g=2"])
+    cat.save_catalog_state(sink, *v2)
+    assert cat.load_catalog_state(sink) == {
+        "schema": v2[0], "partitions": v2[1],
+    }
+    assert os.path.exists(ledger)
+    assert not os.path.exists(ledger + ".old")
+
+
 def test_create_table_all_partition_columns_named_error(spark, tmp_path):
     """Every schema column a partition column: Spark itself forbids
     the table (ALL_PARTITION_COLUMNS_NOT_ALLOWED) — the r12 DDL fix

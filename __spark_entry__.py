@@ -4332,17 +4332,6 @@ ORDER BY key DESC, d.doc_id LIMIT 50
 """
 
 
-def dsir_resample_docs_sf01(spark, sf_dir):
-    """SF-robustness driver gate (r07 verdict task #6): DSIR's
-    quantized-integer log-ratio selection re-run pinned to the
-    sf0.1 documents table regardless of the driver's sf parameter —
-    the add-1 bucket models and Gumbel keys shift with corpus size,
-    so 10× data exercises fresh quantization edges under a driver
-    CORRECTNESS row rather than only the local ORACLE_SF01.md
-    sweep."""
-    return dsir_resample_docs(spark, "/root/testdata/sf0.1")
-
-
 def quality_percentile_docs_sf01(spark, sf_dir):
     """SF-robustness driver gate (r07 verdict task #6): per-source
     percentile curation at sf0.1 — the per-(source, quantized-score)
@@ -4359,7 +4348,6 @@ def kn_bigram_model_docs_sf01(spark, sf_dir):
     return kn_bigram_model_docs(spark, "/root/testdata/sf0.1")
 
 
-DSIR_SF01_SQL = _sf01_docs_twin(DSIR_SQL, 3)
 QUALITY_PCT_SF01_SQL = _sf01_docs_twin(QUALITY_PCT_SQL, 2)
 KN_BIGRAM_SF01_SQL = _sf01_docs_twin(KN_BIGRAM_SQL, 1)
 
@@ -8031,7 +8019,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk_lsh": sim_topk_lsh,
         "sim_topk_ivf": sim_topk_ivf,
         "seq_packing_docs": seq_packing_docs,
-        "dsir_resample_docs_sf01": dsir_resample_docs_sf01,
         "quality_percentile_docs_sf01": quality_percentile_docs_sf01,
         "kn_bigram_model_docs_sf01": kn_bigram_model_docs_sf01,
         "quality_percentile_docs": quality_percentile_docs,
@@ -8255,7 +8242,6 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": GOPHER_FILTER_SQL,
         "hard_negatives_vecs": HARD_NEG_SQL,
         "ccnet_buckets_docs": CCNET_BUCKETS_SQL,
-        "dsir_resample_docs_sf01": DSIR_SF01_SQL,
         "quality_percentile_docs_sf01": QUALITY_PCT_SF01_SQL,
         "kn_bigram_model_docs_sf01": KN_BIGRAM_SF01_SQL,
         "quality_percentile_docs": QUALITY_PCT_SQL,

@@ -331,8 +331,11 @@ def merge_upsert(
     touched partitions (a partition already holding the post-merge
     rows anti-joins and re-unions to the identical output). The check
     is deliberately conservative: a crash between intent-write and
-    overwrite start also trips it, and the same replay fixes it. On
-    Delta this whole mechanism is the transaction log (sandbox-
+    overwrite start also trips it, and the same replay fixes it. The
+    record is a crash MARKER, not a lock — concurrent merges against
+    one plain-parquet sink were never safe (dynamic overwrite has no
+    isolation) and remain the caller's responsibility to serialize.
+    On Delta this whole mechanism is the transaction log (sandbox-
     blocked here; see ``plans/pipeline.py``).
 
     Skew (``write_salt``): the overwrite hashes on the partition
@@ -586,8 +589,17 @@ def merge_upsert(
                     f"failed to remove emptied partition dir {path}/{part_dir}"
                 )
     # Commit window closed: overwrite landed and every emptied dir is
-    # gone — retire the intent record.
-    clear_merge_intent(spark, path)
+    # gone — retire the intent record. A failed removal must surface
+    # NOW (same posture as the emptied-dir delete above): leaving it
+    # silently would make the NEXT merge raise a spurious torn-commit
+    # error for a batch that actually committed cleanly.
+    if not clear_merge_intent(spark, path):
+        fs_i, hpath_i, _ = _merge_intent_handles(spark, path)
+        if fs_i.exists(hpath_i):
+            raise IOError(
+                f"merge committed but its intent record could not be "
+                f"removed: {hpath_i} — remove it before the next merge"
+            )
     return {
         # partitions actually rewritten or removed; a touched value
         # absent from the sink (delete of a never-present partition)

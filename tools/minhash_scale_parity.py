@@ -98,10 +98,37 @@ def main() -> None:
         )
     print(f"fixture={fixture} N={mult} stride={stride}", flush=True)
 
-    # base clusters: the family's own quadratic truth, at base scale
+    # Base pairs via an INVERTED shingle index instead of the gate
+    # oracle's all-pairs join: any pair with J ≥ 0.5 shares at least
+    # one shingle, so joining the exploded shingle lists and deriving
+    # |A∪B| = |A| + |B| - |A∩B| yields the IDENTICAL pair set and
+    # jaccard values (same integer inputs, same double division, same
+    # ROUND) — verified bit-identical against DEDUP_NGRAM_SQL at
+    # sf0.01 (25/25 pairs) and ~8× faster there; at the sf0.1 base
+    # the all-pairs form is 12.5M list_intersects (>15 min) while
+    # this is linear in shared-shingle pairs (~1 min). This is the
+    # "banded pair SQL" scale path the r12 verdict pointed at.
+    # MATERIALIZED is load-bearing throughout: DuckDB inlines plain
+    # CTEs, so the recursive `reach` term would otherwise re-evaluate
+    # the pair computation on EVERY iteration (observed: >1 h).
+    base_pairs = f"""
+WITH sh AS (SELECT doc_id, {entry._SQL_SHINGLES} AS shingles
+            FROM documents),
+sizes AS (SELECT doc_id, len(shingles) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+"""
     base_clusters = f"""
-WITH RECURSIVE pairs AS ({entry.DEDUP_NGRAM_SQL}),
-edges AS (
+WITH RECURSIVE pairs AS MATERIALIZED ({base_pairs}),
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ),

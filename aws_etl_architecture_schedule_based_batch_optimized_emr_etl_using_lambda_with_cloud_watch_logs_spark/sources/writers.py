@@ -30,6 +30,38 @@ def delta_available() -> bool:
     return find_spec("delta") is not None
 
 
+def _stable_salt(df: DataFrame, n: int):
+    """Deterministic per-row salt expression in ``[0, n)``: xxhash64
+    over the row content, so a stage retry after a shuffle-fetch
+    failure re-assigns every row to the SAME reducer
+    (monotonically_increasing_id depended on partition layout and row
+    order — the SPARK-23207 silent dup/drop class; r12 ADVICE).
+
+    Spark refuses to hash MAP-typed inputs (same maps may differ in
+    hashcode), so any column whose type CONTAINS a map — directly, in
+    an array, or nested in a struct — is routed through ``to_json``
+    first: deterministic for a given row computation, which is
+    exactly the attempt-stability the salt needs. Caveat:
+    byte-identical duplicate rows share a salt bucket, so a frame
+    that is mostly one repeated row will not fan out."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_map(dt):
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    cols = [
+        F.to_json(F.col(f.name)) if has_map(f.dataType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return F.pmod(F.xxhash64(*cols), F.lit(n))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -62,26 +94,25 @@ def write_partitioned(
         keys = [F.col(c) for c in partition_cols]
         if files_per_partition > 1:
             # Salt so one hot partition value can still fan out to
-            # several writers (skew control at scale). The salt must
-            # be DETERMINISTIC per row: monotonically_increasing_id
-            # depends on partition layout and row order, so a stage
-            # retry after a shuffle-fetch failure could re-assign
-            # rows to different reducers and silently drop or
-            # duplicate them (the SPARK-23207 class; r12 ADVICE).
-            # xxhash64 over the row content is attempt-stable. (A
+            # several writers (skew control at scale). Deterministic
+            # row-content hash (see _stable_salt for the stage-retry
+            # rationale and the map-column handling). A
             # spark_partition_id() salt is also out: it is capped by
             # the UPSTREAM partition count — a single-partition frame
             # salts to one value and the fan-out silently does
-            # nothing, r12 review find.) Caveat: byte-identical
-            # duplicate rows share a salt bucket, so a frame that is
-            # mostly one repeated row will not fan out.
-            keys = keys + [
-                F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]),
-                    F.lit(files_per_partition),
-                )
-            ]
-        df = df.repartition(*keys)
+            # nothing (r12 review find). The EXPLICIT partition count
+            # is equally load-bearing (r13 review find): without it
+            # AQE coalesces a small salted shuffle back into one task
+            # and the fan-out silently collapses to one file per
+            # directory — the same trap compact_partitions pinned in
+            # r12, latent here because no test counted the files.
+            keys = keys + [_stable_salt(df, files_per_partition)]
+            n_shuffle = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+            df = df.repartition(max(n_shuffle, files_per_partition), *keys)
+        else:
+            df = df.repartition(*keys)
     writer = df.write.mode(mode).partitionBy(*partition_cols).format(fmt)
     if partition_overwrite:
         writer = writer.option("partitionOverwriteMode", partition_overwrite)
@@ -183,14 +214,9 @@ def compact_partitions(
         cond = clause if cond is None else (cond | clause)
     keys = [F.col(c) for c in partition_cols]
     if target_files > 1:
-        # deterministic salt (see write_partitioned): attempt-stable
+        # deterministic salt (see _stable_salt): attempt-stable
         # under stage retry, unlike monotonically_increasing_id
-        keys.append(
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in df.columns]),
-                F.lit(target_files),
-            )
-        )
+        keys.append(_stable_salt(df, target_files))
     # explicit partition count: without it AQE coalesces a small
     # rewrite into one task and the salt fan-out silently collapses
     # back to one file per directory
@@ -537,12 +563,7 @@ def merge_upsert(
     # coalesce the salt fan-out back into one task.
     part_keys = [F.col(c) for c in partition_cols]
     if write_salt and write_salt > 1:
-        part_keys.append(
-            F.pmod(
-                F.xxhash64(*[F.col(c) for c in merged.columns]),
-                F.lit(write_salt),
-            )
-        )
+        part_keys.append(_stable_salt(merged, write_salt))
         to_write = merged.repartition(
             max(len(touched_rows) * write_salt, 1), *part_keys
         )

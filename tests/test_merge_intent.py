@@ -119,6 +119,25 @@ def test_write_salt_fans_out_hot_partition(spark, tmp_path):
     assert _rows(spark, sink) == expected
 
 
+def test_salted_fanout_accepts_map_columns(spark, tmp_path):
+    """r13 review find: Spark refuses xxhash64 on MAP inputs, so the
+    deterministic-salt rework would have broken files_per_partition>1
+    for any frame carrying a map column (the pipeline's flattened
+    JSON and the events props are exactly that shape) — map-typed
+    columns are routed through to_json before hashing."""
+    sink = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, "g1", {"k": f"v{i}"}) for i in range(40)],
+        "id bigint, grp string, props map<string,string>",
+    )
+    write_partitioned(df, sink, ["grp"], files_per_partition=4)
+    files = glob.glob(os.path.join(sink, "grp=g1", "*.parquet"))
+    assert len(files) >= 2  # the salt actually fanned out
+    back = spark.read.parquet(sink)
+    assert back.count() == 40
+    assert back.filter("props['k'] = 'v7'").count() == 1
+
+
 def test_compact_partitions_relative_path(spark, tmp_path):
     """r12 ADVICE: with a RELATIVE sink path the listed file paths
     are absolute while the unqualified root was relative — the strip

@@ -4920,16 +4920,20 @@ def mmr_rerank_docs(spark, sf_dir):
     combination."""
     d = _t(spark, sf_dir, "documents")
     # cut the candidate lineage ONCE here: the sims frame below and
-    # every selection round reference cand, and each un-cut reference
-    # re-ran the full BM25 index build (the first bench print had the
-    # gate at 9 s — one materialized build + candidate-only embedding
-    # brings it in line with the other retrieval gates)
+    # the selection kernel reference cand three times, and each un-cut
+    # reference re-ran the full BM25 index build (the first bench
+    # print had the gate at 9 s — one materialized build +
+    # candidate-only embedding brings it in line with the other
+    # retrieval gates). eager=False (r13 optimization round): the
+    # checkpoint materializes inside the query's own action instead
+    # of paying a separate eager job at construction time; the three
+    # consumer branches share the cached partitions.
     cand = (
         SR.bm25_topk(
             d, _BM25_QUERIES, topk=10, index=_term_index(spark, sf_dir)
         )
         .select("query_id", "doc_id", F.col("score").alias("rel"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # hash-embed ONLY the candidate documents (≤ |Q|·10 rows), not
     # the corpus — the semi-join prunes before the explode/aggregate

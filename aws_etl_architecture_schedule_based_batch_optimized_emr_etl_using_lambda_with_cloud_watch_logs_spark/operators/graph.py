@@ -265,12 +265,22 @@ def pagerank(
     outdeg = edges.groupBy(F.col(src).alias("id")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    # (id, outdeg|null) — null outdeg marks a dangling node.
-    node_deg = nodes.join(outdeg, "id", "left")
-    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # (id, outdeg|null, _n) — null outdeg marks a dangling node. The
+    # 1-row node-count frame is attached ONCE here (r13 optimization
+    # round): the previous form crossJoined it inside every unrolled
+    # iteration, which cost nothing at execution (ReusedExchange) but
+    # re-grew the analyzed tree by a broadcast subtree per step —
+    # plan construction/analysis was over half the gate's wall at toy
+    # SF. Same expressions, same values, 8 fewer crossJoin nodes.
+    node_deg = (
+        nodes.join(outdeg, "id", "left")
+        .crossJoin(
+            F.broadcast(nodes.agg(F.count(F.lit(1)).alias("_n")))
+        )
+    )
 
-    ranks = node_deg.crossJoin(F.broadcast(n_frame)).select(
-        "id", "outdeg", (F.lit(1.0) / F.col("_n")).alias("pr")
+    ranks = node_deg.select(
+        "id", "outdeg", "_n", (F.lit(1.0) / F.col("_n")).alias("pr")
     )
     e = edges.select(F.col(src).alias("id"), F.col(dst).alias("_to"))
     for _ in range(n_iter):
@@ -295,13 +305,14 @@ def pagerank(
         carried = F.coalesce(F.col("_c"), F.lit(0.0))
         if dangling:
             carried = carried + F.col("_dangle") / F.col("_n")
-        nxt = node_deg.join(contrib, "id", "left").crossJoin(
-            F.broadcast(n_frame)
-        )
+        nxt = node_deg.join(contrib, "id", "left")
         if dangling:
             nxt = nxt.crossJoin(dangle_mass)
         ranks = nxt.select(
-            "id", "outdeg", (base + F.lit(damping) * carried).alias("pr")
+            "id",
+            "outdeg",
+            "_n",
+            (base + F.lit(damping) * carried).alias("pr"),
         )
     return ranks.select("id", "pr")
 

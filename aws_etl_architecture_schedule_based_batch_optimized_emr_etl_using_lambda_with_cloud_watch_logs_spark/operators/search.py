@@ -516,88 +516,144 @@ def mmr_rerank(
     ``cand``: (query, id, rel); ``sims``: (query, id_a, id_b, sim),
     symmetric, no self-pairs. ``sims`` MAY be sparse/thresholded — a
     (candidate, selected) pair with no row scores max_sim = 0 (fully
-    dissimilar), per the MMR definition. Returns
+    dissimilar), per the MMR definition — BUT a candidate with SOME
+    sims rows against the selection takes the max over the rows it
+    HAS (which may be negative); the missing-pair zero applies only
+    when no pair exists at all, exactly as the previous join form
+    (``coalesce(max(sim), 0)``) behaved. Returns
     (query, rank, id, mmr) with mmr rounded for display — ranking
     happens on the unrounded value.
 
-    Both inputs are cut with an eager ``localCheckpoint`` before the
-    unrolling: every selection round references them (and the
-    accumulated picks) again, and without the cut the analyzed plan
-    re-expands the candidate lineage — BM25 index build included —
-    once per reference (measured 1485 parquet scan nodes for k=5
-    before the cut, 2 after). The checkpointed frames are
-    |Q|·n_candidates rows — metadata-scale."""
-    # single partition before the cut: these are candidate-bounded
-    # frames (|Q|·n_candidates rows); leaving them on the session's
-    # shuffle partitioning drags 32 near-empty tasks through every
-    # selection round (scheduling, not compute). For a huge |Q| the
-    # caller passes pre-partitioned frames and the coalesce is the
-    # first thing to lift.
-    cand = cand.coalesce(1).localCheckpoint()
-    sims = sims.coalesce(1).localCheckpoint()
-    pick_w = Window.partitionBy(query_col).orderBy(
-        F.col("_mmr").desc(), F.col(id_col).asc()
+    Execution (r13 optimization round, guide §2.4/§4.2): the greedy
+    loop is PER-QUERY-sequential but cross-query-parallel, and both
+    inputs are bounded by |Q|·n_candidates rows — so the whole
+    selection runs as ONE cogrouped Arrow stage (group both frames by
+    the query key, run the k rounds vectorized in numpy inside the
+    task) instead of k statically-unrolled rounds of
+    anti-join + semi-join + window + eager localCheckpoint. The
+    unrolled form cost 2 + k eager jobs — each a cluster-wide barrier
+    (measured 2.8 s of the gate's 2.9 s at sf0.1) — and its per-round
+    checkpoints were the only thing keeping the re-referenced lineage
+    from exploding (~3^k re-execution without them). The cogrouped
+    form moves each query's ≤ n_candidates² sim rows exactly once
+    through one exchange, needs no checkpoint at any |Q|, and scales
+    out with the query set rather than serializing k global barriers.
+
+    Bit-exactness is preserved: the kernel evaluates the same IEEE
+    double expression tree Spark's codegen did — ``lam·rel`` (one
+    multiply) in round 1, ``lam·rel − (1−lam)·max_sim`` (two
+    multiplies, one subtract, constants computed identically in
+    Python) afterwards — the running max over the selection is the
+    same set-max the join+agg computed, and the argmax over the
+    id-ascending candidate order reproduces the
+    ``row_number() over (order by _mmr desc, id asc)`` pick, NaN
+    ordering included (numpy argmax returns the first NaN; Spark
+    sorts NaN greatest and breaks ties on the ascending id). Rounding
+    stays in Spark (``F.round``), outside the kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    selected = None
-    picks = []
-    for i in range(1, k + 1):
-        if selected is None:
-            scored = cand.withColumn("_mmr", F.lit(lam) * F.col(rel_col))
-        else:
-            remaining = cand.join(
-                selected.select(query_col, id_col), [query_col, id_col],
-                "left_anti",
-            )
-            # LEFT join + coalesce-to-0: a candidate with no sims row
-            # against any selected doc has max_sim = 0 by the MMR
-            # definition (fully dissimilar), it is NOT unpickable. An
-            # inner join here silently excluded such candidates —
-            # harmless for the in-repo all-pairs caller, wrong for a
-            # sparse/thresholded sims input.
-            maxsim = (
-                remaining.join(
-                    sims.join(
-                        selected.select(
-                            query_col, F.col(id_col).alias("id_b")
-                        ),
-                        [query_col, "id_b"],
-                        "left_semi",
-                    ).select(
-                        query_col, F.col("id_a").alias(id_col), "sim"
-                    ),
-                    [query_col, id_col],
-                    "left",
+
+    cand_types = {f.name: f.dataType for f in cand.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(query_col, cand_types[query_col]),
+            StructField(id_col, cand_types[id_col]),
+            StructField("rank", IntegerType()),
+            StructField("mmr", DoubleType()),
+        ]
+    )
+    lam64 = float(lam)
+    # computed HERE (driver, Python float) exactly as the previous
+    # form computed F.lit(1.0 - lam) — the same shipped constant
+    one_m_lam = 1.0 - lam64
+    empty = pd.DataFrame(columns=[query_col, id_col, "rank", "mmr"])
+
+    def greedy(cdf: pd.DataFrame, sdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return empty
+        # id-ascending candidate order makes argmax's first-max the
+        # smallest-id tiebreak of the window form
+        cdf = cdf.sort_values(id_col, kind="mergesort")
+        ids = cdf[id_col].to_numpy()
+        rels = cdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(ids)
+        kk = min(k, n)
+        pos = {v: i for i, v in enumerate(ids.tolist())}
+        # per selected-id lookup: candidate row indices + sims, built
+        # once (sims rows whose id_a is not a candidate can never
+        # score and are dropped, same as the previous inner probe)
+        by_sel: dict = {}
+        if sdf is not None and len(sdf):
+            a_pos = sdf["id_a"].map(pos)
+            sub = sdf[a_pos.notna()]
+            if len(sub):
+                a_idx = sub["id_a"].map(pos).to_numpy(dtype=np.int64)
+                svals = sub["sim"].to_numpy(dtype=np.float64)
+                b_keys = sub["id_b"].to_numpy()
+                order = np.argsort(b_keys, kind="stable")
+                b_sorted = b_keys[order]
+                bounds = np.flatnonzero(
+                    np.r_[True, b_sorted[1:] != b_sorted[:-1], True]
                 )
-                .groupBy(query_col, id_col, rel_col)
-                .agg(F.coalesce(F.max("sim"), F.lit(0.0)).alias("_ms"))
-            )
-            scored = maxsim.withColumn(
-                "_mmr",
-                F.lit(lam) * F.col(rel_col)
-                - F.lit(1.0 - lam) * F.col("_ms"),
-            )
-        pick = (
-            scored.withColumn("_r", F.row_number().over(pick_w))
-            .filter(F.col("_r") == 1)
-            .select(
-                query_col,
-                id_col,
-                F.lit(i).cast("int").alias("rank"),
-                F.col("_mmr").alias("mmr"),
-            )
-            # cut per round: each pick references the accumulated
-            # selection THREE times (anti-join, sim semi-join, union),
-            # so un-cut lineage re-executes all prior rounds ~3^k
-            # times at materialization (measured 13.8 s warm for k=5
-            # at sf0.1; ~1 s with the cut). |Q| rows per checkpoint.
-            .coalesce(1)
-            .localCheckpoint()
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    by_sel[b_sorted[s]] = (
+                        a_idx[order[s:e]],
+                        svals[order[s:e]],
+                    )
+        # running max over PRESENT (candidate, selected) pairs;
+        # -inf marks "no pair yet" → scores as 0.0 (the MMR
+        # missing-pair convention), while a present negative sim
+        # stays the max of what exists — identical to
+        # coalesce(max(sim), 0) over the grown selection
+        msp = np.full(n, -np.inf)
+        alive = np.ones(n, dtype=bool)
+        picked_idx = []
+        mmr_out = []
+        for i in range(kk):
+            if i == 0:
+                mmr_vals = lam64 * rels
+            else:
+                ms_eff = np.where(np.isneginf(msp), 0.0, msp)
+                mmr_vals = lam64 * rels - one_m_lam * ms_eff
+            masked = np.where(alive, mmr_vals, -np.inf)
+            p = int(np.argmax(masked))
+            picked_idx.append(p)
+            mmr_out.append(mmr_vals[p])
+            alive[p] = False
+            hit = by_sel.get(ids[p])
+            if hit is not None:
+                np.maximum.at(msp, hit[0], hit[1])
+        qval = cdf[query_col].iloc[0]
+        return pd.DataFrame(
+            {
+                query_col: [qval] * kk,
+                id_col: ids[picked_idx],
+                "rank": np.arange(1, kk + 1, dtype=np.int32),
+                "mmr": np.asarray(mmr_out, dtype=np.float64),
+            }
         )
-        picks.append(pick)
-        selected = pick if selected is None else selected.unionByName(pick)
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
+
+    # the right side's key is RENAMED before grouping: cogroup
+    # matches groups by key VALUE, and ``sims`` is routinely derived
+    # from ``cand`` (same lineage), which would otherwise trip
+    # Spark's ambiguous-self-join detection on the shared column
+    out = (
+        cand.select(query_col, id_col, rel_col)
+        .groupBy(query_col)
+        .cogroup(
+            sims.select(
+                F.col(query_col).alias("_mmr_q"), "id_a", "id_b", "sim"
+            ).groupBy("_mmr_q")
+        )
+        .applyInPandas(greedy, out_schema)
+    )
     return out.select(
         query_col, "rank", id_col, F.round("mmr", 6).alias("mmr")
     )

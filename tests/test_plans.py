@@ -155,6 +155,9 @@ def test_plan_allowlist_is_pinned():
         "sim_topk_rp": 3,
         "knn_graph_lsh_docs": 2,
         "matryoshka_recall_vecs": 4,
+        # r13 optimization round: the greedy MMR selection became one
+        # cogrouped Arrow kernel (was k unrolled JVM join rounds)
+        "mmr_rerank_docs": 1,
         "sim_topk_pq": 3,
         "sim_topk_sq": 2,
         "stream_incremental_dedup_docs": 3,

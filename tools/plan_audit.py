@@ -127,6 +127,13 @@ ARROW_STAGE_EXPECTED = {
     # hybrid RRF retrieval: the vector arm's exact-integer Arrow
     # local-top-k kernel (the BM25 arm is fully JVM-side)
     "rrf_fusion_docs": 1,
+    # MMR diversified rerank (r13 optimization round): the greedy
+    # selection is ONE cogrouped Arrow kernel
+    # (FlatMapCoGroupsInPandas) over the candidate/sims frames —
+    # replaced the k statically-unrolled join rounds (2 + k eager
+    # checkpoint jobs) with a single per-query-parallel stage;
+    # bit-identical picks, oracle-verified
+    "mmr_rerank_docs": 1,
 }
 
 
@@ -138,7 +145,7 @@ def formatted_plan(df) -> str:
 
 
 _ARROW_RX = re.compile(
-    r"\b(?:MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas\w*)\b"
+    r"\b(?:MapInPandas|ArrowEvalPython|FlatMap(?:Co)?GroupsInPandas\w*)\b"
 )
 
 

@@ -1263,7 +1263,16 @@ def stream_interval_join_counts(spark, sf_dir):
         ),
         name,
         output_mode="append",
-        shuffle_partitions=8,
+        # 4, not the family's 8 (r13 optimization round): a
+        # stream-stream join carries FOUR state stores per partition,
+        # so its fixed per-batch commit fan-out is 4x every other
+        # gate's — halving the partition count halves that to 16
+        # commits/batch and measured 3.3 s -> 2.45 s warm same-session
+        # at sf0.1 (2 partitions was no better than 4; the
+        # single-store gates showed no consistent win and keep 8).
+        # Same sizing contract as the r12 right-sizing: state volume
+        # per partition stays trivial at the fixture SFs.
+        shuffle_partitions=4,
     )
     s = streamed.agg(F.count(F.lit(1)).alias("n_s"))
     b = (
@@ -7219,10 +7228,18 @@ def knn_graph_lsh_docs(spark, sf_dir):
     ≥0.9 (measured 1.0 at sf0.01, ≈0.95 at sf0.1). DuckDB
     recomputes n_exact from the exact-edge definition and pins the
     flag."""
+    # checkpoint the embedding ONCE for the whole gate (r13
+    # optimization round): the recall join references it four times —
+    # the (a, b) vector fetches for BOTH edge sets — plus the LSH
+    # operator's own banding pass; un-cut, each reference re-ran the
+    # tokenize + hash-aggregate embed of the sampled corpus (4
+    # corpus-scan-equivalents per evaluation; at 100 TB that is the
+    # difference between one embed pass and five). eager=False: it
+    # materializes inside the operator's plane-sizing count.
     emb = SR.hashed_embeddings(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
         dim=32,
-    )
+    ).localCheckpoint(eager=False)
     base = emb.select(
         "doc_id",
         "embedding",

@@ -231,7 +231,18 @@ def prf_expand_topk(
         .filter(F.col("_r") <= fb_terms)
         .select("query_id", "term")
     )
-    q2 = q_terms.unionByName(fb).distinct()
+    # cut the expanded-query lineage (r13 optimization round):
+    # round 2 references q2 TWICE inside _bm25_score (the tf probe
+    # and the df_q term filter are two different broadcast subtrees,
+    # so exchange reuse cannot kick in) and each broadcast build
+    # re-executed the entire round-1 scoring + window chain. The
+    # checkpoint is |Q|·(query_terms + fb_terms) rows — metadata-
+    # scale — and materializes inside the first broadcast build.
+    q2 = (
+        q_terms.unionByName(fb)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     return _rank_topk(
         _bm25_score(tf, meta, df_, q2, k1, b, id_col), topk, id_col
     )

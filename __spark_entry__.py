@@ -2351,10 +2351,19 @@ def bloom_decontam_docs(spark, sf_dir):
     sh = D.shingles_col(D.tokens_col("text"), 8)
     rows = d.select("doc_id", F.explode(sh).alias("shingle"))
     corpus_sh = rows.filter(F.col("doc_id") % 10 != 0)
+    # checkpoint the benchmark key set (r13 optimization round): it
+    # is referenced twice — the bloom build aggregate AND the exact-
+    # verify broadcast annotation — and each reference re-ran the
+    # full shingle explode + distinct over the benchmark slice.
+    # Distinct-shingle-scale rows; materializes inside the bloom
+    # build's first use. (The bloom-then-verify DOUBLE corpus pass is
+    # the gate's contract — guide §3.2's "small side scanned twice"
+    # — and stays.)
     bench_keys = (
         rows.filter(F.col("doc_id") % 10 == 0)
         .select("shingle")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     m_bits, k = 1 << 16, 5
     bloom = BL.bloom_build(bench_keys, "shingle", m_bits, k)

@@ -257,6 +257,18 @@ def pagerank(
 
         pr'(v) = (1-d)/n + d * (Σ_{u→v} pr(u)/outdeg(u) [+ dangle/n])
     """
+    # cut the edge lineage ONCE (r13 optimization round, lazy so no
+    # job fires at construction): the edge frame is referenced by the
+    # node set, the out-degree aggregate AND every one of the n_iter
+    # unrolled contribution joins — without the cut the caller's edge
+    # lineage (for the kNN gate, the whole exact-kNN pair join) is
+    # re-inlined into the analyzed tree once per reference, and
+    # analysis cost dominated the gate's wall at toy SF. Caching the
+    # edge list is also the standard schedule for iterative graph
+    # algorithms at scale — it is read n_iter times.
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))

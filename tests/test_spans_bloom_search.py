@@ -870,6 +870,39 @@ def test_mmr_sparse_sims_treats_missing_pairs_as_zero(spark):
     assert rows[2].mmr == 0.5  # 0.5*rel - 0.5*max_sim(=0)
 
 
+def test_mmr_ties_break_on_ascending_doc_id(spark):
+    """r13 optimization round: the greedy selection moved from the
+    unrolled window form (row_number over mmr DESC, doc_id ASC) into
+    the cogrouped numpy kernel — pin the tie contract the window
+    provided. Round 1: docs 5 and 2 tie on rel -> 2 wins. Round 2:
+    the survivors tie again on identical mmr (same rel, same sim to
+    the pick) -> 5 wins over 9. A negative PRESENT sim must also beat
+    the missing-pair zero (max over present rows, not clamped)."""
+    cand = spark.createDataFrame(
+        [("q", 5, 10.0), ("q", 2, 10.0), ("q", 9, 10.0), ("q", 7, 1.0)],
+        "query_id string, doc_id bigint, rel double",
+    )
+    sims = spark.createDataFrame(
+        [
+            ("q", 5, 2, 0.5), ("q", 2, 5, 0.5),
+            ("q", 9, 2, 0.5), ("q", 2, 9, 0.5),
+            ("q", 5, 9, 0.5), ("q", 9, 5, 0.5),
+            # doc 7 has ONE present pair, negative: max over present
+            # rows = -0.2 (NOT clamped to the missing-pair 0.0)
+            ("q", 7, 2, -0.2),
+        ],
+        "query_id string, id_a bigint, id_b bigint, sim double",
+    )
+    rows = sorted(
+        SR.mmr_rerank(cand, sims, k=4, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in rows][:3] == [2, 5, 9]
+    # doc 7 at rank 4: mmr = 0.5*1.0 - 0.5*(-0.2) = 0.6
+    assert rows[3].doc_id == 7
+    assert rows[3].mmr == 0.6
+
+
 # ------------------------------------------- shared term_index triple
 
 

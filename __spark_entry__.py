@@ -7243,12 +7243,20 @@ def knn_graph_lsh_docs(spark, sf_dir):
     # operator's own banding pass; un-cut, each reference re-ran the
     # tokenize + hash-aggregate embed of the sampled corpus (4
     # corpus-scan-equivalents per evaluation; at 100 TB that is the
-    # difference between one embed pass and five). eager=False: it
-    # materializes inside the operator's plane-sizing count.
+    # difference between one embed pass and five). EAGER (r14): the
+    # r13 lazy form chained INTO the operator's own lazy base
+    # checkpoint, so both materialized inside the operator's
+    # plane-sizing count in one job — the driver's 32-core bench
+    # regressed 4.6 s -> 12.9 s on exactly that form while the plan
+    # shape (one embed pass) stayed right. Materializing emb in its
+    # own job first breaks the chain; the r14 A/B at local[32]
+    # (interleaved, same session) read eager 4.3/4.8/8.1 s vs lazy
+    # 5.4/6.5/10.4 s vs no-checkpoint 7.6/11.0/10.6 s — eager wins
+    # every rep and keeps the scans-14->6 single-embed structure.
     emb = SR.hashed_embeddings(
         _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
         dim=32,
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     base = emb.select(
         "doc_id",
         "embedding",

@@ -943,12 +943,17 @@ def connected_components(
     the corpus) edge/label frames. ``localCheckpoint`` truncates the
     iterative lineage so the plan doesn't grow per round; on a
     cluster with a checkpoint dir, ``checkpoint`` would make rounds
-    restartable. Every checkpoint is LAZY (``eager=False``) so it
-    materializes inside the convergence-sum collect that immediately
-    follows — one Spark job per round instead of two (the
-    ``bpe._train`` idiom; r13 optimization round, guide §1.2 "remove
-    unnecessary passes": measured ~2 s → ~1 s on the kNN-graph
-    components gate with identical results). Returns
+    restartable. The PER-ROUND checkpoint is LAZY (``eager=False``)
+    so it materializes inside the convergence-sum collect that
+    immediately follows — one Spark job per round instead of two
+    (the ``bpe._train`` idiom; r13 optimization round, guide §1.2
+    "remove unnecessary passes"). The two INIT checkpoints are EAGER
+    again (r14): lazy, they chained (labels derives from sym) and
+    both materialized inside the first convergence collect in one
+    job — the form on which the driver's 32-core bench regressed
+    knn_components_docs 0.78×; the r14 interleaved A/B at local[32]
+    read init-eager ≤ all-lazy in 3 of 4 reps (min 3.42 vs 3.52 s,
+    medians 4.1 vs 4.5 s) with the in-loop fusion retained. Returns
     (node, cluster_id) for every node that appears in ``pairs``;
     cluster_id = min node id in the component.
     """
@@ -958,13 +963,13 @@ def connected_components(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     # decimal(38,0) sum: raw 64-bit ids summed in a LongType
     # aggregate overflow int64 at ~1e9 nodes of large ids — an

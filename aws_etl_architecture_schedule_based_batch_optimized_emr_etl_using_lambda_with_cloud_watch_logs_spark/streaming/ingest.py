@@ -114,18 +114,59 @@ def run_to_memory(
     must be sized to expected STATE volume, not inherited from the
     batch-analytics default (a 4-store stream-stream join at 32
     partitions costs ~128 store commits per micro-batch; measured
-    6.9 s → 2.5 s on the interval-join gate by right-sizing)."""
+    6.9 s → 2.5 s on the interval-join gate by right-sizing).
+
+    Two fixed-floor cuts (r14 optimization round, guide §2/§5 —
+    measured breakdown: addBatch dominates, then the trailing
+    no-data batch and the WAL/offsets/state commit fsyncs):
+
+    * **No trailing no-data micro-batch.** Under AvailableNow the
+      watermark-advancing empty batch exists to fire timeouts /
+      append-mode window finalization / state eviction. Every
+      drain here feeds a finite verification sink whose operators
+      emit on arrival (dedup, inner interval join), per-batch
+      (update-mode sessionize with ``NoTimeout``), or re-emit
+      everything per batch (complete mode) — the empty batch
+      re-commits every state store and rewrites the sink for zero
+      new rows (measured 0.45-1.2 s on the dedup/interval gates).
+      Disabled FOR THE DRAIN ONLY, restored after.
+    * **Checkpoint on RAM-backed storage.** The offsets/commit WAL
+      and the HDFS-backed state stores fsync per batch into the
+      checkpoint dir; the default temp dir lives on the root disk.
+      A finite memory-sink verification drain needs no durability,
+      so the checkpoint goes under ``/dev/shm`` when present
+      (override: ``$SPARK_GRAFT_STREAM_CKPT_DIR``; a production
+      deployment points this at durable shared storage, where the
+      fsync cost is the price of exactly-once) and is deleted after
+      the drain — no state survives the call."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    ckpt_base = os.environ.get(
+        "SPARK_GRAFT_STREAM_CKPT_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+    )
+    ckpt = os.path.join(ckpt_base, f"sg_stream_ckpt_{uuid.uuid4().hex}")
     if shuffle_partitions is not None:
         spark.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+    )
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(query_name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -133,6 +174,10 @@ def run_to_memory(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(query_name)
 
 

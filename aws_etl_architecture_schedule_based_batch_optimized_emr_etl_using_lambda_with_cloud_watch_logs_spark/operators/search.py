@@ -153,16 +153,30 @@ def _bm25_score(
         F.col("tf")
         + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
-    # df stats only for terms some query mentions — the broadcast is
-    # |query vocab| rows, never the corpus vocabulary.
-    df_q = df_.join(
-        F.broadcast(q_terms.select("term").distinct()), "term"
-    ).crossJoin(F.broadcast(meta))
+    # One broadcast probe per tf row, idf precomputed per TERM on the
+    # broadcast side (r14 optimization round, guide §3.2/§2.3): the
+    # old form probed TWO broadcast hash tables per tf row (q_terms,
+    # then the df_q stats) and re-derived the idf log/divide chain
+    # per (query, term, doc) JOIN ROW even though it only depends on
+    # the term. Folding q_terms ⋈ df stats ⋈ meta into ONE
+    # query-vocab-bounded build side with an _idf column makes the
+    # corpus-sized stream pay one probe and one multiply per row.
+    # Bit-exact by construction: inner-join associativity keeps the
+    # row multiset (every tf term exists in df_), the tf stream
+    # order — and therefore the per-(query, doc) sum order — is
+    # unchanged, and _idf is the identical IEEE expression evaluated
+    # on the same (df, n_docs) values, once per term instead of per
+    # row.
+    qdf = (
+        df_.join(F.broadcast(q_terms), "term")
+        .crossJoin(F.broadcast(meta))
+        .withColumn("_idf", idf)
+        .select("term", "query_id", "_idf", "avgdl")
+    )
     return (
-        tf.join(F.broadcast(q_terms), "term")
-        .join(F.broadcast(df_q), "term")
+        tf.join(F.broadcast(qdf), "term")
         .groupBy("query_id", id_col)
-        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+        .agg(F.round(F.sum(F.col("_idf") * tf_norm), 6).alias("score"))
     )
 
 
@@ -592,6 +606,12 @@ def mmr_rerank(
         # id-ascending candidate order makes argmax's first-max the
         # smallest-id tiebreak of the window form
         cdf = cdf.sort_values(id_col, kind="mergesort")
+        # distinct-candidate contract ENFORCED (r14, advisor find):
+        # the pre-kernel anti-join removed every copy of a picked id,
+        # but the positional alive-mask would let a duplicated
+        # (query, id) row be selected twice; gate inputs are distinct
+        # by construction, so this is a no-op there
+        cdf = cdf.drop_duplicates(subset=[id_col], keep="first")
         ids = cdf[id_col].to_numpy()
         rels = cdf[rel_col].to_numpy(dtype=np.float64)
         n = len(ids)
@@ -604,6 +624,12 @@ def mmr_rerank(
         if sdf is not None and len(sdf):
             a_pos = sdf["id_a"].map(pos)
             sub = sdf[a_pos.notna()]
+            # NULL sims arrive as NaN and np.maximum.at would
+            # propagate NaN into the running max, poisoning the
+            # candidate's mmr (first-NaN then WINS argmax) — the old
+            # join form's max() ignored NULLs; match it (r14,
+            # advisor find; gate sims are non-null by construction)
+            sub = sub[sub["sim"].notna()]
             if len(sub):
                 a_idx = sub["id_a"].map(pos).to_numpy(dtype=np.int64)
                 svals = sub["sim"].to_numpy(dtype=np.float64)

@@ -152,10 +152,14 @@ def test_bloom_probe_plan_has_no_shuffle_of_probe_side(spark):
         .executedPlan()
         .toString()
     )
-    # every join must be a broadcast join; a sort-merge join would
-    # mean the probe side got shuffled.
+    # the probe side must never be shuffled: no sort-merge join.
+    # Since r14 the probe is a single broadcast of the densified
+    # one-row filter (a nested-loop cross join by necessity — one
+    # row, no key) + element_at expressions; the only exchanges are
+    # that broadcast and the filter BUILD's own ≤ m/64-row word
+    # aggregate on the build side.
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 # -------------------------------------------------------------- bm25
@@ -901,6 +905,53 @@ def test_mmr_ties_break_on_ascending_doc_id(spark):
     # doc 7 at rank 4: mmr = 0.5*1.0 - 0.5*(-0.2) = 0.6
     assert rows[3].doc_id == 7
     assert rows[3].mmr == 0.6
+
+
+def test_mmr_null_sim_rows_are_ignored_like_sql_max(spark):
+    """r14 advisor find: a NULL sim becomes NaN in the kernel's
+    numpy view and np.maximum.at would propagate it into the running
+    max — the poisoned candidate's NaN mmr then WINS argmax (numpy
+    returns the first NaN) where the old join form's max() simply
+    ignored NULLs. The kernel now filters null sims first: doc 2's
+    NULL pair against the top pick must act like a missing pair
+    (max_sim 0), not a poison pill."""
+    cand = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 2, 5.0), ("q", 3, 4.0)],
+        "query_id string, doc_id bigint, rel double",
+    )
+    sims = spark.createDataFrame(
+        [("q", 2, 1, None), ("q", 3, 1, 0.9)],
+        "query_id string, id_a bigint, id_b bigint, sim double",
+    )
+    rows = sorted(
+        SR.mmr_rerank(cand, sims, k=3, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    # round 2: doc2 mmr = 0.5*5 - 0.5*0 = 2.5 (NULL ignored);
+    # doc3 mmr = 0.5*4 - 0.5*0.9 = 1.55 -> doc2 wins rank 2
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[1].mmr == 2.5
+
+
+def test_mmr_duplicate_candidate_rows_selected_once(spark):
+    """r14 advisor find: the old anti-join removed EVERY copy of a
+    picked id, but the kernel's positional alive-mask would let a
+    duplicated (query, id) candidate row be selected twice. The
+    kernel now enforces the distinct-candidate contract: each id
+    appears at most once in the output."""
+    cand = spark.createDataFrame(
+        [("q", 1, 10.0), ("q", 1, 10.0), ("q", 2, 3.0)],
+        "query_id string, doc_id bigint, rel double",
+    )
+    sims = spark.createDataFrame(
+        [],
+        "query_id string, id_a bigint, id_b bigint, sim double",
+    )
+    rows = sorted(
+        SR.mmr_rerank(cand, sims, k=3, lam=0.5).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in rows] == [1, 2]
 
 
 # ------------------------------------------- shared term_index triple

@@ -78,17 +78,29 @@ def bloom_contains(
     flag_col: str = "_bloom_hit",
 ) -> DataFrame:
     """``df`` with a boolean ``flag_col``: true iff ``key_col``
-    MIGHT be in the filter (all k probed bits set). k broadcast
-    joins, no shuffle of ``df`` — the non-destructive form of
-    :func:`bloom_probe` for audit plans that need the hit flag
-    alongside other columns."""
+    MIGHT be in the filter (all k probed bits set).
+
+    Probe shape (r14 optimization round, guide §2.4/§3): the sparse
+    ``(word, bits)`` filter is densified into ONE row holding the
+    full ``m_bits/64``-long word array (map_from_entries +
+    zero-filled transform — the hashed-embeddings idiom), broadcast
+    once, and every probe becomes a pure ``element_at`` + bitmask
+    expression. The pre-r14 form ran k SEPARATE broadcast hash
+    joins whose per-probe alias renames defeated exchange reuse, so
+    the filter-build aggregate executed k times and the probe stage
+    carried k join operators; now the build runs once and the probe
+    side stays one expression-only streaming stage with zero joins.
+    Bit positions and words are unchanged, so the flag is
+    bit-identical. Bound: the dense array lives in a single row —
+    fine up to array-cell limits (~2^37 filter bits); beyond that,
+    shard the filter. ``bloom`` must be unique per ``word``
+    (``bloom_build`` output is, by its groupBy)."""
     # 'non-destructive' must include the caller's own columns:
     # withColumn would silently overwrite (and the cleanup drop
     # remove) any pre-existing column named like the internals
     clash = {
         c
-        for i in range(k)
-        for c in (f"_p{i}", f"_w{i}", f"_b{i}")
+        for c in ["_bloom_words"] + [f"_p{i}" for i in range(k)]
         if c in df.columns
     } | ({flag_col} if flag_col in df.columns else set())
     if clash:
@@ -97,26 +109,38 @@ def bloom_contains(
             f"already exist on the input — rename them or pass a "
             f"different flag_col"
         )
-    out = df
+    n_words = (m_bits + 63) >> 6
+    dense = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.lit(n_words - 1).cast("bigint")
+            ),
+            lambda w: F.coalesce(
+                F.element_at("_m", w), F.lit(0).cast("bigint")
+            ),
+        ).alias("_bloom_words")
+    )
+    out = df.crossJoin(F.broadcast(dense))
     hit = F.lit(True)
     for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):
-        b = bloom.select(
-            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-        )
-        out = out.withColumn(f"_p{i}", p).join(
-            F.broadcast(b),
-            F.shiftright(f"_p{i}", 6) == F.col(f"_w{i}"),
-            "left",
+        out = out.withColumn(f"_p{i}", p)
+        word = F.element_at(
+            "_bloom_words",
+            (F.shiftright(f"_p{i}", 6) + F.lit(1)).cast("int"),
         )
         hit = hit & (
-            F.coalesce(f"_b{i}", F.lit(0)).bitwiseAND(
+            word.bitwiseAND(
                 F.expr(f"shiftleft(1L, cast(_p{i} & 63 as int))")
             )
             != 0
         )
-    out = out.withColumn(flag_col, hit)
+    out = out.withColumn(flag_col, hit).drop("_bloom_words")
     for i in range(k):
-        out = out.drop(f"_p{i}", f"_w{i}", f"_b{i}")
+        out = out.drop(f"_p{i}")
     return out
 
 

@@ -119,18 +119,41 @@ def importance_weights(
     if isinstance(target, Column):
         from pyspark.sql import Window
 
-        flagged = _features(
-            df.withColumn("_tgt", target), text_col, id_col, extra=("_tgt",)
+        # ONE corpus feature pass for model AND weights (r14
+        # optimization round, guide §1.2/§2.3): the Column-target
+        # path used to tokenize + md5-bucket the corpus TWICE — once
+        # for the bucket models, once for the per-doc weight stream.
+        # Both consumers only need the (doc, bucket) multiplicity,
+        # so aggregate the feature stream to per-(doc, bucket)
+        # counts ONCE, checkpoint that frame (eager — the r14
+        # chained-lazy lesson), and derive the model (Σ over docs)
+        # and the weights (Σ c·qlr over buckets) from it. Exact
+        # integer counts, so every downstream value is bit-identical:
+        # cr = Σ_c, ct = Σ_c over target docs, n_feats = Σ_c,
+        # logw = Σ c·qlr ≡ Σ_features qlr. At 100 TB the pinned
+        # frame is the hashed doc-term matrix (≤ min(n_feats, D)
+        # rows per doc — the representation a DSIR deployment
+        # persists as its reusable artifact); recomputing it instead
+        # costs a full second tokenize + md5 pass over the corpus.
+        db = (
+            _features(
+                df.withColumn("_tgt", target), text_col, id_col,
+                extra=("_tgt",),
+            )
+            .select(
+                "doc_id",
+                feature_bucket(F.col("f"), n_buckets).alias("bucket"),
+                "_tgt",
+            )
+            .groupBy("doc_id", "bucket", "_tgt")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .localCheckpoint()
         )
-        counts = (
-            flagged.select(
-                feature_bucket(F.col("f"), n_buckets).alias("bucket"), "_tgt"
-            )
-            .groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("cr"),
-                F.count_if(F.col("_tgt")).alias("ct"),
-            )
+        counts = db.groupBy("bucket").agg(
+            F.sum("_c").alias("cr"),
+            F.sum(
+                F.when(F.col("_tgt"), F.col("_c")).otherwise(F.lit(0))
+            ).alias("ct"),
         )
         # Totals via an unpartitioned window over the bucket frame
         # (≤ n_buckets rows — the single-partition window is bounded
@@ -141,6 +164,27 @@ def importance_weights(
             counts.withColumn("nr", F.sum("cr").over(wall))
             .withColumn("nt", F.sum("ct").over(wall))
             .select("bucket", qlr_expr.alias("qlr"))
+        )
+        per_doc = (
+            db.join(F.broadcast(ratio), ["bucket"])
+            .groupBy("doc_id")
+            .agg(
+                F.sum("_c").alias("n_feats"),
+                F.sum(F.col("_c") * F.col("qlr")).alias("logw"),
+            )
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"))
+            .join(per_doc, ["doc_id"], "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_feats"), F.lit(0))
+                .cast("bigint")
+                .alias("n_feats"),
+                F.coalesce(F.col("logw"), F.lit(0))
+                .cast("bigint")
+                .alias("logw"),
+            )
         )
     else:
         tc = bucket_counts(target, n_buckets, text_col, id_col).withColumnRenamed(

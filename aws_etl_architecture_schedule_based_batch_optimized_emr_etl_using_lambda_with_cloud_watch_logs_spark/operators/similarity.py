@@ -1349,14 +1349,31 @@ def label_centroid_eval(
         .filter(F.col("_r") == 1)
         .select(id_col, "_true", F.col("_cl").alias("_pred"))
     )
-    by_true = pred.groupBy(F.col("_true").alias("label")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true"),
-        F.sum((F.col("_pred") == F.col("_true")).cast("bigint"))
+    # Collapse the prediction stream ONCE into the |labels|²-bounded
+    # confusion matrix and derive both marginals from it (r14
+    # optimization round, guide §2.4): by_true and by_pred each
+    # referenced ``pred``, so the scoring cross join + per-vector
+    # window ran TWICE per evaluation. The checkpoint pins k² rows
+    # of exact integer counts — metadata-scale at any corpus size —
+    # and the marginals are plain integer sums over it, so every
+    # downstream count is bit-identical.
+    confusion = (
+        pred.groupBy("_true", "_pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+        .localCheckpoint()
+    )
+    by_true = confusion.groupBy(F.col("_true").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("_pred") == F.col("_true"), F.col("_n")).otherwise(
+                F.lit(0)
+            )
+        )
         .cast("bigint")
         .alias("tp"),
     )
-    by_pred = pred.groupBy(F.col("_pred").alias("label")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pred")
+    by_pred = confusion.groupBy(F.col("_pred").alias("label")).agg(
+        F.sum("_n").cast("bigint").alias("n_pred")
     )
     # guarded ratios: an unpredicted (or absent) label must yield 0,
     # not a 0/0 — and the guards keep the plan ANSI-safe

@@ -341,7 +341,14 @@ def boilerplate_ngrams(
     cleaner runs before stripping. Distinct shingles per doc →
     hash-aggregate document frequency → threshold against a 1-row
     corpus count (broadcast cross join). Two shuffles total, both on
-    shrinking keys; no per-pair work."""
+    shrinking keys; no per-pair work.
+
+    The doc frequency is a plain ``count(*)`` (r14 optimization
+    round, guide §2.3): ``shingles_col`` is ``array_distinct`` per
+    doc, so the exploded (doc, ngram) rows are already unique and
+    ``count_distinct(doc_id)`` computed the identical value through
+    Spark's two-phase distinct aggregate — an extra (ngram, doc_id)
+    keyed exchange the plain count doesn't pay."""
     from .dedup import shingles_col, tokens_col
 
     total = df.agg(F.count("*").alias("_n_docs"))
@@ -351,7 +358,7 @@ def boilerplate_ngrams(
             F.explode(shingles_col(tokens_col(text_col), n)).alias("ngram"),
         )
         .groupBy("ngram")
-        .agg(F.count_distinct(id_col).alias("doc_freq"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
     return (
         docfreq.crossJoin(F.broadcast(total))
@@ -565,10 +572,23 @@ def source_overlap_matrix(
     and inflated effective dataset size. The fraction is
     integer-exact (``·10⁶ DIV min``).
 
-    Plan: distinct (slice, shingle) frame → per-slice sizes + a
-    self-join keyed on the shingle. Per-shingle fan-out is bounded
-    by n_slices² (slices are few — this is a slice-level audit, not
-    a doc-level one), so the join is linear in distinct shingles."""
+    Plan (r14 optimization round, guide §1.2/§2.4): ONE distinct
+    (slice, shingle) pass → ONE shingle-keyed aggregate collecting
+    each shingle's sorted slice set → per-shingle ordered-pair
+    fan-out (i ≤ j over the set, so the diagonal carries the
+    per-slice sizes and the off-diagonal the co-occurrence counts)
+    → one bounded ≤ n_slices² matrix, eagerly checkpointed so its
+    two consumers (sizes, common) don't re-run the corpus pass.
+    The pre-r14 form computed the corpus-scale ``sh`` frame THREE
+    times (sizes + both sides of a shingle-keyed self-join); the
+    aggregate form reads it once and shuffles it once. Per-shingle
+    fan-out stays bounded by n_slices² (slices are few — this is a
+    slice-level audit, not a doc-level one). Counts are exact
+    integers, so results are identical to the self-join form: a
+    shingle shared by slices {g₁ < g₂} contributed exactly one
+    joined row per pair there and contributes exactly one struct
+    per pair here; NULL slices never reached the output (NULL fails
+    ``a.g < b.g``) and are likewise absent from ``collect_set``."""
     from .dedup import shingles_col
 
     sh = (
@@ -580,13 +600,31 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, ["sh"])
-        .filter(F.col("a.g") < F.col("b.g"))
-        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    gs = sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("g")).alias("gs")
+    )
+    pairs_ij = F.flatten(
+        F.transform(
+            "gs",
+            lambda x, i: F.transform(
+                F.slice(F.col("gs"), i + 1, F.size("gs")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    matrix = (
+        gs.select(F.explode(pairs_ij).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint()
+    )
+    sizes = matrix.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("g"), F.col("n").alias("n_sh")
+    )
+    common = matrix.filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("n").alias("n_common"),
     )
     sa = sizes.select(
         F.col("g").alias("source_a"), F.col("n_sh").alias("n_a")
@@ -743,32 +781,53 @@ def novelty_scores(
     look at; corpus-level mean novelty is a diversity metric
     tracked across ingestion batches.
 
-    One shingle explode → doc-frequency aggregate (vocab-sized)
-    → join back on the gram key → per-doc conditional count. The
-    doc-frequency frame is the same shape the boilerplate detector
-    builds — at scale the two passes share it."""
+    Plan (r14 optimization round, guide §2.4 — remove the shuffle
+    outright): a gram with df = 1 has exactly ONE (doc, gram) row,
+    so its owning doc can be carried THROUGH the doc-frequency
+    aggregate (``min(doc_id)`` — the only doc_id in the group) and
+    the novel counts recovered from the gram-keyed frame alone:
+    one shingle explode → one (gram, df, owner) aggregate → the
+    df = 1 slice re-aggregated per owner (≤ one row per DOC, not
+    per gram) → doc-scale left join onto per-doc shingle counts
+    computed as a pure expression (``size(shingles)`` — the arrays
+    are distinct per doc, so count(*) over exploded rows ≡ array
+    size). The pre-r14 form joined the corpus-scale shingle frame
+    back to the vocab-sized df frame on the gram key — a second
+    full explode plus a shingle-keyed shuffle of the biggest frame
+    in the job, both gone. Values are exact integers throughout,
+    so results are bit-identical (same counts into the same
+    rounded division)."""
     from .dedup import shingles_col, tokens_col
 
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(tokens_col(text_col), n)).alias("g"),
     )
-    dfreq = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
-    return (
-        sh.join(dfreq, ["g"])
-        .groupBy("doc_id")
+    novel = (
+        sh.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.count_if(F.col("df") == 1).alias("n_novel"),
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("_owner"),
         )
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            F.col("n_novel").cast("bigint").alias("n_novel"),
-            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
-                "novel_frac"
-            ),
-        )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("_owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles_col(tokens_col(text_col), n))
+        .cast("bigint")
+        .alias("n_shingles"),
+    )
+    return base.join(novel, ["doc_id"], "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("novel_frac"),
     )
 
 

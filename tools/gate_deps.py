@@ -417,9 +417,39 @@ def rewrite_coverage(rows: list[dict]) -> None:
           f"({n_never} never, {n_changed} changed-stale)")
 
 
+def _front_list() -> list[str]:
+    """Optional force-include list (r13 verdict task #2 / advisor):
+    'Force-include all gates touched by an optimization round into
+    that round's driver correctness sample instead of relying solely
+    on stalest-first rotation.' The module-granular 'changed' flag
+    cannot express this — a shared-module edit (tokens_col lives in
+    dedup.py) marks ~half the inventory changed, so the handful of
+    genuinely-rewritten gates still drown behind the staleness
+    backlog (r13's window missed mmr/pagerank/lsh/prf for exactly
+    this reason). ``tools/gate_front.json`` therefore lists the
+    gates an optimization round directly touched (checked in with
+    the round's commits, auditable against OPTIMIZATION_r*.md);
+    --write splices them, in their analyze() relative order, at the
+    head of the emitted order. Unknown names are rejected so a stale
+    list fails loudly."""
+    path = os.path.join(REPO, "tools", "gate_front.json")
+    if not os.path.exists(path):
+        return []
+    data = json.load(open(path))
+    return list(data.get("front", []))
+
+
 def main() -> None:
     rows = analyze()
     order = [r["gate"] for r in rows]
+    front = _front_list()
+    if front:
+        unknown = sorted(set(front) - set(order))
+        assert not unknown, f"gate_front.json names unknown gates: {unknown}"
+        fset = set(front)
+        order = [g for g in order if g in fset] + [
+            g for g in order if g not in fset
+        ]
     n_never = sum(r["last_round"] is None for r in rows)
     n_changed = sum(r["changed"] and r["last_round"] is not None
                     for r in rows)

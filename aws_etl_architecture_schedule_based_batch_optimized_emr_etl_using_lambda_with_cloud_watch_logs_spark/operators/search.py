@@ -246,12 +246,16 @@ def prf_expand_topk(
         .select("query_id", "term")
     )
     # cut the expanded-query lineage (r13 optimization round):
-    # round 2 references q2 TWICE inside _bm25_score (the tf probe
-    # and the df_q term filter are two different broadcast subtrees,
-    # so exchange reuse cannot kick in) and each broadcast build
-    # re-executed the entire round-1 scoring + window chain. The
-    # checkpoint is |Q|·(query_terms + fb_terms) rows — metadata-
-    # scale — and materializes inside the first broadcast build.
+    # q2's lineage contains the whole round-1 scoring + window
+    # chain. Pre-r14, round 2 referenced q2 TWICE inside
+    # _bm25_score (tf probe + df_q term filter — two different
+    # broadcast subtrees, no exchange reuse) and each broadcast
+    # build re-executed round 1; the r14 fused single-probe form
+    # references it once, but the checkpoint stays: it still cuts
+    # the analyzed round-2 plan to a leaf (the round-1 tree would
+    # otherwise be re-inlined and re-analyzed inside round 2's
+    # build side). |Q|·(query_terms + fb_terms) rows — metadata-
+    # scale — materializing inside the broadcast build.
     q2 = (
         q_terms.unionByName(fb)
         .distinct()

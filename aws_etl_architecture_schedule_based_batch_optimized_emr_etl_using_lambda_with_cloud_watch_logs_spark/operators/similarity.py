@@ -1356,11 +1356,14 @@ def label_centroid_eval(
     # window ran TWICE per evaluation. The checkpoint pins k² rows
     # of exact integer counts — metadata-scale at any corpus size —
     # and the marginals are plain integer sums over it, so every
-    # downstream count is bit-identical.
+    # downstream count is bit-identical. LAZY: a single unchained
+    # checkpoint materializing inside the caller's own action is the
+    # pattern the driver verified neutral-or-better (mmr/prf/bloom);
+    # eager was measured to re-pay the scoring job per bench pass.
     confusion = (
         pred.groupBy("_true", "_pred")
         .agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     by_true = confusion.groupBy(F.col("_true").alias("label")).agg(
         F.sum("_n").cast("bigint").alias("n_true"),

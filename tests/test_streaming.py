@@ -158,6 +158,70 @@ def test_windowed_event_counts_streaming_matches_batch(spark, tmp_path):
     assert got == expected and len(got) == 2
 
 
+def test_run_to_memory_restores_confs_and_cleans_checkpoint(
+    spark, tmp_path
+):
+    """r14 drain levers: run_to_memory disables no-data micro-batches
+    and places the checkpoint on RAM-backed storage FOR THE DRAIN
+    ONLY — after it returns, both confs are restored and no
+    checkpoint dir survives (nothing is cached across invocations),
+    and the drained result still matches the batch twin."""
+    import glob
+
+    from aws_etl_architecture_schedule_based_batch_optimized_emr_etl_using_lambda_with_cloud_watch_logs_spark.streaming.ingest import (
+        run_to_memory,
+    )
+
+    src = str(tmp_path / "events")
+    events = [
+        {"ts": "2024-01-01T10:01:00", "event_type": "click", "value": 1.0},
+        {"ts": "2024-01-01T10:04:00", "event_type": "click", "value": 2.0},
+        {"ts": "2024-01-01T10:12:00", "event_type": "view", "value": 3.0},
+    ]
+    _write_json(os.path.join(src, "e1.json"), events)
+    schema = "ts timestamp, event_type string, value double"
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
+    ckpt_base = os.environ.get(
+        "SPARK_GRAFT_STREAM_CKPT_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    before = (
+        set(glob.glob(os.path.join(ckpt_base, "sg_stream_ckpt_*")))
+        if ckpt_base
+        else set()
+    )
+
+    stream_df = spark.readStream.schema(schema).json(src)
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in run_to_memory(
+            windowed_event_counts(stream_df),
+            "rtm_lever_test",
+            shuffle_partitions=4,
+        ).collect()
+    }
+    batch_df = spark.read.schema(schema).json(src)
+    expected = {
+        (r["window_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in windowed_event_counts(batch_df).collect()
+    }
+    assert got == expected and len(got) == 2
+    # confs restored exactly
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == prev_nodata
+    )
+    # no checkpoint state survives the drain
+    if ckpt_base:
+        after = set(glob.glob(os.path.join(ckpt_base, "sg_stream_ckpt_*")))
+        assert after == before
+
+
 def test_rate_source_smoke(spark):
     """The unbounded rate source drives the same windowed-agg plan as
     the file source: rows keep flowing, transformations apply, and
